@@ -1,0 +1,114 @@
+"""Text-analysis operators (language-ID, quality scoring, token stats,
+fingerprinting) — north-star extensions (SURVEY.md §7 phase 5).
+
+All pure built-in expressions (split / regexp / higher-order array
+functions), so the hot path stays inside WholeStageCodegen: on a 100 TB
+corpus these run as zero-shuffle map stages fused with the parquet scan.
+Ratios divide exact integer counts (deterministic across engines);
+no float accumulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword-count heuristic.
+# Tiny on purpose: a real deployment swaps in proper marker tables; the
+# *plumbing* (argmax over per-language counts) is the operator.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+ENGLISH_STOPWORDS = LANG_MARKERS["en"] + ("it", "for", "on", "with", "as")
+
+PUNCT_PATTERN = r"[.,;:!?]"
+WORD_PATTERN = r"[a-zA-Z]+"
+
+
+def tokens(text_col: Column | str) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def marker_count(text_col: Column | str, markers: tuple[str, ...]) -> Column:
+    """# tokens that are language-marker words (exact token match)."""
+    return F.size(F.filter(tokens(text_col), lambda t: t.isin(*markers)))
+
+
+def lang_scores(text_col: Column | str) -> list[Column]:
+    return [
+        marker_count(text_col, m).alias(f"score_{lang}")
+        for lang, m in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(text_col: Column | str) -> Column:
+    """Predicted language: argmax of marker counts, first-wins on ties
+    (stable language order), 'und' when no marker hits at all."""
+    scores = {lang: marker_count(text_col, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / token-shape quality signals.
+
+    The classic pre-training heuristics (Gopher/C4-style rules): doc
+    length, mean token length, punctuation density, stopword ratio,
+    alpha-token ratio. Emitted as columns; thresholding is the caller's
+    policy decision.
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha_tok = F.size(F.filter(toks, lambda t: t.rlike(r"^[a-zA-Z]+$")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(PUNCT_PATTERN), 0))
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        ((n_chars - n_tok + 1) / n_tok).alias("q_mean_token_len"),
+        (n_punct / n_tok).alias("q_punct_ratio"),
+        (n_stop / n_tok).alias("q_stopword_ratio"),
+        (n_alpha_tok / n_tok).alias("q_alpha_ratio"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (letter runs / digit runs / single non-space symbols) that tracks
+    subword-tokenizer counts well enough for budget estimation."""
+    bpe_ish = F.size(
+        F.regexp_extract_all(
+            text_col, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+        )
+    )
+    return df.select(
+        "*",
+        F.size(tokens(text_col)).alias("ws_tokens"),
+        bpe_ish.alias("bpe_ish_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full MD5, a 60-bit int form (join-friendly),
+    and a coarse length bucket for blocking."""
+    from ..functions.hashing import md5_prefix64
+
+    return df.select(
+        "*",
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        md5_prefix64(text_col).alias("fp_int60"),
+        F.floor(F.length(text_col) / 64).cast("int").alias("fp_len_bucket"),
+    )

@@ -1,0 +1,47 @@
+"""Window / latest-row operators (SURVEY.md §2.7 W1-W4, §2.6 A1).
+
+Two forms of "latest row per entity":
+
+1. ``latest_global_date`` — the reference's exact semantics
+   (``DB_manager.py:192-196``): filter to the *global* max date, then by
+   ticker. Quirk preserved on purpose: a ticker that did not trade on
+   the globally-latest date yields 0 rows (SURVEY.md §2.7 W1).
+2. ``latest_per_entity`` — the robust variant:
+   ``row_number() over (partition by entity order by date desc) = 1``.
+
+Scale: the global max is a two-stage tree aggregate (bytes of shuffle);
+the per-entity variant shuffles once on the entity key. Both avoid any
+driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_global_date(fact: DataFrame, date_col: str = "stock_date") -> DataFrame:
+    """Rows on the globally-latest date (scalar-subquery MAX, A1/W1).
+
+    Expressed as an inner equi-join against the 1-row aggregate rather
+    than ``.first()`` — no driver round-trip, and AQE broadcasts the
+    1-row side.
+    """
+    latest = fact.agg(F.max(date_col).alias("__max_date"))
+    return fact.join(
+        latest, on=fact[date_col] == latest["__max_date"], how="inner"
+    ).drop("__max_date")
+
+
+def latest_per_entity(
+    fact: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+) -> DataFrame:
+    """Most recent row per entity (robust W1 variant)."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(date_col).desc())
+    return (
+        fact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

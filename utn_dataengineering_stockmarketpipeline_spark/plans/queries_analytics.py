@@ -1,0 +1,315 @@
+"""General analytics queries over the star schema.
+
+The reference delegates all SQL to Postgres (SURVEY.md §2.6: "the engine
+gets GROUP BY / aggregates / sorting for free from Spark") — these
+queries exercise that surface as engine capabilities: grouped
+aggregation, multi-way broadcast-star joins, semi joins, rollup,
+set ops, ranking/lead-lag windows, and event-stream slicing.
+
+Float discipline: any SUM/AVG over doubles goes through
+``DECIMAL(18,x)`` so the reduction is exact and order-independent, then
+casts back to double — Spark's parallel sum and DuckDB's serial sum
+otherwise disagree in final ulps and fail the driver's value-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.parquet import load_table
+from .catalog import register
+
+
+def _dsum(col, scale: int = 2):
+    """Order-independent exact sum of a double column, as double."""
+    return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
+
+
+@register(
+    "ana_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    doc="TPC-H Q1-shaped pricing summary: partial (map-side) aggregation "
+        "makes the shuffle proportional to group count (4), not rows",
+    tags=("analytics", "aggregate"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum("l_quantity").alias("sum_qty"),
+        _dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc.cast("decimal(18,6)")).cast("double").alias("sum_disc_price"),
+        F.sum(charge.cast("decimal(18,6)")).cast("double").alias("sum_charge"),
+        (_dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        (_dsum("l_discount", 6) / F.count(F.lit(1))).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "ana_top_customers",
+    """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+    doc="fact⋈dim revenue ranking; dim broadcasts (no shuffle of orders); "
+        "deterministic top-k via (revenue desc, custkey) total order",
+    tags=("analytics", "join", "topk"),
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _dsum("o_totalprice").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+@register(
+    "ana_region_revenue",
+    """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    doc="star join: all three dims broadcast, so the 100 TB fact never "
+        "shuffles until the (tiny) final aggregation",
+    tags=("analytics", "join", "broadcast"),
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "ana_order_priority",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-shaped EXISTS → left-semi join (no row multiplication, "
+        "unlike an inner join + distinct)",
+    tags=("analytics", "semi-join"),
+)
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "ana_window_rank",
+    """
+SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+""",
+    doc="ranking window: top-3 orders per customer; one shuffle on the "
+        "partition key, deterministic tiebreak",
+    tags=("analytics", "window"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "ana_lead_lag",
+    """
+WITH sp AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT'
+           WHEN 2 THEN 'GOOG' WHEN 3 THEN 'AMZN' ELSE 'TSLA' END AS t,
+         MAX(o_totalprice) AS close
+  FROM orders GROUP BY 1, 2)
+SELECT t AS stock_ticker, d AS stock_date, close AS stock_close,
+       LAG(close) OVER (PARTITION BY t ORDER BY d) AS prev_close,
+       close - LAG(close) OVER (PARTITION BY t ORDER BY d) AS day_change,
+       LEAD(close) OVER (PARTITION BY t ORDER BY d) AS next_close
+FROM sp
+""",
+    doc="lead/lag day-over-day deltas per ticker (offset windows)",
+    tags=("analytics", "window"),
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .reference_tables import _ticker_expr
+
+    o = load_table(spark, sf_dir, "orders")
+    sp = (
+        o.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            _ticker_expr().alias("t"),
+            "o_totalprice",
+        )
+        .groupBy("d", "t")
+        .agg(F.max("o_totalprice").alias("close"))
+    )
+    w = Window.partitionBy("t").orderBy("d")
+    return sp.select(
+        F.col("t").alias("stock_ticker"),
+        F.col("d").alias("stock_date"),
+        F.col("close").alias("stock_close"),
+        F.lag("close").over(w).alias("prev_close"),
+        (F.col("close") - F.lag("close").over(w)).alias("day_change"),
+        F.lead("close").over(w).alias("next_close"),
+    )
+
+
+@register(
+    "ana_rollup_volume",
+    """
+WITH sp AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+         CASE CAST(o_custkey % 5 AS INT) WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT'
+           WHEN 2 THEN 'GOOG' WHEN 3 THEN 'AMZN' ELSE 'TSLA' END AS t
+  FROM orders)
+SELECT y AS stock_year, t AS stock_ticker, COUNT(*) AS volume
+FROM sp GROUP BY ROLLUP (y, t)
+""",
+    doc="ROLLUP hierarchy totals (year → ticker → grand total); integer "
+        "counts so no float discipline needed",
+    tags=("analytics", "rollup"),
+)
+def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .reference_tables import _ticker_expr
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), _ticker_expr().alias("t")
+    )
+    return o.rollup("y", "t").agg(F.count(F.lit(1)).alias("volume")).select(
+        F.col("y").alias("stock_year"),
+        F.col("t").alias("stock_ticker"),
+        "volume",
+    )
+
+
+@register(
+    "ana_set_ops",
+    """
+SELECT mkt, 'both_halves' AS category FROM (
+  SELECT DISTINCT c_mktsegment AS mkt FROM customer WHERE c_custkey % 2 = 0
+  INTERSECT
+  SELECT DISTINCT c_mktsegment FROM customer WHERE c_custkey % 2 = 1)
+UNION ALL
+SELECT mkt, 'even_only' AS category FROM (
+  SELECT DISTINCT c_mktsegment AS mkt FROM customer WHERE c_custkey % 2 = 0
+  EXCEPT
+  SELECT DISTINCT c_mktsegment FROM customer WHERE c_custkey % 2 = 1)
+""",
+    doc="INTERSECT / EXCEPT / UNION ALL set algebra",
+    tags=("analytics", "set-ops"),
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    even = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_mktsegment").alias("mkt")
+    ).distinct()
+    odd = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_mktsegment").alias("mkt")
+    ).distinct()
+    both = even.intersect(odd).select("mkt", F.lit("both_halves").alias("category"))
+    only = even.subtract(odd).select("mkt", F.lit("even_only").alias("category"))
+    return both.unionAll(only)
+
+
+@register(
+    "ana_events_hourly",
+    """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+""",
+    doc="event-stream hourly tumbling aggregation + JSON field extraction "
+        "(batch form of the streaming window, SURVEY.md §2.9)",
+    tags=("analytics", "events", "json"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )

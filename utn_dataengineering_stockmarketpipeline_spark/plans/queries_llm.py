@@ -1,0 +1,433 @@
+"""LLM training-data pipeline queries (dedup, similarity search, text
+analysis, multimodal) — the north-star extension operators
+(SURVEY.md §7 phase 5; not reference behavior).
+
+DuckDB oracles are generated programmatically where the SQL would be
+repetitive (MinHash permutations, SimHash bits) — both sides derive
+every hash from MD5, so even the LSH bucketing is value-checked
+cross-engine, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..sources.parquet import load_table
+from .catalog import register
+
+# --- shared DuckDB SQL fragments -------------------------------------------
+
+# 60-bit int from md5 — mirrors functions/hashing.py:md5_prefix64.
+def _h60(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_TOKS = "string_split(text, ' ')"
+
+# Word 3-shingles — mirrors functions/hashing.py:shingles (k=3).
+_SHINGLES = f"""
+CASE WHEN len({_TOKS}) <= 3 THEN [array_to_string({_TOKS}, ' ')]
+     ELSE list_transform(generate_series(1, len({_TOKS}) - 2),
+                         s -> array_to_string(list_slice({_TOKS}, s, s + 2), ' '))
+END"""
+
+_NUM_PERMS = 8
+_BANDS = 4
+_SIMHASH_BITS = 16
+
+# MinHash signature as a DuckDB list: element p = min over shingles of
+# the salted hash md5('p:' || shingle) — mirrors minhash_signature.
+_SIG_SQL = (
+    "list_transform(["
+    + ", ".join(str(p) for p in range(_NUM_PERMS))
+    + f"], p -> list_min(list_transform(shs, s -> "
+    + _h60("CAST(p AS VARCHAR) || ':' || s")
+    + ")))"
+)
+
+
+# --- exact dedup ------------------------------------------------------------
+
+@register(
+    "llm_dedup_exact",
+    """
+SELECT md5(text) AS fingerprint, MIN(doc_id) AS canonical_id,
+       COUNT(*) AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+    doc="exact dedup via MD5 fingerprint hash-groupBy; map-side combine "
+        "collapses duplicates before the shuffle",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+# --- MinHash / LSH ----------------------------------------------------------
+
+@register(
+    "llm_minhash_signatures",
+    f"""
+WITH sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh)
+SELECT doc_id, CAST(p AS INT) AS perm, sig[p + 1] AS min_hash
+FROM sig CROSS JOIN range({_NUM_PERMS}) t(p)
+""",
+    doc="MinHash signatures (8 salted-MD5 min-wise perms over word "
+        "3-shingles), exploded to rows — value-checks the whole hash "
+        "pipeline cross-engine",
+    tags=("llm", "dedup", "minhash"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.with_minhash(docs, num_perms=_NUM_PERMS)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("perm", "min_hash")
+    )
+
+
+_BANDED_CTE = f"""
+sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh),
+banded AS (
+  SELECT doc_id, sig, CAST(b AS INT) AS band,
+         md5(CAST(sig[b * 2 + 1] AS VARCHAR) || '_' ||
+             CAST(sig[b * 2 + 2] AS VARCHAR)) AS bucket
+  FROM sig CROSS JOIN range({_BANDS}) t(b))
+"""
+
+
+@register(
+    "llm_minhash_lsh_pairs",
+    f"""
+WITH {_BANDED_CTE}
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+                     z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END))
+            AS DOUBLE) / {_NUM_PERMS} AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+    doc="MinHash-LSH candidate pairs (4 bands × 2 rows) with estimated "
+        "Jaccard; bucket self-join scales with collisions, not n²",
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidates(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=_NUM_PERMS,
+        bands=_BANDS,
+    )
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    f"""
+WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+sh AS (SELECT DISTINCT doc_id, s
+       FROM (SELECT doc_id, unnest(shs) AS s FROM sh0)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
+""",
+    doc="exact n-gram Jaccard over shared-shingle pairs — the verifier "
+        "behind MinHash's estimate; pure integer counting",
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+# --- SimHash ----------------------------------------------------------------
+
+def _simhash_sql(bits: int) -> str:
+    """Generate the DuckDB SimHash expression (mirrors hashing.simhash)."""
+    terms = []
+    for j in range(bits):
+        vote = (
+            f"list_sum(list_transform(toks, t -> CASE WHEN "
+            f"({_h60('t')} & {1 << j}) != 0 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "llm_simhash",
+    f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id, {_simhash_sql(_SIMHASH_BITS)} AS simhash FROM tok
+""",
+    doc="SimHash fingerprint (16-bit, per-token MD5 votes) — Charikar '02; "
+        "all JVM-side expression, no UDF",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.with_simhash(
+        load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS
+    ).select("doc_id", "simhash")
+
+
+@register(
+    "llm_simhash_near_pairs",
+    f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+hs AS (SELECT doc_id, {_simhash_sql(_SIMHASH_BITS)} AS simhash FROM tok),
+halves AS (SELECT doc_id, simhash,
+                  simhash & {(1 << (_SIMHASH_BITS // 2)) - 1} AS h_lo,
+                  simhash >> {_SIMHASH_BITS // 2} AS h_hi
+           FROM hs),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM halves a JOIN halves b
+    ON a.h_lo = b.h_lo AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))
+  FROM halves a JOIN halves b
+    ON a.h_hi = b.h_hi AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+FROM cand WHERE hamming <= 2
+""",
+    doc="SimHash near-dup pairs: pigeonhole half-signature equi-joins "
+        "(never an OR-join → no nested-loop), verify with xor+bit_count",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=_SIMHASH_BITS,
+        max_hamming=2,
+    )
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# --- text analysis ----------------------------------------------------------
+
+@register(
+    "llm_token_stats",
+    rf"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+            AS INT) AS bpe_ish_tokens
+FROM documents
+""",
+    doc="token counting: whitespace + BPE-ish regex (letter runs / digit "
+        "runs / symbols) for training-budget estimation",
+    tags=("llm", "text"),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_stats(docs, "text").select(
+        "doc_id",
+        F.col("ws_tokens").cast("int").alias("ws_tokens"),
+        F.col("bpe_ish_tokens").cast("int").alias("bpe_ish_tokens"),
+    )
+
+
+_STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS) + "]"
+
+
+@register(
+    "llm_text_quality",
+    f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS q_n_chars,
+       CAST(len({_TOKS}) AS INT) AS q_n_tokens,
+       CAST(length(text) - len({_TOKS}) + 1 AS DOUBLE) / len({_TOKS})
+         AS q_mean_token_len,
+       CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+         / len({_TOKS}) AS q_punct_ratio,
+       CAST(len(list_filter({_TOKS}, t -> list_contains({_STOPS_SQL}, t)))
+            AS DOUBLE) / len({_TOKS}) AS q_stopword_ratio,
+       CAST(len(list_filter({_TOKS}, t -> regexp_full_match(t, '[a-zA-Z]+')))
+            AS DOUBLE) / len({_TOKS}) AS q_alpha_ratio
+FROM documents
+""",
+    doc="Gopher/C4-style quality signals: length, mean token length, "
+        "punctuation density, stopword ratio, alpha-token ratio — exact "
+        "integer counts, deterministic ratios",
+    tags=("llm", "text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        "q_n_chars",
+        F.col("q_n_tokens").cast("int").alias("q_n_tokens"),
+        "q_mean_token_len",
+        "q_punct_ratio",
+        "q_stopword_ratio",
+        "q_alpha_ratio",
+    )
+
+
+def _lang_id_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_filter({_TOKS}, t -> list_contains(["
+            + ", ".join(f"'{w}'" for w in markers)
+            + "], t)))"
+        )
+        for lang, markers in text.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    whens = " ".join(
+        f"WHEN {score[lang]} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in text.LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "llm_lang_id",
+    f"""
+SELECT doc_id, lang AS lang_true, {_lang_id_sql()} AS lang_pred
+FROM documents
+""",
+    doc="language-ID heuristic: argmax of per-language marker-word counts "
+        "(first-wins ties, 'und' on zero evidence)",
+    tags=("llm", "text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        text.lang_id("text").alias("lang_pred"),
+    )
+
+
+@register(
+    "llm_doc_fingerprint",
+    f"""
+SELECT doc_id, md5(text) AS fp_md5, {_h60('text')} AS fp_int60,
+       CAST(length(text) // 64 AS INT) AS fp_len_bucket
+FROM documents
+""",
+    doc="document fingerprinting: MD5 + 60-bit int form + length bucket "
+        "for blocking",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs, "text").select(
+        "doc_id", "fp_md5", "fp_int60", "fp_len_bucket"
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+_DOT = (
+    "CAST(list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> z[1]::DOUBLE * z[2]::DOUBLE)) AS DOUBLE)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"round({dot} / ({na} * {nb}), 6)"
+
+
+@register(
+    "llm_cosine_topk",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_cos_sql('q_vec', 'c_vec')} AS cosine
+  FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) WHERE rk <= 5
+""",
+    doc="brute-force cosine top-5 (exact ANN baseline): corpus broadcast, "
+        "dot products as codegen'd zip_with/aggregate — no UDF, no Arrow hop",
+    tags=("llm", "similarity", "ann"),
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
+@register(
+    "llm_embedding_norms",
+    """
+SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(CAST(list_sum(list_transform(embedding,
+             x -> x::DOUBLE * x::DOUBLE)) AS DOUBLE)), 6) AS l2_norm
+FROM embeddings
+""",
+    doc="embedding QA projection: dimension + L2 norm",
+    tags=("llm", "similarity"),
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_ann_lsh_topk",
+    None,  # approximate by construction: recall vs brute force is the
+    # pytest check (tests/test_similarity.py), not a SQL identity
+    doc="sign-LSH bucketed ANN (scale path): deterministic MD5-derived "
+        "hyperplanes, bucket equi-join, exact in-bucket re-rank",
+    tags=("llm", "similarity", "ann", "lsh"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), dim=64, k=5
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+@register(
+    "llm_multimodal_features",
+    None,  # mapInPandas (Arrow-batched Python) — not SQL-expressible
+    doc="multimodal plumbing: binary payload column → Arrow-batched "
+        "feature extraction (decode step stubbed; schema/batching real)",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs)
+    return multimodal.extract_features(assets)
+
+
+@register(
+    "llm_frame_sample_plan",
+    None,  # depends on the synthetic MULTIMODAL derivation; JVM-side but
+    # kept rows-only with the multimodal family
+    doc="video frame-sampling plan: metadata-only sequence+explode, no "
+        "payload decode, zero shuffle",
+    tags=("llm", "multimodal"),
+)
+def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs)
+    return multimodal.frame_sample_plan(assets, every_ms=1000)

@@ -1,0 +1,337 @@
+"""Reference-parity queries (SURVEY.md §2) over the derived
+``stock_prices`` / ``markets`` tables (plans/reference_tables.py).
+
+Each query is the Spark-first re-expression of an operator the reference
+performs; the paired DuckDB oracle proves value parity. Citations point
+at the reference implementation being re-expressed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import fmt_ddmmyyyy, surrogate_key
+from ..operators.scd import new_rows
+from ..operators.transforms import (
+    normalize_market_payload,
+    normalize_stock_payload,
+)
+from ..operators.windows import latest_global_date, latest_per_entity
+from ..sources.parquet import load_table
+from .catalog import register
+from .reference_tables import markets, stock_prices, with_reference_ctes
+
+# Ticker guaranteed present on the globally-latest date at sf0.01 (the
+# W1 quirk means absent tickers yield 0 rows — see SURVEY.md §2.7).
+FLAGSHIP_TICKER = "AAPL"
+
+
+def get_last_price(spark: SparkSession, sf_dir: str, ticker: str) -> DataFrame:
+    """Flagship: the reference's one analytical query, ``get_last_price``
+    (DB_manager.py:181-199) — latest close joined to the dimension row.
+
+    Reference semantics preserved exactly: filter to the *global* max
+    date (scalar subquery, DB_manager.py:192-195), then the ticker; left
+    join the tiny dim (broadcast — Postgres used a PK index, Spark ships
+    the 5-row table to every task instead).
+    """
+    fact = stock_prices(spark, sf_dir)
+    dim = markets(spark, sf_dir)
+    latest = latest_global_date(fact).filter(F.col("stock_ticker") == ticker)
+    return (
+        latest.join(
+            F.broadcast(dim),
+            latest["stock_ticker"] == dim["market_stockid"],
+            "left",
+        )
+        .select(
+            fmt_ddmmyyyy("stock_date").alias("stock_date_fmt"),
+            "stock_ticker",
+            "market_companyname",
+            "stock_close",
+            "market_exchange",
+            "market_stockisin",
+        )
+    )
+
+
+@register(
+    "ref_get_last_price",
+    with_reference_ctes(f"""
+SELECT strftime(stock_date, '%d-%m-%Y') AS stock_date_fmt,
+       stock_ticker, market_companyname, stock_close,
+       market_exchange, market_stockisin
+FROM stock_prices LEFT JOIN markets ON stock_ticker = market_stockid
+WHERE stock_date = (SELECT MAX(stock_date) FROM stock_prices)
+  AND stock_ticker = '{FLAGSHIP_TICKER}'
+"""),
+    doc="DB_manager.py:181-199 — latest close + dim enrich (W1 quirk kept)",
+    tags=("reference", "join", "scalar-subquery"),
+)
+def q_get_last_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return get_last_price(spark, sf_dir, FLAGSHIP_TICKER)
+
+
+@register(
+    "ref_latest_per_ticker",
+    with_reference_ctes("""
+SELECT stock_ticker, stock_date, stock_close FROM (
+  SELECT stock_ticker, stock_date, stock_close,
+         ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                            ORDER BY stock_date DESC) AS rn
+  FROM stock_prices) WHERE rn = 1
+"""),
+    doc="robust W1 variant: row_number per ticker (SURVEY.md §2.7)",
+    tags=("reference", "window"),
+)
+def q_latest_per_ticker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return latest_per_entity(stock_prices(spark, sf_dir)).select(
+        "stock_ticker", "stock_date", "stock_close"
+    )
+
+
+@register(
+    "ref_rolling_30day_mean",
+    with_reference_ctes("""
+SELECT stock_ticker, stock_date,
+       CAST(SUM(CAST(stock_close AS DECIMAL(18,4)))
+              OVER (PARTITION BY stock_ticker ORDER BY stock_date
+                    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY stock_ticker ORDER BY stock_date
+                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+         AS stock_30daymean
+FROM stock_prices
+"""),
+    doc="P10/W2: the reference DECLARES mean-30days (API_manager.py:180-181) "
+        "but never computes it; here a real window op. Decimal-exact sum → "
+        "double division keeps cross-engine bit parity.",
+    tags=("reference", "window"),
+)
+def q_rolling_30day_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(-29, 0)
+    )
+    return stock_prices(spark, sf_dir).select(
+        "stock_ticker",
+        "stock_date",
+        (
+            F.sum(F.col("stock_close").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("stock_30daymean"),
+    )
+
+
+@register(
+    "ref_scd0_new_markets",
+    with_reference_ctes("""
+SELECT s.* FROM markets s
+LEFT JOIN (SELECT * FROM markets WHERE market_exchange = 'NASDAQ') w
+  ON s.market_stockid = w.market_stockid
+WHERE w.market_stockid IS NULL
+"""),
+    doc="J1: SCD-0 anti-join insert, markets (DB_manager.py:142-156) — "
+        "stage = full snapshot, warehouse = NASDAQ subset → new = NYSE rows",
+    tags=("reference", "anti-join", "scd0"),
+)
+def q_scd0_new_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stage = markets(spark, sf_dir)
+    warehouse = stage.filter(F.col("market_exchange") == "NASDAQ")
+    return new_rows(stage, warehouse, "market_stockid")
+
+
+@register(
+    "ref_scd0_new_stock_keys",
+    with_reference_ctes("""
+SELECT s.stock_key, s.stock_date, s.stock_ticker, s.stock_close
+FROM (SELECT * FROM stock_prices WHERE stock_year = 2001) s
+LEFT JOIN (SELECT * FROM stock_prices WHERE stock_date <= DATE '2001-03-31') w
+  ON s.stock_key = w.stock_key
+WHERE w.stock_key IS NULL
+"""),
+    doc="J2: SCD-0 anti-join insert, stock_prices (DB_manager.py:157-177) — "
+        "incoming 2001 batch overlaps Jan-Mar already loaded",
+    tags=("reference", "anti-join", "scd0"),
+)
+def q_scd0_new_stock_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = stock_prices(spark, sf_dir)
+    incoming = fact.filter(F.col("stock_year") == 2001)
+    loaded = fact.filter(F.col("stock_date") <= F.lit("2001-03-31").cast("date"))
+    return new_rows(incoming, loaded, "stock_key").select(
+        "stock_key", "stock_date", "stock_ticker", "stock_close"
+    )
+
+
+@register(
+    "ref_watermarks",
+    with_reference_ctes("""
+SELECT stock_ticker, MAX(stock_date) AS watermark_date
+FROM stock_prices GROUP BY stock_ticker
+"""),
+    doc="S4/K4/T1: incremental watermark per ticker — the state.json "
+        "replacement (API_manager.py:79-113); sink-derived, crash-consistent",
+    tags=("reference", "aggregate", "state"),
+)
+def q_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.state import watermarks
+
+    return watermarks(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_global_max_date",
+    with_reference_ctes("SELECT MAX(stock_date) AS max_date FROM stock_prices"),
+    doc="A1: ungrouped MAX scalar subquery (DB_manager.py:192-195)",
+    tags=("reference", "aggregate"),
+)
+def q_global_max_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stock_prices(spark, sf_dir).agg(F.max("stock_date").alias("max_date"))
+
+
+# --- payload-normalization parity (P1-P7) ----------------------------------
+# The raw API payload doesn't exist in testdata, so both sides derive the
+# same raw shape from `orders` first (strings + doubles, drift columns
+# present), then the Spark side runs the real operator while the oracle
+# inlines the transform.
+
+_RAW_STOCK_SQL = """
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS "date",
+       o_totalprice AS "open",
+       o_totalprice * 1.01 AS high,
+       o_totalprice * 0.99 AS low,
+       o_totalprice * 1.005 AS "close",
+       o_totalprice AS adjusted_close,
+       o_orderkey AS volume,
+       CAST(NULL AS VARCHAR) AS warning
+FROM orders WHERE CAST(o_custkey % 5 AS INT) = 0
+"""
+
+
+def _raw_stock_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_custkey") % 5).cast("int") == 0
+    )
+    return o.select(
+        F.col("o_orderdate").cast("date").cast("string").alias("date"),
+        F.col("o_totalprice").alias("open"),
+        (F.col("o_totalprice") * 1.01).alias("high"),
+        (F.col("o_totalprice") * 0.99).alias("low"),
+        (F.col("o_totalprice") * 1.005).alias("close"),
+        F.col("o_totalprice").alias("adjusted_close"),
+        F.col("o_orderkey").alias("volume"),
+        F.lit(None).cast("string").alias("warning"),
+    )
+
+
+@register(
+    "ref_normalize_stock_payload",
+    f"""
+WITH raw AS ({_RAW_STOCK_SQL})
+SELECT CAST("date" AS DATE) AS stock_date,
+       "open" AS stock_open, high AS stock_high, low AS stock_low,
+       "close" AS stock_close, CAST(volume AS BIGINT) AS stock_volume,
+       'AAPL' AS stock_ticker,
+       CAST(EXTRACT(YEAR FROM CAST("date" AS DATE)) AS INT) AS stock_year,
+       CAST(EXTRACT(MONTH FROM CAST("date" AS DATE)) AS INT) AS stock_month,
+       CAST(EXTRACT(DAY FROM CAST("date" AS DATE)) AS INT) AS stock_day,
+       "date" || '/' || 'AAPL' AS stock_key
+FROM raw
+""",
+    doc="P1-P6 as ONE projection (API_manager.py:145-182): literal ticker "
+        "tag, string→date, date parts, surrogate key, drift-tolerant drops, "
+        "renames — zero-shuffle map stage",
+    tags=("reference", "transform"),
+)
+def q_normalize_stock_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_stock_payload(_raw_stock_df(spark, sf_dir), "AAPL")
+
+
+@register(
+    "ref_normalize_market_payload",
+    """
+WITH raw AS (
+  SELECT c_name AS Code, 'Co ' || c_name AS Name, 'USA' AS Country,
+         CASE WHEN c_custkey % 2 = 0 THEN 'NYSE' ELSE 'NASDAQ' END AS Exchange,
+         'USD' AS Currency,
+         CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'Common Stock'
+              WHEN 1 THEN 'ETF' ELSE 'Fund' END AS Type,
+         'ISIN' || c_name AS Isin
+  FROM customer)
+SELECT Code AS market_stockid, Name AS market_companyname,
+       Country AS market_country, Exchange AS market_exchange,
+       Currency AS market_currency, Isin AS market_stockisin
+FROM raw WHERE Type = 'Common Stock'
+""",
+    doc="P6/P7: Type='Common Stock' filter + renames (API_manager.py:185-197); "
+        "filter pushes to the scan",
+    tags=("reference", "transform", "filter"),
+)
+def q_normalize_market_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    raw = c.select(
+        F.col("c_name").alias("Code"),
+        F.concat(F.lit("Co "), F.col("c_name")).alias("Name"),
+        F.lit("USA").alias("Country"),
+        F.when(F.col("c_custkey") % 2 == 0, "NYSE")
+        .otherwise("NASDAQ")
+        .alias("Exchange"),
+        F.lit("USD").alias("Currency"),
+        F.when((F.col("c_custkey") % 3).cast("int") == 0, "Common Stock")
+        .when((F.col("c_custkey") % 3).cast("int") == 1, "ETF")
+        .otherwise("Fund")
+        .alias("Type"),
+        F.concat(F.lit("ISIN"), F.col("c_name")).alias("Isin"),
+    )
+    return normalize_market_payload(raw)
+
+
+@register(
+    "ref_scalar_functions",
+    with_reference_ctes("""
+SELECT stock_key,
+       strftime(stock_date, '%d-%m-%Y') AS date_ddmmyyyy,
+       CAST(stock_date AS VARCHAR) AS date_str,
+       CAST(EXTRACT(YEAR FROM stock_date) AS INT) AS y,
+       CAST(EXTRACT(MONTH FROM stock_date) AS INT) AS m,
+       CAST(EXTRACT(DAY FROM stock_date) AS INT) AS d,
+       CAST(stock_date AS VARCHAR) || '/' || stock_ticker AS rebuilt_key
+FROM stock_prices
+"""),
+    doc="F1-F5: TO_CHAR dd-MM-yyyy (DB_manager.py:184), casts, date parts, "
+        "key concat (API_manager.py:156-162)",
+    tags=("reference", "scalar"),
+)
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    return sp.select(
+        "stock_key",
+        fmt_ddmmyyyy("stock_date").alias("date_ddmmyyyy"),
+        F.col("stock_date").cast("string").alias("date_str"),
+        F.year("stock_date").alias("y"),
+        F.month("stock_date").alias("m"),
+        F.dayofmonth("stock_date").alias("d"),
+        surrogate_key("stock_date", "stock_ticker").alias("rebuilt_key"),
+    )
+
+
+@register(
+    "ref_stock_prices_table",
+    with_reference_ctes("SELECT * FROM stock_prices"),
+    doc="derived fact table itself — validates DataFrame vs SQL derivation "
+        "parity end-to-end (FIXTURES.md §B)",
+    tags=("reference", "derivation"),
+)
+def q_stock_prices_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stock_prices(spark, sf_dir)
+
+
+@register(
+    "ref_markets_table",
+    with_reference_ctes("SELECT * FROM markets"),
+    doc="derived dimension table (FIXTURES.md §B)",
+    tags=("reference", "derivation"),
+)
+def q_markets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return markets(spark, sf_dir)
