@@ -4,11 +4,12 @@ from .scalar import (  # noqa: F401
     surrogate_key,
 )
 from .hashing import (  # noqa: F401
+    M31,
+    base_hash31,
     md5_prefix64,
-    minhash_signature,
-    salted_hash,
+    perm_hash,
+    perm_seeds,
     shingles,
-    simhash,
     token_hash,
 )
 from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401

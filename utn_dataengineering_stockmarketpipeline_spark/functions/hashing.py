@@ -44,60 +44,35 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def salted_hash(col: Column, salt: int) -> Column:
-    """One member of the MinHash permutation family.
+# --- MinHash permutation family --------------------------------------------
+# h_i(x) = (a_i * x + b_i) mod M31 over the 31-bit reduction of the base
+# MD5 hash. M31 = 2^31 - 1 (Mersenne prime); with a, b, x < 2^31 the
+# product stays < 2^62 — exact in int64 on BOTH Spark and DuckDB, no
+# 128-bit intermediates. One MD5 per shingle total (the perms are cheap
+# arithmetic), which keeps MinHash scan-bound at corpus scale.
 
-    Instead of the classic (a*x+b) mod p arithmetic family — which
-    overflows 64-bit without 128-bit intermediates — each "permutation"
-    is an independent salted MD5: h_i(s) = md5_prefix64(i || ':' || s).
-    Equally uniform, trivially cross-engine, arbitrarily many perms.
-    """
-    return md5_prefix64(F.concat_ws(":", F.lit(str(salt)), col))
-
-
-def minhash_signature(shingle_arr: Column, num_perms: int) -> Column:
-    """MinHash signature over an array<string> of shingles.
-
-    Returns array<bigint> of length ``num_perms``; element i is
-    min(salted_hash_i(shingle)) over the document's shingles (Broder's
-    min-wise independent permutations). All JVM array ops — no UDF, no
-    shuffle; computed in the same task as the scan that produced the
-    text column.
-    """
-    # NB: close over the salt with a factory — a `lambda s, i=i:` two-arg
-    # lambda would be read by F.transform as (element, index) and silently
-    # hash with the array index as the salt.
-    def _hasher(salt: int):
-        return lambda s: salted_hash(s, salt)
-
-    return F.array(
-        *[
-            F.array_min(F.transform(shingle_arr, _hasher(i)))
-            for i in range(num_perms)
-        ]
-    )
+M31 = (1 << 31) - 1
 
 
-def simhash(token_arr: Column, bits: int = 32) -> Column:
-    """SimHash of an array<string> of tokens (Charikar '02).
+def perm_seeds(num_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) seeds — derived from MD5 of the perm index,
+    so every run / engine / cluster computes the identical family."""
+    import hashlib
 
-    Bit j of the result is the sign of Σ_tokens (±1 depending on bit j of
-    the token's hash). One JVM-side aggregate per bit over the token-hash
-    array — wide as an expression tree but codegen-fused, no UDF, no
-    shuffle. ``bits`` ≤ 60 (md5_prefix64 yields 60 usable bits); 32 keeps
-    the tree small and Hamming distance cheap (xor + bit_count).
-    """
-    if not 0 < bits <= 60:
-        raise ValueError("bits must be in (0, 60]")
-    hashes = F.transform(token_arr, lambda t: md5_prefix64(t))
+    seeds = []
+    for i in range(num_perms):
+        h = hashlib.md5(f"minhash-seed-{i}".encode()).hexdigest()
+        a = int(h[:8], 16) % (M31 - 1) + 1  # a in [1, M31-1]
+        b = int(h[8:16], 16) % M31  #          b in [0, M31-1]
+        seeds.append((a, b))
+    return seeds
 
-    def _voter(mask: int):  # factory: keep the merge lambda strictly 2-arg
-        return lambda acc, h: acc + F.when(
-            h.bitwiseAND(F.lit(mask).cast("long")) != 0, 1
-        ).otherwise(-1)
 
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(1 << j))
-        out = out.bitwiseOR(F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(0))
-    return out
+def base_hash31(col: Column | str) -> Column:
+    """String → 31-bit base hash (the single MD5 evaluation)."""
+    return md5_prefix64(col) % F.lit(M31)
+
+
+def perm_hash(h31: Column, a: int, b: int) -> Column:
+    """(a*h + b) mod M31 — one member of the permutation family."""
+    return (h31 * F.lit(a) + F.lit(b)) % F.lit(M31)

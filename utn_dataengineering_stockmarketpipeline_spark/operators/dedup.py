@@ -5,26 +5,37 @@ the operators a 100 TB text corpus needs. All four families:
 
 - exact:    MD5 content fingerprint → hash-groupBy (one shuffle on the
             fingerprint; map-side combine collapses most duplicates).
-- MinHash+LSH: shingle → salted-MD5 min-wise signatures → banded bucket
-            join (Broder '97 / Leskovec MMDS ch.3). Candidate generation
-            is a self-join on (band, band_hash) buckets, so cost scales
-            with colliding pairs, not n².
+- MinHash+LSH: shingle → min-wise signatures → banded bucket grouping
+            (Broder '97 / Leskovec MMDS ch.3).
 - SimHash:  Charikar '02 sign-of-weighted-sum fingerprint; near-dup =
             small Hamming distance.
 - n-gram Jaccard: exact set overlap via shingle explode + equi-join —
             the verification stage behind MinHash's estimate.
 
-Everything is built-in array/higher-order expressions (JVM-side); no
-Python UDFs anywhere, and all hashes are MD5-derived so results are
-identical across engines and cluster topologies (functions/hashing.py).
+Performance shape (this is what makes them viable at corpus scale):
+- ONE MD5 per shingle/token — the MinHash permutations are arithmetic
+  ((a*h+b) mod 2^31-1, functions/hashing.py), not repeated hashing.
+- Explode → groupBy-with-partial-aggregation instead of giant per-row
+  array expressions: Catalyst's project-collapsing would otherwise
+  re-evaluate the shingle/hash arrays once per permutation (measured
+  ~14× slowdown at sf0.1 before this design).
+- Candidate pairs come from collect_list per LSH bucket + an in-bucket
+  pair expansion — a single shuffle, no self-join that would recompute
+  the signature pipeline twice. Skewed buckets (boilerplate text) are
+  the known hazard: cap or salt them in production; AQE splits the
+  shuffle skew here.
+
+No Python UDFs anywhere; every hash is MD5-derived so results are
+identical across engines and cluster topologies.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import minhash_signature, shingles, simhash
+from ..functions.hashing import base_hash31, md5_prefix64, perm_hash, perm_seeds
+from ..functions.hashing import shingles as shingle_expr
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -52,11 +63,42 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def with_minhash(df: DataFrame, text_col: str = "text", k: int = 3,
-                 num_perms: int = 8) -> DataFrame:
-    """Attach `sig` (array<bigint>, the MinHash signature) to each row."""
-    return df.withColumn(
-        "sig", minhash_signature(shingles(text_col, k), num_perms)
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3,
+                       num_perms: int = 8) -> DataFrame:
+    """Wide MinHash signatures: (id, mh_0 .. mh_{num_perms-1}).
+
+    explode(shingles) → one 31-bit MD5-derived hash per shingle → one
+    groupBy computing all permutation minima as partial aggregates.
+    Scan-bound: the shuffle carries only (id, h) pairs and the combiner
+    reduces them to num_perms minima per id before the exchange.
+    """
+    hashed = df.select(
+        F.col(id_col), F.explode(shingle_expr(text_col, k)).alias("sh")
+    ).select(F.col(id_col), base_hash31("sh").alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min(perm_hash(F.col("h"), a, b)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(perm_seeds(num_perms))
+        ]
+    )
+
+
+def _band_structs(num_perms: int, bands: int) -> Column:
+    """Array of (band, bucket) structs; bucket = md5 of the band's rows."""
+    rpb = num_perms // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_", *[F.col(f"mh_{b * rpb + i}") for i in range(rpb)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -65,61 +107,48 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                        num_perms: int = 8, bands: int = 4) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
-    Bands the signature into ``bands`` groups of ``num_perms/bands``
-    rows; docs sharing any band bucket become candidates. Output:
-    (id_a, id_b, est_jaccard) with id_a < id_b, distinct.
-
-    Scale shape: explode is bands× row growth (cheap), the bucket
-    self-join shuffles on the band hash — skewed buckets (boilerplate
-    text) are the risk, handled by AQE skew-join; a production guard
-    would also cap bucket size.
+    Signature → explode into ``bands`` (band, bucket) keys → group each
+    bucket, collect members, expand in-bucket pairs JVM-side → distinct.
+    Output: (id_a, id_b, est_jaccard), id_a < id_b. One shuffle for the
+    bucket grouping; the signature pipeline is evaluated once (a
+    self-join formulation would recompute it per side).
     """
-    rows_per_band = num_perms // bands
-    sigs = with_minhash(df, text_col, k, num_perms).select(id_col, "sig")
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perms)
+    mh_cols = [f"mh_{i}" for i in range(num_perms)]
     banded = sigs.select(
-        F.col(id_col),
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.element_at("sig", b * rows_per_band + i + 1)
-                                    for i in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+        F.col(id_col).alias("id"),
+        F.struct(*mh_cols).alias("sig"),
+        F.explode(_band_structs(num_perms, bands)).alias("bb"),
+    )
+    member = F.struct(F.col("id"), F.col("sig"))
+    buckets = (
+        banded.groupBy("bb.band", "bb.bucket")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    # all in-bucket pairs (i < j), JVM-side nested transform
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
     )
-    matches = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
+    matches = sum(
+        F.when(F.col(f"sig_a.{c}") == F.col(f"sig_b.{c}"), 1).otherwise(0)
+        for c in mh_cols
     )
     return pairs.select(
         "id_a", "id_b", (matches / F.lit(num_perms)).alias("est_jaccard")
@@ -137,7 +166,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     DuckDB oracle matches bit-for-bit.
     """
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("sh"))
+        df.select(F.col(id_col), F.explode(shingle_expr(text_col, k)).alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -172,10 +201,34 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
-def with_simhash(df: DataFrame, text_col: str = "text",
-                 bits: int = 16) -> DataFrame:
-    """Attach the SimHash fingerprint (bigint) to each row."""
-    return df.withColumn("simhash", simhash(F.split(F.col(text_col), " "), bits))
+def simhash_values(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", bits: int = 16) -> DataFrame:
+    """(id, simhash): Charikar fingerprint via explode → bit-vote sums.
+
+    One MD5 per token; ``bits`` conditional SUMs as partial aggregates
+    (the array-expression formulation re-evaluated the token-hash array
+    once per bit under Catalyst project-collapsing).
+    """
+    if not 0 < bits <= 60:
+        raise ValueError("bits must be in (0, 60]")
+    hashed = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select(F.col(id_col), md5_prefix64("tok").alias("h"))
+    votes = hashed.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    value = sum(
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0)
+        for j in range(bits)
+    )
+    return votes.select(F.col(id_col), value.alias("simhash"))
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
@@ -183,18 +236,15 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        max_hamming: int = 2) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance.
 
-    Pigeonhole banding: split the signature into two halves; any pair
-    with hamming ≤ max_hamming (< bits/2) must agree exactly on at least
-    one half *when max_hamming ≤ 1*; for larger distances this is a
-    recall-bounded candidate filter (same trade every production SimHash
-    index makes). Each half is an EQUI-join (an OR-joined predicate
-    would degrade to a nested-loop cross product — instead we union two
-    hash joins and dedup), then the full Hamming distance verifies via
-    xor + bit_count.
+    Pigeonhole banding: candidates must agree exactly on the low or the
+    high half (exact for max_hamming ≤ 1; recall-bounded filter above —
+    the trade every production SimHash index makes). Each half is an
+    EQUI-join (an OR predicate would degrade to nested-loop); full
+    distance verified with xor + bit_count.
     """
     half = bits // 2
     low_mask = (1 << half) - 1
-    hs = with_simhash(df, text_col, bits).select(
+    hs = simhash_values(df, text_col, id_col, bits).select(
         F.col(id_col),
         "simhash",
         F.col("simhash").bitwiseAND(F.lit(low_mask).cast("long")).alias("h_lo"),

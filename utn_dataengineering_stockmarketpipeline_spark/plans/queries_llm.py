@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import M31, perm_seeds
 from ..operators import dedup, similarity, text
 from ..sources.parquet import load_table
 from .catalog import register
@@ -37,14 +38,18 @@ _NUM_PERMS = 8
 _BANDS = 4
 _SIMHASH_BITS = 16
 
-# MinHash signature as a DuckDB list: element p = min over shingles of
-# the salted hash md5('p:' || shingle) — mirrors minhash_signature.
+# MinHash signature as a DuckDB list: element i = min over shingles of
+# (a_i * (h60(s) mod M31) + b_i) mod M31 — mirrors
+# dedup.minhash_signatures / hashing.perm_seeds (ONE md5 per shingle,
+# arithmetic permutations; products < 2^62 stay exact in int64).
 _SIG_SQL = (
-    "list_transform(["
-    + ", ".join(str(p) for p in range(_NUM_PERMS))
-    + f"], p -> list_min(list_transform(shs, s -> "
-    + _h60("CAST(p AS VARCHAR) || ':' || s")
-    + ")))"
+    "["
+    + ", ".join(
+        f"list_min(list_transform(shs, s -> "
+        f"(({_h60('s')} % {M31}) * {a} + {b}) % {M31}))"
+        for a, b in perm_seeds(_NUM_PERMS)
+    )
+    + "]"
 )
 
 
@@ -72,20 +77,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 WITH sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
 sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh)
-SELECT doc_id, CAST(p AS INT) AS perm, sig[p + 1] AS min_hash
-FROM sig CROSS JOIN range({_NUM_PERMS}) t(p)
+SELECT doc_id, {", ".join(f"sig[{i + 1}] AS mh_{i}" for i in range(_NUM_PERMS))}
+FROM sig
 """,
-    doc="MinHash signatures (8 salted-MD5 min-wise perms over word "
-        "3-shingles), exploded to rows — value-checks the whole hash "
-        "pipeline cross-engine",
+    doc="MinHash signatures (8 arithmetic min-wise perms over one MD5 "
+        "hash per word 3-shingle), wide (mh_0..mh_7) — value-checks the "
+        "whole hash pipeline cross-engine",
     tags=("llm", "dedup", "minhash"),
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.with_minhash(docs, num_perms=_NUM_PERMS)
-    return sigs.select(
-        "doc_id", F.posexplode("sig").alias("perm", "min_hash")
-    )
+    return dedup.minhash_signatures(docs, num_perms=_NUM_PERMS)
 
 
 _BANDED_CTE = f"""
@@ -175,9 +177,9 @@ SELECT doc_id, {_simhash_sql(_SIMHASH_BITS)} AS simhash FROM tok
     tags=("llm", "dedup", "simhash"),
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.with_simhash(
+    return dedup.simhash_values(
         load_table(spark, sf_dir, "documents"), bits=_SIMHASH_BITS
-    ).select("doc_id", "simhash")
+    )
 
 
 @register(
