@@ -1,0 +1,257 @@
+"""Streaming surface tests (SURVEY.md §2.9, §7 phase 4).
+
+All tests drain file-source streams with ``availableNow`` triggers —
+batch-bounded runs of real streaming plans (watermark state machine,
+checkpoint recovery, foreachBatch sink) with deterministic results.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import load_table
+from utn_dataengineering_stockmarketpipeline_spark.streaming import (
+    scd0_sink,
+    stateful_running_totals,
+    stream_parquet,
+    tumbling_agg,
+)
+from utn_dataengineering_stockmarketpipeline_spark.streaming.ingest import (
+    run_to_memory,
+)
+
+from conftest import SF_SMOKE
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def events_split(spark, tmp_path_factory):
+    """sf0.001 events split into two parquet drops at the median
+    TIMESTAMP — drop2 is strictly newer than drop1, so a stream seeing
+    drop1 then drop2 has no late data (watermark tests stay exact)."""
+    base = tmp_path_factory.mktemp("events_stream")
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .withColumn("_u", F.unix_timestamp("ts"))
+        .cache()
+    )
+    mid = ev.approxQuantile("_u", [0.5], 0.0)[0]
+    ev = ev.drop("_u")
+    cut = F.unix_timestamp("ts") <= mid
+    d1, d2 = str(base / "drop1"), str(base / "drop2")
+    ev.filter(cut).coalesce(1).write.parquet(d1)
+    ev.filter(~cut).coalesce(1).write.parquet(d2)
+    ev.unpersist()
+    return base, d1, d2
+
+
+def _mem_name() -> str:
+    return "m" + uuid.uuid4().hex[:12]
+
+
+def test_tumbling_agg_matches_batch(spark, events_split, tmp_path):
+    """Complete-mode drain of the windowed agg == batch groupBy(window)."""
+    base, d1, d2 = events_split
+    glob = f"{base}/drop*/*.parquet"
+    stream = stream_parquet(spark, glob, EVENTS_SCHEMA)
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        ["event_type"],
+        {"n": "count(1)", "total": "sum(value)"},
+        window="1 hour",
+    )
+    name = _mem_name()
+    run_to_memory(agg, name, output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in spark.table(name).collect()
+    }
+
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(glob)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {
+        (r["window"]["start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_append_mode_emits_closed_windows_after_watermark(
+    spark, events_split, tmp_path
+):
+    """Two checkpointed runs over time-ordered drops. availableNow ends
+    each run with a no-data batch that advances the watermark, so run 1
+    emits exactly the drop-1 windows closed by wm1 = max(d1.ts) - delay;
+    run 2 resumes from the checkpoint and emits the remainder up to
+    wm2 — disjoint from run 1, together equal to the batch recompute."""
+    base, d1, d2 = events_split
+    stage = tmp_path / "in"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    delay = "10 minutes"
+
+    def drain(out_dir: str):
+        stream = stream_parquet(spark, str(stage), EVENTS_SCHEMA)
+        agg = tumbling_agg(
+            stream,
+            "ts",
+            ["event_type"],
+            {"n": "count(1)"},
+            window="1 hour",
+            watermark_delay=delay,
+        )
+
+        def write_batch(batch, _bid):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def emitted(out_dir: str) -> dict:
+        try:
+            rows = spark.read.parquet(out_dir).collect()
+        except Exception:
+            return {}
+        return {(r["window_start"], r["event_type"]): r["n"] for r in rows}
+
+    def windows_until(wm) -> dict:
+        df = (
+            spark.read.schema(EVENTS_SCHEMA)
+            .parquet(f"{stage}/*.parquet")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("window.end") <= F.lit(wm))
+        )
+        return {(r["window"]["start"], r["event_type"]): r["n"] for r in df.collect()}
+
+    def wm_of(path: str):
+        return (
+            spark.read.parquet(path)
+            .agg((F.max("ts") - F.expr(f"INTERVAL {delay}")).alias("wm"))
+            .first()["wm"]
+        )
+
+    spark.read.parquet(d1).coalesce(1).write.mode("append").parquet(str(stage))
+    out1 = str(tmp_path / "out1")
+    drain(out1)
+    got1 = emitted(out1)
+    assert got1 == windows_until(wm_of(d1))
+    assert len(got1) > 0
+
+    spark.read.parquet(d2).coalesce(1).write.mode("append").parquet(str(stage))
+    out2 = str(tmp_path / "out2")
+    drain(out2)
+    got2 = emitted(out2)
+    assert set(got1).isdisjoint(got2)  # nothing re-emitted after restart
+    assert {**got1, **got2} == windows_until(wm_of(str(stage)))
+    assert len(got2) > 0
+
+
+def test_scd0_sink_absorbs_redelivery(spark, tmp_path):
+    """At-least-once source + SCD-0 foreachBatch sink = exactly-once
+    table: re-delivered rows (overlapping files AND a fresh checkpoint
+    replaying everything) never produce duplicate keys."""
+    stage = tmp_path / "in"
+    stage.mkdir()
+    target = str(tmp_path / "warehouse")
+    schema = "stock_key string, stock_ticker string, stock_close double"
+
+    def rows(lo: int, hi: int):
+        return spark.createDataFrame(
+            [(f"2024-01-{d:02d}/TT", "TT", 100.0 + d) for d in range(lo, hi)],
+            schema,
+        )
+
+    def drain(ckpt: str):
+        stream = (
+            spark.readStream.schema(schema).parquet(str(stage))
+        )
+        q = scd0_sink(stream, target, "stock_key", ckpt)
+        q.awaitTermination()
+
+    rows(1, 11).coalesce(1).write.mode("append").parquet(str(stage))
+    drain(str(tmp_path / "ckpt1"))
+    assert spark.read.parquet(target).count() == 10
+
+    # second drop overlaps days 5-10 (API re-serving rows, T2)
+    rows(5, 16).coalesce(1).write.mode("append").parquet(str(stage))
+    drain(str(tmp_path / "ckpt1"))
+    got = spark.read.parquet(target)
+    assert got.count() == 15
+    assert got.select("stock_key").distinct().count() == 15
+
+    # full replay with a FRESH checkpoint: idempotency comes from the
+    # anti-join, not just checkpoint bookkeeping
+    drain(str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(target).count() == 15
+
+
+def test_stateful_running_totals_across_restarts(spark, events_split, tmp_path):
+    """applyInPandasWithState carries (n, total) per key across a
+    query restart via the checkpoint; final update == batch totals."""
+    base, d1, d2 = events_split
+    stage = tmp_path / "in"
+    stage.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(out_dir: str):
+        stream = stream_parquet(spark, str(stage), EVENTS_SCHEMA)
+        totals = stateful_running_totals(stream, "event_type", "value")
+
+        def write_batch(batch, _bid):
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            totals.writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.read.parquet(d1).coalesce(1).write.mode("append").parquet(str(stage))
+    drain(str(tmp_path / "out1"))
+    spark.read.parquet(d2).coalesce(1).write.mode("append").parquet(str(stage))
+    out2 = str(tmp_path / "out2")
+    drain(out2)
+
+    got = {
+        r["group_key"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.read.parquet(out2).collect()
+    }
+    batch = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{stage}/*.parquet")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    want = {
+        r["event_type"]: (r["n"], round(r["total"], 6)) for r in batch.collect()
+    }
+    assert got == want

@@ -1,0 +1,84 @@
+"""Streaming queries in the catalog (SURVEY.md §2.9, §7 phase 4).
+
+These run REAL Structured Streaming plans — file source, watermark,
+tumbling window — drained with an ``availableNow`` trigger so the result
+is a bounded DataFrame the driver can compare. The hourly aggregation is
+oracle-checked against the same batch SQL as ``ana_events_hourly``: a
+correct streaming engine must converge to the batch answer once the
+stream is fully drained (complete mode ignores the watermark for
+emission, so no windows are withheld).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .catalog import register
+
+_EVENTS_LONG_TS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+@register(
+    "stream_events_hourly",
+    """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    doc="Structured Streaming tumbling 1h window over the events file "
+        "source (watermarked, availableNow drain to memory sink) — must "
+        "equal the batch aggregation, which is the DuckDB oracle",
+    tags=("streaming", "window", "events"),
+)
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file source wants a directory; glob-filter it to the one table
+    raw = (
+        spark.readStream.schema(_EVENTS_LONG_TS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        raw.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = "stream_hourly_" + uuid.uuid4().hex[:12]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,187 @@
+"""Structured Streaming surface (SURVEY.md §2.9 T1-T4, §7 phase 4).
+
+The reference implements incremental ingest by hand: a JSON state file
+holding per-ticker low watermarks (``API_manager.py:79-113``), an
+at-least-once HTTP source, and an idempotent PK anti-join sink
+(``DB_manager.py:142-177``). Those are exactly the concepts Structured
+Streaming provides natively:
+
+- T1 low-watermark per key  → checkpoint + ``withWatermark``
+- T2 at-least-once source + exactly-once sink
+                            → ``foreachBatch`` running the SCD-0
+                              anti-join append (operators/scd.py) — the
+                              canonical idempotent-sink pattern; replayed
+                              micro-batches vanish in the anti-join
+- T3 monotonic state advance → checkpoint semantics (automatic)
+- T4 full-refresh dim vs incremental fact
+                            → batch overwrite vs append stream
+
+Scale notes: the file source lists incrementally (no full re-scan per
+trigger); windowed aggregations shuffle on (key, window) with partial
+aggregation map-side; watermarks bound state size so a 100 TB/day event
+stream holds only the open windows in state, not history. The stateful
+operator uses ``applyInPandasWithState`` — Arrow-batched, state local to
+the shuffle partition that owns the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source readStream over a parquet directory/glob.
+
+    The schema must be explicit (streaming sources never infer). The
+    file source tracks seen files in the checkpoint — the streaming
+    replacement for the reference's per-entity ``state.json`` dates.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    keys: Iterable[str],
+    aggs: dict[str, str],
+    window: str = "1 hour",
+    watermark_delay: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation.
+
+    ``aggs`` maps output column name → "fn(col)" expression string.
+    Output: (window_start, window_end, *keys, *aggs). Late rows beyond
+    ``watermark_delay`` are dropped; state for closed windows is evicted
+    — this is what bounds memory on an unbounded stream.
+    """
+    exprs = [F.expr(e).alias(name) for name, e in aggs.items()]
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window), *keys)
+        .agg(*exprs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *keys,
+            *[name for name in aggs],
+        )
+    )
+
+
+def scd0_sink(
+    stream: DataFrame,
+    target_path: str,
+    key: str,
+    checkpoint_dir: str,
+    partition_by: list[str] | None = None,
+):
+    """Exactly-once SCD-0 sink: ``foreachBatch`` → anti-join append.
+
+    Every micro-batch runs operators/scd.merge_append against the
+    parquet target: only never-seen keys land, so source replays and
+    batch re-deliveries are absorbed (T2). Returns the started query;
+    callers use ``trigger(availableNow)`` semantics via
+    ``.awaitTermination()`` for batch-drain runs.
+    """
+    from ..operators.scd import merge_append
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        merge_append(batch, target_path, key, partition_by)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# --- custom stateful operator (applyInPandasWithState) ----------------------
+
+_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("group_key", T.StringType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def stateful_running_totals(
+    stream: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Per-key running (count, sum) across micro-batches — a custom
+    stateful operator the built-in aggs can't express in append-style
+    pipelines (state survives between triggers and is emitted
+    incrementally, not at window close).
+
+    Arrow-batched ``applyInPandasWithState``; state is one (n, total)
+    row per key, co-located with the key's shuffle partition.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"group_key": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        stream.select(F.col(key_col).cast("string").alias("group_key"), value_col)
+        .groupBy("group_key")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_TOTALS_SCHEMA,
+            stateStructType=_TOTALS_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Drain an availableNow stream into the in-memory sink
+    (``spark.table(query_name)`` afterwards). Test/demo helper — the
+    memory sink collects to the driver and is not a production sink.
+    """
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
