@@ -1,0 +1,64 @@
+"""Recall checks for the approximate (LSH) similarity paths against
+their exact counterparts — the correctness contract for operators that
+are approximate by construction (no SQL oracle possible)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from utn_dataengineering_stockmarketpipeline_spark.operators import dedup, similarity
+from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, dim=64, k=5)
+
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(want & got) / len(want)
+    # 8 tables x 4 planes: any-table collision ~0.7 for true neighbors
+    # at theta~66deg; the floor guards against broken bucketing while
+    # staying robust to the data draw
+    assert recall >= 0.4, f"recall {recall:.2f}"
+    # every approximate hit must be a genuine same-bucket cosine result
+    assert got, "LSH produced no candidates at all"
+
+
+def test_lsh_near_dup_recall_and_precision(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = dedup.embedding_near_dup_pairs(emb, threshold=0.4)
+    approx = dedup.embedding_near_dup_pairs_lsh(emb, dim=64, threshold=0.4)
+
+    want = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in approx.collect()}
+    assert want, "exact baseline found no pairs — threshold miscalibrated"
+
+    # precision 1.0: every LSH pair is exact-verified, so it must appear
+    # in the brute-force result with the identical cosine
+    for pair, cos in got.items():
+        assert pair in want and cos == want[pair]
+
+    recall = len(got) / len(want)
+    # 8 tables x 4 planes at theta ~66deg: expected any-table collision
+    # ~0.75; assert well below to stay deterministic-but-meaningful
+    assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_lsh_bucket_determinism(spark):
+    """Bucketing must be identical across evaluations (MD5 planes, no
+    RNG): two independent computations agree row-for-row."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    b1 = emb.select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding"), 64, 6).alias("b")
+    )
+    b2 = emb.select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding"), 64, 6).alias("b")
+    )
+    assert b1.exceptAll(b2).count() == 0
+    n_buckets = b1.select("b").distinct().count()
+    assert n_buckets > 1, "all vectors landed in one bucket"

@@ -231,6 +231,94 @@ def simhash_values(df: DataFrame, text_col: str = "text",
     return votes.select(F.col(id_col), value.alias("simhash"))
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold).
+
+    Brute force — the correctness baseline: broadcast one side of the
+    self-join, cosine as codegen'd zip_with/aggregate (no UDF, no Arrow
+    hop). O(n²) pairs: right for ≤10⁵ vectors or as the verifier behind
+    the LSH variant; the scale path is
+    :func:`embedding_near_dup_pairs_lsh`.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_similarity("va", "vb"), round_to)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH near-dup pairs — the 100 TB path.
+
+    ``n_tables`` independent hash tables of ``planes_per_table`` random
+    hyperplanes each (deterministic MD5-derived planes,
+    similarity.lsh_bucket); vectors colliding in ANY table become
+    candidates (prob ≈ 1-(1-p^planes)^tables, p = 1-θ/π), then exact
+    cosine verifies. Same shape as MinHash-LSH: explode to (table,
+    bucket) keys → one shuffle → in-bucket pair expansion → distinct →
+    verify. Recall vs brute force is pytest-checked
+    (tests/test_similarity.py); approximate by construction, hence no
+    SQL oracle.
+    """
+    from ..functions.vectors import cosine_similarity
+    from .similarity import _table_buckets
+
+    tables = _table_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(tables).alias("tb"),
+    )
+    member = F.struct(F.col("id"), F.col("vec"))
+    buckets = (
+        banded.groupBy("tb.tbl", "tb.bucket")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["vec"].alias("va"),
+                    y["vec"].alias("vb"),
+                ),
+            ),
+        )
+    )
+    sim = F.round(cosine_similarity("va", "vb"), 6)
+    return (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16,
                        max_hamming: int = 2) -> DataFrame:

@@ -388,6 +388,39 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_near_dup",
+    f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4
+""",
+    doc="embedding-cosine near-dup pairs (exact baseline): broadcast "
+        "self-join, codegen'd dot products, cosine >= 0.4",
+    tags=("llm", "dedup", "similarity"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "llm_embedding_near_dup_lsh",
+    None,  # approximate by construction: recall vs the exact variant is
+    # the pytest check (tests/test_similarity.py)
+    doc="banded sign-LSH embedding near-dup (scale path): 8 tables x 4 "
+        "deterministic hyperplanes, any-table collision -> exact verify",
+    tags=("llm", "dedup", "similarity", "lsh"),
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+    )
+
+
+@register(
     "llm_ann_lsh_topk",
     None,  # approximate by construction: recall vs brute force is the
     # pytest check (tests/test_similarity.py), not a SQL identity
