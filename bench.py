@@ -28,10 +28,13 @@ BENCH_QUERIES = (
     "ana_region_revenue",
     "ana_order_priority",
     "ana_events_hourly",
+    "join_asof_price_at_ship",
+    "join_range_price_bands",
     "llm_dedup_exact",
     "llm_minhash_lsh_pairs",
     "llm_text_quality",
     "llm_cosine_topk",
+    "llm_embedding_near_dup",
 )
 
 

@@ -1,0 +1,83 @@
+"""As-of / range join edge semantics on hand-built data (the catalog
+oracle test covers the full-table DuckDB ASOF comparison)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from utn_dataengineering_stockmarketpipeline_spark.operators.asof import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            ("A", _d("2024-01-01"), 1),  # before any bar → null
+            ("A", _d("2024-01-05"), 2),  # equal to a bar date (tie)
+            ("A", _d("2024-01-07"), 3),  # between bars → carry 01-05
+            ("B", _d("2024-01-04"), 4),  # other key
+            ("C", _d("2024-01-04"), 5),  # key with no bars at all
+        ],
+        "k string, t date, row_id int",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _d("2024-01-02"), 10.0),
+            ("A", _d("2024-01-05"), 20.0),
+            ("A", _d("2024-01-09"), 30.0),
+            ("B", _d("2024-01-01"), 40.0),
+        ],
+        "k string, t date, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", value_cols=["v"],
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    assert got == {1: None, 2: 20.0, 3: 20.0, 4: 40.0, 5: None}
+    assert out.count() == left.count()  # never explodes or drops rows
+
+
+def test_asof_strict_excludes_same_instant(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", value_cols=["v"],
+        strict=True,
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    # row 2 (equal date) now sees the earlier bar, not the same-day one
+    assert got == {1: None, 2: 10.0, 3: 20.0, 4: 40.0, 5: None}
+
+
+def test_range_join_bucketed_exact_bounds(spark):
+    left = spark.createDataFrame(
+        [(0.0,), (499.9,), (500.0,), (1999.9,), (2000.0,), (7999.0,)],
+        "x double",
+    )
+    right = spark.createDataFrame(
+        [(0, 0.0, 500.0), (1, 500.0, 2000.0), (2, 2000.0, 8000.0)],
+        "band int, lo double, hi double",
+    )
+    out = range_join_bucketed(left, right, "x", "lo", "hi", bucket_width=300)
+    got = sorted((r["x"], r["band"]) for r in out.collect())
+    # [lo, hi): lower bound inclusive, upper exclusive, across buckets
+    assert got == [
+        (0.0, 0),
+        (499.9, 0),
+        (500.0, 1),
+        (1999.9, 1),
+        (2000.0, 2),
+        (7999.0, 2),
+    ]

@@ -1,0 +1,110 @@
+"""As-of and range joins — time-series extensions (SURVEY.md §2.5 notes
+them as the natural stock-domain extensions beyond the reference's
+equi-joins; §7 stretch list).
+
+Spark has no ASOF JOIN operator, and the naive formulation (theta join
+on ``l.t >= r.t`` + keep-latest) degenerates to a nested-loop cross
+product. Both operators here reduce to shuffle-friendly plans:
+
+- ``asof_join``: the union-window trick — interleave both sides on
+  (key, time), carry right-side values forward with
+  ``last(..., ignorenulls=True)`` over an unbounded-preceding window,
+  keep left rows. ONE shuffle on the key, zero row explosion,
+  per-partition streaming frame scan: the same shape a dedicated
+  time-series engine uses (sort-merge by key/time).
+- ``range_join_bucketed``: interval join via bucketing — each right
+  interval explodes to the fixed-width buckets it covers, the left
+  point hashes to its bucket, equi-join on bucket, exact predicate
+  verifies. Shuffle cost scales with interval/width ratio, not |L|x|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row
+    with ``right_time <= left_time`` (``<`` when ``strict``) and the
+    same ``on`` key. Right columns come back null when no prior row
+    exists (LEFT ASOF semantics, matching DuckDB's ``ASOF LEFT JOIN``).
+
+    Right rows must be unique per (key, time) — the stock-bar contract;
+    with duplicates the carried value is the max-sorting one.
+    """
+    # side marker orders equal timestamps so a left row sees a right row
+    # at the *same* instant (inclusive) or not (strict)
+    l_mark, r_mark = (0, 1) if strict else (1, 0)
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).cast("timestamp").alias("__t"),
+        F.lit(l_mark).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).cast("timestamp").alias("__t"),
+        F.lit(r_mark).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "__side",
+        "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("__side") == l_mark).select(
+        "__lrow.*",
+        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+    )
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    point: str | Column,
+    lo: str | Column,
+    hi: str | Column,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval join: left rows whose ``point`` falls in [lo, hi) of a
+    right interval. Buckets of ``bucket_width`` turn the inequality pair
+    into ONE equi-join: right intervals explode to every bucket they
+    overlap, left points hash to their bucket, the exact predicate
+    verifies after the join.
+
+    Pick ``bucket_width`` near the typical interval length: row growth
+    on the right is ~len/width + 1 per interval, and each left point
+    probes exactly one bucket.
+    """
+    p = F.col(point) if isinstance(point, str) else point
+    lo_c = F.col(lo) if isinstance(lo, str) else lo
+    hi_c = F.col(hi) if isinstance(hi, str) else hi
+
+    l_b = left.withColumn("__bucket", F.floor(p / bucket_width))
+    r_b = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(F.floor(lo_c / bucket_width), F.floor(hi_c / bucket_width))
+        ),
+    )
+    joined = l_b.join(r_b, "__bucket").filter((p >= lo_c) & (p < hi_c))
+    return joined.drop("__bucket")

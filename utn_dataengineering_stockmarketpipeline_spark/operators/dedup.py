@@ -241,21 +241,49 @@ def embedding_near_dup_pairs(
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
     cosine >= threshold).
 
-    Brute force — the correctness baseline: broadcast one side of the
-    self-join, cosine as codegen'd zip_with/aggregate (no UDF, no Arrow
-    hop). O(n²) pairs: right for ≤10⁵ vectors or as the verifier behind
-    the LSH variant; the scale path is
-    :func:`embedding_near_dup_pairs_lsh`.
-    """
-    from ..functions.vectors import cosine_similarity
+    Brute force, BLAS-shaped: the corpus collects to one normalized
+    float64 matrix broadcast to executors; each Arrow batch of rows
+    scores against it with a single numpy matmul inside
+    ``mapInPandas``. A zip_with/aggregate expression formulation is
+    ~100x slower here — Spark's higher-order-function lambdas are
+    interpreted per element, and dense linear algebra is exactly what
+    the Pandas-UDF escape hatch is for (SURVEY.md §2.10).
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    sim = F.round(cosine_similarity("va", "vb"), round_to)
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    The broadcast bounds this baseline at corpora that fit driver
+    memory (~10⁶ x 64 floats); past that use
+    :func:`embedding_near_dup_pairs_lsh`, which never materializes the
+    corpus in one place.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def score(batches):
+        c_ids, c_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ c_mat.T, round_to)
+            a_ids = pdf[id_col].to_numpy()
+            hit = (sims >= threshold) & (c_ids[None, :] > a_ids[:, None])
+            i, j = np.nonzero(hit)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[i],
+                    "id_b": c_ids[j],
+                    "cosine": sims[i, j],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, "id_a long, id_b long, cosine double"
     )
 
 
@@ -280,13 +308,16 @@ def embedding_near_dup_pairs_lsh(
     (tests/test_similarity.py); approximate by construction, hence no
     SQL oracle.
     """
-    from ..functions.vectors import cosine_similarity
+    from ..functions.vectors import dot, l2_norm
     from .similarity import _table_buckets
 
     tables = _table_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
+    # normalize ONCE per row so the per-pair cosine is a single dot
+    # product (3 interpreted array-aggregates per pair otherwise)
+    norm = l2_norm(vec_col)
     banded = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("vec"),
         F.explode(tables).alias("tb"),
     )
     member = F.struct(F.col("id"), F.col("vec"))
@@ -309,7 +340,7 @@ def embedding_near_dup_pairs_lsh(
             ),
         )
     )
-    sim = F.round(cosine_similarity("va", "vb"), 6)
+    sim = F.round(dot("va", "vb"), 6)
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.*")

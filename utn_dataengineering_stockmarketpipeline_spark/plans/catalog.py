@@ -46,6 +46,7 @@ def _load_all() -> None:
     from . import queries_analytics  # noqa: F401
     from . import queries_llm  # noqa: F401
     from . import queries_streaming  # noqa: F401
+    from . import queries_joins  # noqa: F401
 
 
 _load_all()

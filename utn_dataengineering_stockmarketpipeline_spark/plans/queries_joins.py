@@ -1,0 +1,115 @@
+"""As-of / range join queries (SURVEY.md §2.5 extensions).
+
+The as-of query is the canonical stock-domain ask the reference cannot
+express: "the prevailing price when each line item shipped". The DuckDB
+oracle uses its native ``ASOF LEFT JOIN`` — an independent
+implementation of the semantics our union-window plan must reproduce
+exactly (inclusive at equal timestamps, nulls when no prior bar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join, range_join_bucketed
+from ..sources.parquet import load_table
+from .catalog import register
+from .reference_tables import (
+    STOCK_PRICES_CTE,
+    _ticker_expr,
+    stock_prices,
+    ticker_sql,
+)
+
+
+@register(
+    "join_asof_price_at_ship",
+    f"""
+WITH {STOCK_PRICES_CTE.strip()},
+li AS (
+  SELECT l_orderkey, l_linenumber,
+         {ticker_sql('l_suppkey')} AS stock_ticker,
+         CAST(l_shipdate AS DATE) AS ship_date
+  FROM lineitem)
+SELECT li.l_orderkey, li.l_linenumber, li.stock_ticker, li.ship_date,
+       sp.stock_date AS px_date, sp.stock_close AS px_close
+FROM li ASOF LEFT JOIN stock_prices sp
+  ON li.stock_ticker = sp.stock_ticker AND li.ship_date >= sp.stock_date
+""",
+    doc="as-of join: prevailing stock bar (latest at-or-before) for each "
+        "lineitem ship date — union-window plan (one shuffle, no row "
+        "explosion) vs DuckDB's native ASOF LEFT JOIN",
+    tags=("joins", "asof", "window"),
+)
+def q_asof_price_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _ticker_expr("l_suppkey").alias("stock_ticker"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    sp = stock_prices(spark, sf_dir)
+    joined = asof_join(
+        li,
+        sp,
+        on="stock_ticker",
+        left_time="ship_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "stock_ticker",
+        "ship_date",
+        F.col("stock_date").alias("px_date"),
+        F.col("stock_close").alias("px_close"),
+    )
+
+
+_N_BANDS = 15
+_BANDS_SQL = f"""
+bands AS (
+  SELECT CAST(b AS INT) AS band,
+         CAST(b * b * 500 AS DOUBLE) AS lo,
+         CAST((b + 1) * (b + 1) * 500 AS DOUBLE) AS hi
+  FROM range({_N_BANDS}) t(b))
+"""
+
+
+@register(
+    "join_range_price_bands",
+    f"""
+WITH {_BANDS_SQL.strip()}
+SELECT band, lo, hi,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band, lo, hi
+""",
+    doc="range (interval) join: lineitem prices into quadratic price "
+        "bands — bucketed equi-join plan (explode intervals to "
+        "fixed-width buckets) instead of a nested-loop theta join",
+    tags=("joins", "range"),
+)
+def q_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    b = F.col("id")
+    bands = spark.range(_N_BANDS).select(
+        b.cast("int").alias("band"),
+        (b * b * 500).cast("double").alias("lo"),
+        ((b + 1) * (b + 1) * 500).cast("double").alias("hi"),
+    )
+    joined = range_join_bucketed(
+        li, bands, point="l_extendedprice", lo="lo", hi="hi", bucket_width=5000
+    )
+    return joined.groupBy("band", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+    )

@@ -90,11 +90,16 @@ def markets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- DuckDB oracle CTEs (dialect: DuckDB; semantics mirrored above) --------
 
-TICKER_SQL = (
-    "CASE CAST(o_custkey % 5 AS INT) "
-    "WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' WHEN 2 THEN 'GOOG' "
-    "WHEN 3 THEN 'AMZN' ELSE 'TSLA' END"
-)
+def ticker_sql(key: str = "o_custkey") -> str:
+    """DuckDB mirror of :func:`_ticker_expr` for any integer key col."""
+    return (
+        f"CASE CAST({key} % 5 AS INT) "
+        "WHEN 0 THEN 'AAPL' WHEN 1 THEN 'MSFT' WHEN 2 THEN 'GOOG' "
+        "WHEN 3 THEN 'AMZN' ELSE 'TSLA' END"
+    )
+
+
+TICKER_SQL = ticker_sql("o_custkey")
 
 STOCK_PRICES_CTE = f"""
 stock_prices AS (
