@@ -1,0 +1,103 @@
+"""Physical-plan audits — the 100 TB posture checks (SURVEY.md §4.2).
+
+Correctness says what a query returns; these tests pin HOW: small dims
+must broadcast, filters and projections must reach the parquet scan,
+partition layouts must prune, and no LSH/near-dup plan may degrade to a
+nested-loop cross product. A regression here is a 100x cliff at scale
+that no value test would catch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+from utn_dataengineering_stockmarketpipeline_spark.sources import lake
+from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import load_table
+
+from conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_get_last_price_broadcasts_dimension(spark):
+    plan = plan_of(CATALOG["ref_get_last_price"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = load_table(spark, SF_SMOKE, "lineitem").filter(
+        F.col("l_quantity") > 40
+    ).select("l_orderkey")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40" in plan
+
+
+def test_column_pruning_text_quality_reads_two_columns(spark):
+    plan = plan_of(CATALOG["llm_text_quality"].build(spark, SF_SMOKE))
+    start = plan.index("ReadSchema")
+    schema_line = plan[start : plan.index("\n", start)]
+    assert "doc_id" in schema_line and "text" in schema_line
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in schema_line, f"scan reads unused column {unused}"
+
+
+def test_lake_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "bronze")
+    df = spark.range(200).select(
+        F.col("id").alias("n"),
+        (F.lit(2020) + (F.col("id") % 4)).cast("int").alias("stock_year"),
+        (F.lit(1) + (F.col("id") % 12)).cast("int").alias("stock_month"),
+    )
+    df.write.partitionBy("stock_year", "stock_month").parquet(path)
+    scan = lake.read_lake(spark, path).filter(F.col("stock_year") == 2021)
+    plan = plan_of(scan)
+    assert "PartitionFilters" in plan
+    assert "stock_year" in plan[plan.index("PartitionFilters") :].split("]")[0]
+    # pruning is effective, not just present: only 2021 files are read
+    assert scan.select(F.count(F.lit(1))).first()[0] == 50
+
+
+def test_no_nested_loop_in_lsh_and_simhash_plans(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for df in (
+        dedup.minhash_candidates(docs),
+        dedup.simhash_near_pairs(docs),
+        dedup.embedding_near_dup_pairs_lsh(emb, dim=64),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join_on_buckets(spark):
+    plan = plan_of(CATALOG["join_range_price_bands"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_window_no_join_operator(spark):
+    """The as-of plan is union + window — any *Join node means the
+    nested-loop formulation snuck back in."""
+    plan = plan_of(CATALOG["join_asof_price_at_ship"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_whole_stage_codegen_covers_transform_layer(spark):
+    """The normalize projection must fuse into codegen'd stages (the
+    reference's eager pandas steps collapse to one map stage here)."""
+    plan = plan_of(CATALOG["ref_normalize_stock_payload"].build(spark, SF_SMOKE))
+    # formatted mode stars codegen'd nodes; the projection must be one
+    assert "* Project" in plan

@@ -1,0 +1,190 @@
+"""Property-based tests (SURVEY.md §5.5, hypothesis).
+
+Each property pits a Spark operator against an independent pure-Python
+recompute on randomized inputs — windows vs brute force, the MinHash
+pipeline vs hashlib, as-of vs linear scan, SCD-0 invariants. Examples
+are few (Spark round-trips cost ~1s each) but adversarially shrunk.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from utn_dataengineering_stockmarketpipeline_spark.functions.hashing import (
+    M31,
+    perm_seeds,
+)
+from utn_dataengineering_stockmarketpipeline_spark.operators.asof import asof_join
+from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+from utn_dataengineering_stockmarketpipeline_spark.operators.scd import merge_append
+from utn_dataengineering_stockmarketpipeline_spark.operators.transforms import (
+    add_rolling_mean,
+    normalize_stock_payload,
+)
+from utn_dataengineering_stockmarketpipeline_spark.schemas import STOCK_RAW
+from utn_dataengineering_stockmarketpipeline_spark.sources.rest import (
+    json_rows_to_df,
+)
+
+SLOW = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_D0 = dt.date(2024, 1, 1)
+
+# (ticker, day-offsets, closes): unique days per ticker by construction
+bars_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["AAA", "BBB"]),
+        st.lists(
+            st.integers(min_value=0, max_value=90),
+            min_size=1,
+            max_size=40,
+            unique=True,
+        ),
+        st.floats(min_value=0.01, max_value=1e5, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=2,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(bars_strategy)
+def test_rolling_mean_matches_bruteforce(spark, groups):
+    rows = []
+    for ticker, offsets, base in groups:
+        for i, off in enumerate(sorted(offsets)):
+            rows.append(
+                (_D0 + dt.timedelta(days=off), base + i * 0.5, ticker)
+            )
+    df = spark.createDataFrame(
+        rows, "stock_date date, stock_close double, stock_ticker string"
+    )
+    got = {
+        (r["stock_ticker"], r["stock_date"]): (
+            r["stock_30daymean"],
+            r["stock_dif_mean"],
+        )
+        for r in add_rolling_mean(df).collect()
+    }
+    by_ticker: dict[str, list] = {}
+    for d, c, t in sorted(rows):
+        by_ticker.setdefault(t, []).append((d, c))
+    for t, series in by_ticker.items():
+        for i, (d, c) in enumerate(series):
+            window = [c2 for _, c2 in series[max(0, i - 29) : i + 1]]
+            mean = sum(window) / len(window)
+            gm, gd = got[(t, d)]
+            assert gm == pytest.approx(mean, rel=1e-9)
+            assert gd == pytest.approx(c - mean, rel=1e-9, abs=1e-9)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab xyzq"), min_size=1, max_size=60
+        ).filter(lambda s: s.strip()),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_minhash_signature_matches_hashlib(spark, texts):
+    """The full shingle→hash→perm→min pipeline vs a pure-Python oracle."""
+    k, num_perms = 3, 4
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(num_perms)]
+        for r in dedup.minhash_signatures(df, num_perms=num_perms).collect()
+    }
+    seeds = perm_seeds(num_perms)
+    for doc_id, text in enumerate(texts):
+        toks = text.split(" ")
+        if len(toks) <= k:
+            shs = [" ".join(toks)]
+        else:
+            shs = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M31 for s in shs
+        ]
+        want = [min((a * h + b) % M31 for h in hs) for a, b in seeds]
+        assert got[doc_id] == want, f"doc {doc_id!r} ({text!r})"
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 60), min_size=1, max_size=15, unique=True),
+    st.lists(st.integers(0, 60), min_size=1, max_size=15, unique=True),
+)
+def test_asof_join_matches_linear_scan(spark, left_days, right_days):
+    left = spark.createDataFrame(
+        [("K", _D0 + dt.timedelta(days=d), d) for d in left_days],
+        "k string, t date, row_id int",
+    )
+    right = spark.createDataFrame(
+        [("K", _D0 + dt.timedelta(days=d), float(d)) for d in right_days],
+        "k string, rt date, v double",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt", value_cols=["v"]
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    for d in left_days:
+        prior = [rd for rd in right_days if rd <= d]
+        want = float(max(prior)) if prior else None
+        assert got[d] == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.floats(1, 100, allow_nan=False)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_scd0_load_invariants(spark, tmp_path_factory, batch):
+    """After any sequence split of any batch (with intra-batch dup days),
+    the target holds exactly one row per distinct key and a second pass
+    adds nothing."""
+    target = str(tmp_path_factory.mktemp("scd") / "fact")
+    rows = [
+        {
+            "date": (_D0 + dt.timedelta(days=d)).isoformat(),
+            "open": p, "high": p, "low": p, "close": p,
+            "adjusted_close": p, "volume": 1,
+        }
+        for d, p in batch
+    ]
+    mid = len(rows) // 2
+    for part in (rows[:mid], rows[mid:]):
+        norm = normalize_stock_payload(
+            json_rows_to_df(spark, part, STOCK_RAW), "AAA"
+        )
+        merge_append(norm, target, "stock_key")
+
+    out = spark.read.parquet(target)
+    distinct_days = len({d for d, _ in batch})
+    assert out.count() == distinct_days
+    assert out.select("stock_key").distinct().count() == distinct_days
+    # partition-column consistency: year(date) == stock_year etc.
+    bad = out.filter(
+        (F.year("stock_date") != F.col("stock_year"))
+        | (F.month("stock_date") != F.col("stock_month"))
+        | (F.dayofmonth("stock_date") != F.col("stock_day"))
+    )
+    assert bad.count() == 0
+    # idempotent: full reload adds zero rows
+    norm_all = normalize_stock_payload(
+        json_rows_to_df(spark, rows, STOCK_RAW), "AAA"
+    )
+    assert merge_append(norm_all, target, "stock_key") == 0
