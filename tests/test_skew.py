@@ -1,0 +1,67 @@
+"""Skew-mitigation operator tests: salted plans must return exactly the
+plain-plan answer while actually spreading the hot key."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from utn_dataengineering_stockmarketpipeline_spark.operators import dedup, skew
+from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import load_table
+
+from conftest import SF_SMOKE
+
+
+def _hot_key_df(spark, n_hot=5000, n_cold=200):
+    hot = spark.range(n_hot).select(
+        F.lit("HOT").alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(n_cold).select(
+        F.concat(F.lit("c"), (F.col("id") % 20)).alias("k"),
+        F.col("id").alias("v"),
+    )
+    return hot.unionAll(cold)
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = _hot_key_df(spark)
+    small = spark.createDataFrame(
+        [("HOT", 1.0), ("c3", 2.0), ("c7", 3.0), ("absent", 9.0)],
+        "k string, w double",
+    )
+    plain = big.join(small, "k").select("k", "v", "w")
+    salted = skew.salted_join(big, small, on="k").select("k", "v", "w")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+    # the hot key's rows really do land in many salt groups
+    b = big.withColumn("__salt", skew._salt(["v"], 8))
+    n_groups = (
+        b.filter(F.col("k") == "HOT").select("__salt").distinct().count()
+    )
+    assert n_groups == 8
+
+
+def test_salted_distinct_count_exact(spark):
+    df = _hot_key_df(spark).withColumn("v", F.col("v") % 777)  # repeats
+    plain = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k")
+        .agg(F.countDistinct("v").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["k"]: r["n_distinct"]
+        for r in skew.salted_distinct_count(df, "k", "v").collect()
+    }
+    assert salted == plain
+
+
+def test_lsh_bucket_cap_drops_only_oversized(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    uncapped = dedup.minhash_candidates(docs)
+    capped = dedup.minhash_candidates(docs, max_bucket_size=10**6)
+    # astronomically large cap: identical result
+    assert uncapped.exceptAll(capped).count() == 0
+    # cap of 1 kills every bucket → no pairs
+    none = dedup.minhash_candidates(docs, max_bucket_size=1)
+    assert none.count() == 0

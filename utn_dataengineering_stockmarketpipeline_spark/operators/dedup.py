@@ -104,7 +104,8 @@ def _band_structs(num_perms: int, bands: int) -> Column:
 
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       num_perms: int = 8, bands: int = 4) -> DataFrame:
+                       num_perms: int = 8, bands: int = 4,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
     Signature → explode into ``bands`` (band, bucket) keys → group each
@@ -112,6 +113,12 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     Output: (id_a, id_b, est_jaccard), id_a < id_b. One shuffle for the
     bucket grouping; the signature pipeline is evaluated once (a
     self-join formulation would recompute it per side).
+
+    ``max_bucket_size`` is the production skew guard: a bucket of m
+    members expands to m(m-1)/2 pairs, so one boilerplate-text bucket
+    of 10⁵ docs means 5x10⁹ pairs in one task. Capped buckets are
+    dropped entirely (the standard recall-for-survival trade; such
+    buckets are near-always template text caught by exact dedup).
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_perms)
     mh_cols = [f"mh_{i}" for i in range(num_perms)]
@@ -121,10 +128,13 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         F.explode(_band_structs(num_perms, bands)).alias("bb"),
     )
     member = F.struct(F.col("id"), F.col("sig"))
+    size_ok = F.size("ms") > 1
+    if max_bucket_size is not None:
+        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
     buckets = (
         banded.groupBy("bb.band", "bb.bucket")
         .agg(F.sort_array(F.collect_list(member)).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter(size_ok)
     )
     # all in-bucket pairs (i < j), JVM-side nested transform
     pair_arr = F.flatten(
@@ -295,6 +305,7 @@ def embedding_near_dup_pairs_lsh(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs — the 100 TB path.
 
@@ -321,10 +332,13 @@ def embedding_near_dup_pairs_lsh(
         F.explode(tables).alias("tb"),
     )
     member = F.struct(F.col("id"), F.col("vec"))
+    size_ok = F.size("ms") > 1
+    if max_bucket_size is not None:
+        size_ok = size_ok & (F.size("ms") <= max_bucket_size)
     buckets = (
         banded.groupBy("tb.tbl", "tb.bucket")
         .agg(F.sort_array(F.collect_list(member)).alias("ms"))
-        .filter(F.size("ms") > 1)
+        .filter(size_ok)
     )
     pair_arr = F.flatten(
         F.transform(

@@ -72,6 +72,30 @@ def extract_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def resize_plan(
+    assets: DataFrame, max_width: int = 224, max_height: int = 224
+) -> DataFrame:
+    """Image resize, split the scale-correct way: the TARGET geometry is
+    pure metadata math (JVM-side, zero decode), and only rows that
+    actually shrink proceed to the decode stage (``extract_features``
+    with a real codec wired in). Aspect ratio preserved; payload column
+    untouched so Parquet never materializes bytes for skipped rows.
+    """
+    scale = F.least(
+        F.lit(float(max_width)) / F.col("meta.width"),
+        F.lit(float(max_height)) / F.col("meta.height"),
+        F.lit(1.0),
+    )
+    return assets.filter(F.col("modality") == "image").select(
+        "asset_id",
+        "meta",
+        "payload",
+        F.round(F.col("meta.width") * scale).cast("int").alias("target_width"),
+        F.round(F.col("meta.height") * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one output row per frame to decode.
 
