@@ -26,6 +26,21 @@ from ..sources.parquet import load_table
 TICKERS = ("AAPL", "MSFT", "GOOG", "AMZN", "TSLA")
 NASDAQ = ("AAPL", "MSFT", "GOOG")
 
+# The reference's warehouse tables are MATERIALIZED (Postgres); deriving
+# them per-query would re-run the orders scan+agg for every entry point.
+# One persisted copy per (application, sf_dir) mirrors the warehouse
+# semantics — and is exactly what a deployment does (stored fact table).
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _materialized(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _CACHE[key] = df
+    return df
+
 
 def _ticker_expr(custkey: str = "o_custkey"):
     """o_custkey % 5 → fixed 5-ticker alphabet (pure arithmetic, so the
@@ -38,7 +53,14 @@ def _ticker_expr(custkey: str = "o_custkey"):
 
 
 def stock_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived ``datawarehouse.stock_prices`` (DB_manager.py:66-78)."""
+    """Derived ``datawarehouse.stock_prices`` (DB_manager.py:66-78),
+    materialized once per session+scale (see _materialized)."""
+    return _materialized(
+        spark, sf_dir, "stock_prices", lambda: _build_stock_prices(spark, sf_dir)
+    )
+
+
+def _build_stock_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     base = orders.select(
         F.col("o_orderdate").cast("date").alias("stock_date"),
@@ -69,7 +91,14 @@ def stock_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def markets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Derived ``datawarehouse.markets`` (DB_manager.py:79-86)."""
+    """Derived ``datawarehouse.markets`` (DB_manager.py:79-86),
+    materialized once per session+scale."""
+    return _materialized(
+        spark, sf_dir, "markets", lambda: _build_markets(spark, sf_dir)
+    )
+
+
+def _build_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     t = F.col("market_stockid")
     return (
