@@ -101,3 +101,41 @@ def test_whole_stage_codegen_covers_transform_layer(spark):
     plan = plan_of(CATALOG["ref_normalize_stock_payload"].build(spark, SF_SMOKE))
     # formatted mode stars codegen'd nodes; the projection must be one
     assert "* Project" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Co-bucketed tables pay the shuffle at write; the join is
+    exchange-free (the 100 TB fact-to-fact join shape)."""
+    import uuid
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_bucketed,
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"bkt_a_{tag}", f"bkt_b_{tag}"
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(orders, ta, "o_orderkey", n_buckets=8)
+        write_bucketed(li, tb, "o_orderkey", n_buckets=8)
+        # disable broadcast so the fact-to-fact (sort-merge) shape shows;
+        # at 100 TB neither side would fit a broadcast anyway
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table(ta).join(spark.table(tb), "o_orderkey")
+        plan = plan_of(joined)
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join still shuffles"
+        )
+        assert "SortMergeJoin" in plan
+        # and it returns the same rows as the shuffled join
+        assert joined.count() == orders.join(li, "o_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")

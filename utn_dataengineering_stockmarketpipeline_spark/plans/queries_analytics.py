@@ -313,3 +313,21 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
     )
+
+
+@register(
+    "ana_distinct_users_salted",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""",
+    doc="exact per-key COUNT(DISTINCT) via the two-phase salted plan "
+        "(operators/skew.py) — hot-key-proof: no single reduce task ever "
+        "sees a key's whole value set",
+    tags=("analytics", "skew", "aggregate"),
+)
+def q_distinct_users_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id")

@@ -51,6 +51,28 @@ def read_lake(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_key: str,
+    n_buckets: int = 32,
+    sort_key: str | None = None,
+) -> None:
+    """Persist as a bucketed managed table: rows hash-partitioned into
+    ``n_buckets`` files by ``bucket_key`` at WRITE time.
+
+    The §4 co-location play: two tables bucketed the same way join with
+    ZERO exchange — the shuffle was paid once at write and amortizes
+    over every subsequent join/aggregation on the key. The big-fact
+    join that dominates a 100 TB star schema is exactly this shape
+    (verified exchange-free in tests/test_plans.py).
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table)
+
+
 def compact(
     spark: SparkSession,
     path: str,
