@@ -112,3 +112,49 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         md5_prefix64(text_col).alias("fp_int60"),
         F.floor(F.length(text_col) / 64).cast("int").alias("fp_len_bucket"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken '03): the rolling-hash
+    document fingerprint behind plagiarism/near-copy detection.
+
+    k-shingle hashes → min of every ``window`` consecutive hashes →
+    DISTINCT mins are the document's fingerprint set. Guarantees any
+    shared substring of length >= k+window-1 contributes a common
+    fingerprint, at ~1/window the storage of full shingle sets.
+
+    Plan shape: posexplode the hash array, per-doc window MIN over a
+    row frame ordered by position (one shuffle on id), distinct. The
+    window runs over MATERIALIZED rows — an array-expression min per
+    position would re-evaluate the hash array O(n·w) times under
+    Catalyst's project collapsing (same hazard as dedup.py).
+    """
+    from ..functions.hashing import base_hash31, shingles
+
+    from pyspark.sql import Window as W
+
+    hs = df.select(
+        F.col(id_col), F.posexplode(shingles(text_col, k)).alias("pos", "sh")
+    ).select(F.col(id_col), "pos", base_hash31("sh").alias("h"))
+    frame = (
+        W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    )
+    n = W.partitionBy(id_col)
+    # docs with < window shingles keep one fingerprint (min of all)
+    return (
+        hs.select(
+            F.col(id_col),
+            "pos",
+            F.min("h").over(frame).alias("fp"),
+            F.count(F.lit(1)).over(n).alias("__n"),
+        )
+        .filter(F.col("pos") <= F.greatest(F.col("__n") - window, F.lit(0)))
+        .select(id_col, "fp")
+        .distinct()
+    )

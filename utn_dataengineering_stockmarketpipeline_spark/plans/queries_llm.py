@@ -332,6 +332,36 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WIN_W = 4
+
+
+@register(
+    "llm_winnowing_fingerprints",
+    f"""
+WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+hl AS (SELECT doc_id, list_transform(shs, s -> {_h60('s')} % {M31}) AS hs
+       FROM sh0),
+ex AS (SELECT doc_id, pos, hs[pos] AS h
+       FROM hl, UNNEST(generate_series(1, len(hs))) AS t(pos)),
+win AS (SELECT doc_id, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {_WIN_W - 1} FOLLOWING) AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM ex)
+SELECT DISTINCT doc_id, fp FROM win
+WHERE pos - 1 <= greatest(n - {_WIN_W}, 0)
+""",
+    doc="winnowing rolling-hash fingerprints (Schleimer '03): window-min "
+        "over k-shingle hashes, distinct — any shared substring of "
+        "length >= k+w-1 yields a common fingerprint",
+    tags=("llm", "text", "fingerprint", "winnowing"),
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, window=_WIN_W)
+
+
 # --- similarity search ------------------------------------------------------
 
 _DOT = (

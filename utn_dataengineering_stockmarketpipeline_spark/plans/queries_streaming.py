@@ -54,7 +54,8 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(_EVENTS_LONG_TS)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: double division loses µs precision at ns-epoch scale
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         raw.withWatermark("ts", "10 minutes")
