@@ -65,7 +65,7 @@ def http_fetcher(base_url: str, api_token: str) -> Fetcher:
         params.update({"api_token": api_token, "fmt": "json"})
         url = f"{base_url}/{path}?{urllib.parse.urlencode(params)}"
         with urllib.request.urlopen(url, timeout=60) as resp:  # noqa: S310
-            return _check_payload(json.loads(resp.read()))
+            return json.loads(resp.read())
 
     return fetch
 
@@ -87,13 +87,19 @@ def json_rows_to_df(
 def fetch_stock(
     spark: SparkSession, fetcher: Fetcher, ticker: str, from_date: str
 ) -> DataFrame:
-    """S1: incremental EOD prices for one ticker (raw payload shape)."""
-    return json_rows_to_df(spark, fetcher("stock", ticker, from_date), STOCK_RAW)
+    """S1: incremental EOD prices for one ticker (raw payload shape).
+
+    Payload validation (E1 sentinels, null→empty) happens HERE, not in
+    the fetcher, so every fetcher implementation gets it.
+    """
+    rows = _check_payload(fetcher("stock", ticker, from_date))
+    return json_rows_to_df(spark, rows, STOCK_RAW)
 
 
 def fetch_market(spark: SparkSession, fetcher: Fetcher, exchange: str) -> DataFrame:
     """S2: full symbol-list snapshot for one exchange (raw payload shape)."""
-    return json_rows_to_df(spark, fetcher("market", exchange, "1990-01-01"), MARKET_RAW)
+    rows = _check_payload(fetcher("market", exchange, "1990-01-01"))
+    return json_rows_to_df(spark, rows, MARKET_RAW)
 
 
 def fetch_many(
@@ -121,7 +127,7 @@ def fetch_many(
         for pdf in batches:
             frames = []
             for ticker, from_date in zip(pdf["ticker"], pdf["from_date"]):
-                rows = fetcher("stock", ticker, from_date)
+                rows = _check_payload(fetcher("stock", ticker, from_date))
                 frame = pd.DataFrame(
                     [[r.get(c) for c in names] for r in rows], columns=names
                 )
