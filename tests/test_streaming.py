@@ -255,3 +255,60 @@ def test_stateful_running_totals_across_restarts(spark, events_split, tmp_path):
         r["event_type"]: (r["n"], round(r["total"], 6)) for r in batch.collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_split, tmp_path):
+    """Purchases joined to same-user errors within the prior 30 min —
+    the watermarked stream-stream interval join must converge to the
+    batch join once both streams drain."""
+    from utn_dataengineering_stockmarketpipeline_spark.streaming.ingest import (
+        stream_stream_join,
+    )
+
+    base, d1, d2 = events_split
+    glob = f"{base}/drop*/*.parquet"
+
+    def side(df, etype, prefix):
+        return df.filter(F.col("event_type") == etype).select(
+            F.col("user_id"),
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        )
+
+    stream = stream_parquet(spark, glob, EVENTS_SCHEMA)
+    joined = stream_stream_join(
+        side(stream, "purchase", "p"),
+        side(stream, "error", "e"),
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="e_ts",
+    ).select(F.col("l.user_id").alias("user_id"), "p_id", "e_id")
+
+    out = str(tmp_path / "out")
+
+    def write_batch(batch, _bid):
+        batch.write.mode("append").parquet(out)
+
+    q = (
+        joined.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["p_id"], r["e_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+
+    ev = spark.read.schema(EVENTS_SCHEMA).parquet(glob)
+    p, e = side(ev, "purchase", "p"), side(ev, "error", "e")
+    batch = p.join(
+        e,
+        (p["user_id"] == e["user_id"])
+        & (e["e_ts"] >= p["p_ts"] - F.expr("INTERVAL 30 minutes"))
+        & (e["e_ts"] <= p["p_ts"]),
+    ).select(p["user_id"], "p_id", "e_id")
+    want = {(r["user_id"], r["p_id"], r["e_id"]) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0

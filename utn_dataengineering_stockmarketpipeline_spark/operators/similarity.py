@@ -168,6 +168,109 @@ def lsh_topk(
     )
 
 
+def _kmeans_centroids(mat, n_centroids: int, iters: int = 5):
+    """Deterministic Lloyd's k-means on a (normalized) matrix: init =
+    first n rows in id order, fixed iteration count, no RNG — every
+    run/cluster computes identical centroids."""
+    import numpy as np
+
+    cent = mat[:n_centroids].copy()
+    for _ in range(iters):
+        sims = mat @ cent.T                      # cosine (rows normalized)
+        assign = np.argmax(sims, axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the other standard ANN
+    index besides LSH (Faiss's default shape).
+
+    Train: deterministic k-means over the corpus (driver-side numpy —
+    at 100 TB you train on a sample; centroid count stays tiny).
+    Index: each corpus vector assigns to its nearest centroid
+    (Arrow-batched BLAS, one pass). Search: each query probes its
+    ``n_probe`` closest centroids, exact-reranks only those lists —
+    search cost is ~n_probe/n_centroids of brute force, recall is
+    pytest-checked against the exact baseline.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = _kmeans_centroids(mat, n_centroids)
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(top_n: int, out_col: str):
+        def run(batches):
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                a /= np.linalg.norm(a, axis=1, keepdims=True)
+                sims = a @ c.T
+                order = np.argsort(-sims, axis=1)[:, :top_n]
+                out = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].to_numpy().repeat(top_n),
+                        vec_col: [v for v in pdf[vec_col] for _ in range(top_n)],
+                        out_col: order.ravel(),
+                    }
+                )
+                yield out
+
+        return run
+
+    c_assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign(1, "centroid"),
+        f"{id_col} long, {vec_col} array<float>, centroid int",
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "centroid",
+    )
+    q_assigned = queries.select(id_col, vec_col).mapInPandas(
+        assign(n_probe, "centroid"),
+        f"{id_col} long, {vec_col} array<float>, centroid int",
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid",
+    )
+    sim = F.round(cosine_similarity("q_vec", "c_vec"), 6)
+    scored = (
+        q_assigned.join(c_assigned, "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_norms(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Per-vector L2 norm + dimension (sanity/QA projection)."""

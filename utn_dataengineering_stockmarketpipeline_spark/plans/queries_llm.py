@@ -465,6 +465,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_ann_ivf_topk",
+    None,  # approximate by construction: recall vs brute force is the
+    # pytest check (tests/test_similarity.py)
+    doc="IVF ANN (Faiss-shaped scale path): deterministic k-means "
+        "centroids, BLAS batch assignment, probe-4 inverted-list search "
+        "+ exact re-rank",
+    tags=("llm", "similarity", "ann", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), dim=64, k=5
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 @register(

@@ -111,6 +111,38 @@ def scd0_sink(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    watermark_delay: str = "10 minutes",
+    lookback: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events of the same key where
+    ``right_ts ∈ [left_ts - lookback, left_ts]``.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — that is what lets Spark EVICT join state
+    (without the bound, each side buffers the other forever). The
+    equi-key keeps it a shuffle-hash join on (key), never a broadcast
+    of an unbounded stream.
+    """
+    l = left.withWatermark(left_ts, watermark_delay).alias("l")
+    r = right.withWatermark(right_ts, watermark_delay).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback}")
+        )
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 # --- custom stateful operator (applyInPandasWithState) ----------------------
 
 _TOTALS_SCHEMA = T.StructType(
