@@ -30,8 +30,11 @@ BENCH_QUERIES = (
     "ana_events_hourly",
     "join_asof_price_at_ship",
     "join_range_price_bands",
+    "ana_user_sessions",
     "llm_dedup_exact",
     "llm_minhash_lsh_pairs",
+    "llm_simhash_near_pairs",
+    "llm_winnowing_fingerprints",
     "llm_text_quality",
     "llm_cosine_topk",
     "llm_embedding_near_dup",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from utn_dataengineering_stockmarketpipeline_spark.functions.hashing import (
     M31,
+    SHINGLE_B,
     perm_seeds,
 )
 from utn_dataengineering_stockmarketpipeline_spark.operators.asof import asof_join
@@ -107,15 +108,25 @@ def test_minhash_signature_matches_hashlib(spark, texts):
         for r in dedup.minhash_signatures(df, num_perms=num_perms).collect()
     }
     seeds = perm_seeds(num_perms)
+
+    def fold(window: list[int]) -> int:
+        acc = 0
+        first = True
+        for h in window:
+            acc = h if first else (acc * SHINGLE_B + h) % M31
+            first = False
+        return acc
+
     for doc_id, text in enumerate(texts):
         toks = text.split(" ")
-        if len(toks) <= k:
-            shs = [" ".join(toks)]
-        else:
-            shs = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-        hs = [
-            int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % M31 for s in shs
+        th = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % M31
+            for t in toks
         ]
+        if len(th) <= k:
+            hs = [fold(th)]
+        else:
+            hs = [fold(th[i : i + k]) for i in range(len(th) - k + 1)]
         want = [min((a * h + b) % M31 for h in hs) for a, b in seeds]
         assert got[doc_id] == want, f"doc {doc_id!r} ({text!r})"
 

@@ -76,3 +76,51 @@ def base_hash31(col: Column | str) -> Column:
 def perm_hash(h31: Column, a: int, b: int) -> Column:
     """(a*h + b) mod M31 — one member of the permutation family."""
     return (h31 * F.lit(a) + F.lit(b)) % F.lit(M31)
+
+
+# Polynomial base for composing token hashes into shingle hashes:
+# (M31-1)*B + M31 < 2^62 keeps every fold step exact in int64.
+SHINGLE_B = 1_000_003
+
+
+def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3):
+    """(id, pos, h): one 31-bit hash per word k-shingle, AS ROWS.
+
+    The fast path for shingle-hash consumers (MinHash, winnowing):
+    posexplode the tokens, MD5 each token ONCE in a codegen'd row
+    projection (array-lambda string building is interpreted and ~2x
+    slower), then compose k consecutive token hashes polynomially with
+    window ``lead`` — h = fold((acc*B + th) mod M31). Only hash
+    IDENTITY matters to the consumers, so shingle strings never exist.
+
+    One shuffle on (id) for the window; downstream per-id aggregations
+    reuse that partitioning (no second exchange). Documents with < k
+    tokens emit one hash folding all their tokens (position 0).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "t")
+    ).select(F.col(id_col), "pos", (md5_prefix64("t") % F.lit(M31)).alias("th"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+
+    def compose(m: int) -> Column:
+        h = F.col("th")
+        for j in range(1, m):
+            h = (h * F.lit(SHINGLE_B) + F.lead("th", j).over(w)) % F.lit(M31)
+        return h
+
+    h_expr = compose(k)
+    for m in range(k - 1, 0, -1):  # short docs: fold exactly n tokens
+        h_expr = F.when(F.col("__n") == m, compose(m)).otherwise(h_expr)
+    keep = (F.col("pos") <= F.col("__n") - k) | (
+        (F.col("__n") < k) & (F.col("pos") == 0)
+    )
+    return (
+        toks.withColumn("__n", n)
+        .withColumn("h", h_expr)
+        .filter(keep)
+        .select(F.col(id_col), "pos", "h")
+    )

@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import base_hash31, md5_prefix64, perm_hash, perm_seeds
+from ..functions.hashing import (
+    md5_prefix64,
+    perm_hash,
+    perm_seeds,
+    shingle_hash_rows,
+)
 from ..functions.hashing import shingles as shingle_expr
 
 
@@ -68,14 +73,13 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_perms: int = 8) -> DataFrame:
     """Wide MinHash signatures: (id, mh_0 .. mh_{num_perms-1}).
 
-    explode(shingles) → one 31-bit MD5-derived hash per shingle → one
-    groupBy computing all permutation minima as partial aggregates.
-    Scan-bound: the shuffle carries only (id, h) pairs and the combiner
-    reduces them to num_perms minima per id before the exchange.
+    Shingle-hash ROWS (hashing.shingle_hash_rows: one codegen'd MD5 per
+    token, polynomial window composition — shingle strings never exist)
+    → one groupBy computing all permutation minima as partial
+    aggregates. The groupBy reuses the window's hash partitioning on
+    id, so the whole signature pipeline is a single shuffle.
     """
-    hashed = df.select(
-        F.col(id_col), F.explode(shingle_expr(text_col, k)).alias("sh")
-    ).select(F.col(id_col), base_hash31("sh").alias("h"))
+    hashed = shingle_hash_rows(df, text_col, id_col, k)
     return hashed.groupBy(id_col).agg(
         *[
             F.min(perm_hash(F.col("h"), a, b)).alias(f"mh_{i}")

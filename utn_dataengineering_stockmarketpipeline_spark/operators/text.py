@@ -129,19 +129,18 @@ def winnowing_fingerprints(
     shared substring of length >= k+window-1 contributes a common
     fingerprint, at ~1/window the storage of full shingle sets.
 
-    Plan shape: posexplode the hash array, per-doc window MIN over a
-    row frame ordered by position (one shuffle on id), distinct. The
-    window runs over MATERIALIZED rows — an array-expression min per
-    position would re-evaluate the hash array O(n·w) times under
-    Catalyst's project collapsing (same hazard as dedup.py).
+    Plan shape: shingle-hash ROWS (hashing.shingle_hash_rows — one
+    codegen'd MD5 per token, window composition, no shingle strings),
+    per-doc window MIN over a row frame ordered by position, distinct.
+    Everything after the explode rides one hash-partitioning on id; an
+    array-expression min per position would re-evaluate the hash array
+    O(n·w) times under Catalyst's project collapsing (dedup.py hazard).
     """
-    from ..functions.hashing import base_hash31, shingles
+    from ..functions.hashing import shingle_hash_rows
 
     from pyspark.sql import Window as W
 
-    hs = df.select(
-        F.col(id_col), F.posexplode(shingles(text_col, k)).alias("pos", "sh")
-    ).select(F.col(id_col), "pos", base_hash31("sh").alias("h"))
+    hs = shingle_hash_rows(df, text_col, id_col, k)
     frame = (
         W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
     )

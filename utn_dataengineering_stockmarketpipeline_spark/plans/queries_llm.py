@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import M31, perm_seeds
+from ..functions.hashing import M31, SHINGLE_B, perm_seeds
 from ..operators import dedup, similarity, text
 from ..sources.parquet import load_table
 from .catalog import register
@@ -38,15 +38,39 @@ _NUM_PERMS = 8
 _BANDS = 4
 _SIMHASH_BITS = 16
 
-# MinHash signature as a DuckDB list: element i = min over shingles of
-# (a_i * (h60(s) mod M31) + b_i) mod M31 — mirrors
-# dedup.minhash_signatures / hashing.perm_seeds (ONE md5 per shingle,
-# arithmetic permutations; products < 2^62 stay exact in int64).
+# Shingle hashes mirroring hashing.shingle_hash_rows: one 31-bit MD5
+# hash per TOKEN, k consecutive token hashes composed polynomially
+# ((acc*B + th) mod M31) — shingle strings never exist on either
+# engine. All int64-exact (products < 2^62).
+_TH = f"list_transform({_TOKS}, t -> {_h60('t')} % {M31})"
+
+
+def _fold(elems: list[str]) -> str:
+    acc = None
+    for e in elems:
+        acc = e if acc is None else f"(({acc}) * {SHINGLE_B} + {e}) % {M31}"
+    return acc
+
+
+# 1-based list positions; docs with < 3 tokens fold all their tokens.
+_SHINGLE_HASHES = f"""
+CASE len(th)
+  WHEN 1 THEN [{_fold(["th[1]"])}]
+  WHEN 2 THEN [{_fold(["th[1]", "th[2]"])}]
+  ELSE list_transform(generate_series(1, len(th) - 2),
+                      i -> {_fold(["th[i]", "th[i+1]", "th[i+2]"])})
+END"""
+
+_HS_CTES = f"""
+tok AS (SELECT doc_id, {_TH} AS th FROM documents),
+hsh AS (SELECT doc_id, {_SHINGLE_HASHES} AS hs FROM tok)"""
+
+# MinHash signature: element i = min over shingle hashes of
+# (a_i*h + b_i) mod M31 (hashing.perm_seeds).
 _SIG_SQL = (
     "["
     + ", ".join(
-        f"list_min(list_transform(shs, s -> "
-        f"(({_h60('s')} % {M31}) * {a} + {b}) % {M31}))"
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {M31}))"
         for a, b in perm_seeds(_NUM_PERMS)
     )
     + "]"
@@ -75,14 +99,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_minhash_signatures",
     f"""
-WITH sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
-sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh)
+WITH {_HS_CTES.strip()},
+sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM hsh)
 SELECT doc_id, {", ".join(f"sig[{i + 1}] AS mh_{i}" for i in range(_NUM_PERMS))}
 FROM sig
 """,
-    doc="MinHash signatures (8 arithmetic min-wise perms over one MD5 "
-        "hash per word 3-shingle), wide (mh_0..mh_7) — value-checks the "
-        "whole hash pipeline cross-engine",
+    doc="MinHash signatures (8 arithmetic min-wise perms over "
+        "token-hash-composed word 3-shingles, one MD5 per token), wide "
+        "(mh_0..mh_7) — value-checks the whole hash pipeline cross-engine",
     tags=("llm", "dedup", "minhash"),
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,8 +115,8 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BANDED_CTE = f"""
-sh AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
-sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM sh),
+{_HS_CTES.strip()},
+sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM hsh),
 banded AS (
   SELECT doc_id, sig, CAST(b AS INT) AS band,
          md5(CAST(sig[b * 2 + 1] AS VARCHAR) || '_' ||
@@ -338,11 +362,9 @@ _WIN_W = 4
 @register(
     "llm_winnowing_fingerprints",
     f"""
-WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
-hl AS (SELECT doc_id, list_transform(shs, s -> {_h60('s')} % {M31}) AS hs
-       FROM sh0),
+WITH {_HS_CTES.strip()},
 ex AS (SELECT doc_id, pos, hs[pos] AS h
-       FROM hl, UNNEST(generate_series(1, len(hs))) AS t(pos)),
+       FROM hsh, UNNEST(generate_series(1, len(hs))) AS t(pos)),
 win AS (SELECT doc_id, pos,
                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS BETWEEN CURRENT ROW
