@@ -40,7 +40,6 @@ from ..functions.hashing import (
     perm_seeds,
     shingle_hash_rows,
 )
-from ..functions.hashing import shingles as shingle_expr
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
@@ -178,18 +177,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     Pure counting: |A∩B| via shared-shingle equi-join, |A|/|B| via
     per-doc distinct-shingle counts — divisions of exact ints, so the
     DuckDB oracle matches bit-for-bit.
+
+    Shingle IDENTITY is the 31-bit composed token hash
+    (hashing.shingle_hash_rows): the self-join shuffles 8-byte ints
+    instead of ~30-byte shingle strings, which at corpus scale is the
+    difference between a shuffle that fits and one that spills. The
+    oracle computes Jaccard over the same hash sets.
     """
-    sh = (
-        df.select(F.col(id_col), F.explode(shingle_expr(text_col, k)).alias("sh"))
-        .distinct()
-    )
+    sh = shingle_hash_rows(df, text_col, id_col, k).select(id_col, "h").distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
         a.join(
             b,
-            (F.col("a.sh") == F.col("b.sh"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .groupBy(

@@ -27,13 +27,6 @@ def _h60(expr: str) -> str:
 
 _TOKS = "string_split(text, ' ')"
 
-# Word 3-shingles — mirrors functions/hashing.py:shingles (k=3).
-_SHINGLES = f"""
-CASE WHEN len({_TOKS}) <= 3 THEN [array_to_string({_TOKS}, ' ')]
-     ELSE list_transform(generate_series(1, len({_TOKS}) - 2),
-                         s -> array_to_string(list_slice({_TOKS}, s, s + 2), ' '))
-END"""
-
 _NUM_PERMS = 8
 _BANDS = 4
 _SIMHASH_BITS = 16
@@ -151,9 +144,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_ngram_jaccard_pairs",
     f"""
-WITH sh0 AS (SELECT doc_id, {_SHINGLES} AS shs FROM documents),
+WITH {_HS_CTES.strip()},
 sh AS (SELECT DISTINCT doc_id, s
-       FROM (SELECT doc_id, unnest(shs) AS s FROM sh0)),
+       FROM (SELECT doc_id, unnest(hs) AS s FROM hsh)),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared

@@ -83,3 +83,60 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_purchase_error_join",
+    """
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+           FROM events),
+p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM e
+      WHERE event_type = 'purchase'),
+er AS (SELECT user_id, ts AS e_ts, event_id AS e_id FROM e
+       WHERE event_type = 'error')
+SELECT p.user_id, p_id, e_id
+FROM p JOIN er ON p.user_id = er.user_id
+  AND e_ts >= p_ts - INTERVAL 30 MINUTE AND e_ts <= p_ts
+""",
+    doc="watermarked stream-stream interval join (purchases x same-user "
+        "errors within the prior 30 min), availableNow-drained — must "
+        "equal the batch interval join, which is the DuckDB oracle",
+    tags=("streaming", "join", "interval"),
+)
+def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_stream_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_LONG_TS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        return raw.filter(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("ts").alias(f"{prefix}_ts"),
+            F.col("event_id").alias(f"{prefix}_id"),
+        )
+
+    joined = stream_stream_join(
+        side("purchase", "p"),
+        side("error", "e"),
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="e_ts",
+    ).select(F.col("l.user_id").alias("user_id"), "p_id", "e_id")
+
+    name = "stream_ssj_" + uuid.uuid4().hex[:12]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
