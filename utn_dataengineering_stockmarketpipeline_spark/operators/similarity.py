@@ -37,28 +37,55 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
-    Excludes self-matches. Similarity is rounded (default 1e-6) before
-    ranking with a deterministic (sim desc, neighbor_id) tiebreak so
-    results are stable across engines and partitionings.
+    BLAS-shaped: the corpus collects to one normalized float64 matrix
+    broadcast to executors; each Arrow batch of queries scores with a
+    single numpy matmul and ranks in-batch (argsort on (-cosine, id)).
+    The expression formulation (crossJoin + zip_with cosine + window)
+    is ~10x slower — higher-order lambdas are interpreted per element.
+
+    Excludes self-matches. Similarity rounds to ``round_to`` BEFORE
+    ranking with a deterministic (sim desc, neighbor_id) tiebreak, so
+    results are stable across engines and partitionings. Corpus must
+    fit driver memory (it is the BROADCAST side by definition); the
+    scale paths are :func:`lsh_topk` and :func:`ivf_topk`.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
-    sim = F.round(cosine_similarity("q_vec", "c_vec"), round_to)
-    scored = (
-        q.crossJoin(F.broadcast(c))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    import numpy as np
+    import pandas as pd
+
+    rows = corpus.select(id_col, vec_col).collect()
+    c_ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((c_ids, mat))
+
+    def score(batches):
+        ids_c, m = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ m.T, round_to)
+            q_ids = pdf[id_col].to_numpy()
+            outs = []
+            for i in range(len(q_ids)):
+                s = sims[i].copy()
+                s[ids_c == q_ids[i]] = -np.inf  # exclude self
+                order = np.lexsort((ids_c, -s))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[i],
+                            "neighbor_id": ids_c[order],
+                            "cosine": s[order],
+                            "rank": np.arange(1, len(order) + 1),
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double, rank int"
     )
 
 
