@@ -335,3 +335,64 @@ def q_stock_prices_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_markets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markets(spark, sf_dir)
+
+
+@register(
+    "ref_daily_returns",
+    with_reference_ctes("""
+SELECT stock_ticker, stock_date,
+       stock_close / LAG(stock_close) OVER w - 1 AS daily_return
+FROM stock_prices
+WINDOW w AS (PARTITION BY stock_ticker ORDER BY stock_date)
+"""),
+    doc="daily returns per ticker via lag window — per-row double "
+        "arithmetic only (no float accumulation), so the oracle matches "
+        "exactly; first bar per ticker yields null",
+    tags=("reference", "window", "returns"),
+)
+def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    return sp.select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias(
+            "daily_return"
+        ),
+    )
+
+
+@register(
+    "ref_top_movers",
+    with_reference_ctes("""
+SELECT stock_date, stock_ticker, ret,
+       CAST(rk AS INT) AS move_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY stock_date
+                                   ORDER BY abs(ret) DESC, stock_ticker) AS rk
+      FROM (SELECT stock_ticker, stock_date,
+                   stock_close / LAG(stock_close) OVER
+                     (PARTITION BY stock_ticker ORDER BY stock_date) - 1 AS ret
+            FROM stock_prices)
+      WHERE ret IS NOT NULL)
+WHERE rk <= 2
+"""),
+    doc="top-2 absolute movers per day: lag-window returns re-ranked by "
+        "a second window — deterministic (abs desc, ticker) tiebreak",
+    tags=("reference", "window", "topk", "returns"),
+)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    r = sp.select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    rk = Window.partitionBy("stock_date").orderBy(
+        F.abs("ret").desc(), "stock_ticker"
+    )
+    return (
+        r.withColumn("move_rank", F.row_number().over(rk))
+        .filter(F.col("move_rank") <= 2)
+        .select("stock_date", "stock_ticker", "ret", "move_rank")
+    )
