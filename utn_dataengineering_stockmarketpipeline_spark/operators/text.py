@@ -114,6 +114,28 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, n_shingles, n_distinct, dup_fraction): the Gopher-style
+    repetition signal — boilerplate/template text repeats its k-grams,
+    natural text mostly doesn't. dup_fraction = 1 - distinct/total,
+    exact integer counts over composed shingle hashes (one shuffle,
+    shared with the other shingle consumers).
+    """
+    from ..functions.hashing import shingle_hash_rows
+
+    hs = shingle_hash_rows(df, text_col, id_col, k)
+    return hs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("h").alias("n_distinct"),
+        (
+            F.lit(1)
+            - F.countDistinct("h") / F.count(F.lit(1))
+        ).alias("dup_fraction"),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",

@@ -527,3 +527,23 @@ def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     assets = multimodal.synthetic_assets(docs)
     return multimodal.frame_sample_plan(assets, every_ms=1000)
+
+
+@register(
+    "llm_repetition_ratio",
+    f"""
+WITH {_HS_CTES.strip()}
+SELECT doc_id,
+       CAST(len(hs) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(hs)) AS BIGINT) AS n_distinct,
+       1 - CAST(len(list_distinct(hs)) AS DOUBLE) / len(hs) AS dup_fraction
+FROM hsh
+""",
+    doc="Gopher-style repetition signal: fraction of duplicate 3-gram "
+        "shingles per document — exact integer counts over composed "
+        "shingle hashes",
+    tags=("llm", "text", "quality"),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_ratio(docs)
