@@ -19,6 +19,28 @@ from pyspark.sql import types as T
 
 from .catalog import register
 
+def _capped_state_partitions(spark: SparkSession, n: int = 32):
+    """Context manager: cap shuffle partitions for a streaming drain.
+
+    A streaming query creates one state store per shuffle partition at
+    START and keeps it for the checkpoint's lifetime; inheriting a
+    batch-tuned 200 means 200 tiny HDFS-backed stores for a bounded
+    drain. Restored afterwards so the caller's session is untouched.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def guard():
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    return guard()
+
+
 _EVENTS_LONG_TS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -74,14 +96,15 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "stream_hourly_" + uuid.uuid4().hex[:12]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _capped_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -131,12 +154,13 @@ def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("l.user_id").alias("user_id"), "p_id", "e_id")
 
     name = "stream_ssj_" + uuid.uuid4().hex[:12]
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _capped_state_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
