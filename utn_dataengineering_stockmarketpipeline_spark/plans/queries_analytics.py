@@ -370,3 +370,92 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "ana_cube_returns",
+    """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    doc="CUBE aggregation (all grouping-set combinations incl. grand "
+        "total) — partial aggregation expands grouping IDs map-side, "
+        "one shuffle",
+    tags=("analytics", "cube", "aggregate"),
+)
+def q_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias(
+            "sum_qty"
+        ),
+    )
+
+
+@register(
+    "ana_pivot_status",
+    """
+SELECT l_returnflag,
+       COALESCE(COUNT(*) FILTER (WHERE l_linestatus = 'F'), 0) AS f_n,
+       COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE), CAST(0 AS DOUBLE)) AS f_qty,
+       COALESCE(COUNT(*) FILTER (WHERE l_linestatus = 'O'), 0) AS o_n,
+       COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE), CAST(0 AS DOUBLE)) AS o_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="pivot (long → wide): linestatus values become columns. The "
+        "value list is given explicitly so Spark skips the extra "
+        "distinct-values job — at 100 TB an unbounded pivot is a full "
+        "scan before the real one. Missing combinations coalesce to 0 "
+        "in both engines.",
+    tags=("analytics", "pivot", "aggregate"),
+)
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("l_quantity").alias("qty"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("f_qty"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("o_qty"),
+    )
+
+
+@register(
+    "ana_quantity_percentiles",
+    """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25,
+       quantile_cont(l_quantity, 0.50) AS p50,
+       quantile_cont(l_quantity, 0.75) AS p75,
+       quantile_cont(l_quantity, 0.95) AS p95
+FROM lineitem GROUP BY l_returnflag
+""",
+    doc="exact linearly-interpolated percentiles per group. l_quantity "
+        "is whole-numbered, so interpolated values land on exactly-"
+        "representable midpoints and both engines agree bit-for-bit. "
+        "(At 100 TB swap percentile → approx_percentile: t-digest "
+        "sketch, partial-aggregable, no per-group sort.)",
+    tags=("analytics", "percentile", "aggregate"),
+)
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )

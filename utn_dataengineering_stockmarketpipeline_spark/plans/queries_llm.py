@@ -547,3 +547,39 @@ FROM hsh
 def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_ratio(docs)
+
+
+@register(
+    "llm_doc_profile",
+    """
+SELECT source,
+       lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
+       SUM(n_chars) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       COUNT(DISTINCT doc_id) AS n_distinct_ids
+FROM documents
+GROUP BY source, lang
+""",
+    doc="corpus profiling / data-quality report per (source, lang) "
+        "slice: volume, empty-text rate, size envelope, id uniqueness. "
+        "One partial-aggregated shuffle; the only distinct agg is over "
+        "the group's own ids. First health check before any 100 TB "
+        "dedup/filter run.",
+    tags=("llm", "text", "profiling"),
+)
+def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    empty = F.when(
+        F.col("text").isNull() | (F.col("text") == ""), 1
+    ).otherwise(0)
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(empty).alias("n_empty"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )

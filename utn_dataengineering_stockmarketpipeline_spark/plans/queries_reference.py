@@ -396,3 +396,226 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("move_rank") <= 2)
         .select("stock_date", "stock_ticker", "ret", "move_rank")
     )
+
+
+@register(
+    "ref_ohlc_monthly",
+    with_reference_ctes("""
+SELECT stock_ticker,
+       stock_year,
+       stock_month,
+       arg_min(stock_open, stock_date)  AS month_open,
+       MAX(stock_high)                  AS month_high,
+       MIN(stock_low)                   AS month_low,
+       arg_max(stock_close, stock_date) AS month_close,
+       SUM(stock_volume)                AS month_volume,
+       COUNT(*)                         AS n_days
+FROM stock_prices
+GROUP BY stock_ticker, stock_year, stock_month
+"""),
+    doc="resample daily bars to monthly OHLC candles: open/close via "
+        "min_by/max_by on the (unique) trading date, so the aggregation "
+        "is a single shuffle with map-side partials — no window, no sort "
+        "of the whole history. Extends the daily-bar granularity the "
+        "reference stores (API_manager.py:119-127).",
+    tags=("reference", "aggregate", "resample"),
+)
+def q_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    return sp.groupBy("stock_ticker", "stock_year", "stock_month").agg(
+        F.min_by("stock_open", "stock_date").alias("month_open"),
+        F.max("stock_high").alias("month_high"),
+        F.min("stock_low").alias("month_low"),
+        F.max_by("stock_close", "stock_date").alias("month_close"),
+        F.sum("stock_volume").alias("month_volume"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+@register(
+    "ref_vwap_monthly",
+    with_reference_ctes("""
+SELECT stock_ticker,
+       stock_year,
+       stock_month,
+       CAST(SUM(CAST(stock_close * stock_volume AS DECIMAL(28,6))) AS DOUBLE)
+         / CAST(SUM(stock_volume) AS DOUBLE) AS vwap,
+       SUM(stock_volume) AS total_volume
+FROM stock_prices
+GROUP BY stock_ticker, stock_year, stock_month
+"""),
+    doc="volume-weighted average price per ticker-month; the weighted "
+        "sum goes through DECIMAL so the reduction is exact and "
+        "order-independent (parallel Spark sum == serial DuckDB sum)",
+    tags=("reference", "aggregate", "vwap"),
+)
+def q_vwap_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    wsum = F.sum(
+        (F.col("stock_close") * F.col("stock_volume")).cast("decimal(28,6)")
+    ).cast("double")
+    vol = F.sum("stock_volume")
+    return sp.groupBy("stock_ticker", "stock_year", "stock_month").agg(
+        (wsum / vol.cast("double")).alias("vwap"),
+        vol.alias("total_volume"),
+    )
+
+
+@register(
+    "ref_bollinger_bands",
+    with_reference_ctes("""
+SELECT stock_ticker, stock_date, sma20,
+       sma20 + 2 * sd AS upper_band,
+       sma20 - 2 * sd AS lower_band
+FROM (
+  SELECT stock_ticker, stock_date,
+         s / 20 AS sma20,
+         SQRT(GREATEST((s2 - s * s / 20) / 19, 0)) AS sd,
+         rn
+  FROM (
+    SELECT stock_ticker, stock_date,
+           CAST(SUM(CAST(stock_close AS DECIMAL(18,6))) OVER w20 AS DOUBLE) AS s,
+           CAST(SUM(CAST(stock_close * stock_close AS DECIMAL(28,2))) OVER w20 AS DOUBLE) AS s2,
+           ROW_NUMBER() OVER wseq AS rn
+    FROM stock_prices
+    WINDOW w20 AS (PARTITION BY stock_ticker ORDER BY stock_date
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+           wseq AS (PARTITION BY stock_ticker ORDER BY stock_date)
+  )
+) WHERE rn >= 20
+"""),
+    doc="20-day Bollinger bands. Rolling stddev is NOT computed with the "
+        "engine's stddev aggregate (whose float accumulation order "
+        "differs across engines): both moments come from exact DECIMAL "
+        "window sums, then identical scalar double math — bit-equal "
+        "results. Decimal scales are sized so the unscaled sum stays "
+        "under 2^53: above that, decimal→double conversion is double-"
+        "rounded differently by the two engines (observed 1-ulp drift "
+        "that the sma-2sd cancellation amplifies). Rows with an "
+        "incomplete 20-day frame are dropped (rn >= 20) so n is the "
+        "constant 20.",
+    tags=("reference", "window", "rolling"),
+)
+def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w20 = (
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(-19, 0)
+    )
+    wseq = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    s = F.sum(F.col("stock_close").cast("decimal(18,6)")).over(w20).cast(
+        "double"
+    )
+    s2 = (
+        F.sum(
+            (F.col("stock_close") * F.col("stock_close")).cast("decimal(28,2)")
+        )
+        .over(w20)
+        .cast("double")
+    )
+    base = sp.select(
+        "stock_ticker",
+        "stock_date",
+        s.alias("s"),
+        s2.alias("s2"),
+        F.row_number().over(wseq).alias("rn"),
+    ).filter(F.col("rn") >= 20)
+    sma20 = F.col("s") / F.lit(20.0)
+    sd = F.sqrt(
+        F.greatest(
+            (F.col("s2") - F.col("s") * F.col("s") / F.lit(20.0)) / F.lit(19.0),
+            F.lit(0.0),
+        )
+    )
+    return base.select(
+        "stock_ticker",
+        "stock_date",
+        sma20.alias("sma20"),
+        (sma20 + F.lit(2.0) * sd).alias("upper_band"),
+        (sma20 - F.lit(2.0) * sd).alias("lower_band"),
+    )
+
+
+@register(
+    "ref_ticker_correlation",
+    with_reference_ctes("""
+, r AS (
+  SELECT stock_ticker, stock_date,
+         stock_close / LAG(stock_close) OVER
+           (PARTITION BY stock_ticker ORDER BY stock_date) - 1 AS ret
+  FROM stock_prices
+), p AS (
+  SELECT a.stock_ticker AS ticker_a, b.stock_ticker AS ticker_b,
+         a.ret AS x, b.ret AS y
+  FROM r a JOIN r b
+    ON a.stock_date = b.stock_date AND a.stock_ticker < b.stock_ticker
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+), m AS (
+  SELECT ticker_a, ticker_b,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(28,12))) AS DOUBLE) AS syy
+  FROM p GROUP BY ticker_a, ticker_b
+)
+SELECT ticker_a, ticker_b, CAST(n AS BIGINT) AS n_days,
+       (n * sxy - sx * sy)
+         / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS return_corr
+FROM m WHERE n >= 2
+"""),
+    doc="pairwise Pearson correlation of daily returns between tickers "
+        "(self equi-join on trading date, ticker_a < ticker_b halves the "
+        "pair space). Deliberately avoids the engines' corr() aggregate: "
+        "all five moments are exact DECIMAL sums (scale 12 keeps the "
+        "unscaled values < 2^53, where decimal->double conversion is "
+        "identical across engines), the final correlation is identical "
+        "scalar double arithmetic in both engines. Oracle body extends "
+        "the wrapper's CTE list (leading comma) rather than nesting WITH.",
+    tags=("reference", "join", "statistics"),
+)
+def q_ticker_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    r = sp.select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.stock_date") == F.col("b.stock_date"))
+        & (F.col("a.stock_ticker") < F.col("b.stock_ticker")),
+    ).select(
+        F.col("a.stock_ticker").alias("ticker_a"),
+        F.col("b.stock_ticker").alias("ticker_b"),
+        F.col("a.ret").alias("x"),
+        F.col("b.ret").alias("y"),
+    )
+
+    def _dsum_expr(col, scale):
+        return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+    x, y = F.col("x"), F.col("y")
+    m = pairs.groupBy("ticker_a", "ticker_b").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        _dsum_expr(x, 12).alias("sx"),
+        _dsum_expr(y, 12).alias("sy"),
+        _dsum_expr(x * y, 12).alias("sxy"),
+        _dsum_expr(x * x, 12).alias("sxx"),
+        _dsum_expr(y * y, 12).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    corr = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.filter(n >= 2).select(
+        "ticker_a",
+        "ticker_b",
+        n.cast("bigint").alias("n_days"),
+        corr.alias("return_corr"),
+    )
