@@ -61,6 +61,29 @@ def test_asof_strict_excludes_same_instant(spark):
     assert got == {1: None, 2: 10.0, 3: 20.0, 4: 40.0, 5: None}
 
 
+def test_asof_null_in_matched_row_stays_null(spark):
+    """A NULL value inside the matched (latest prior) right row must come
+    back as NULL — not backfilled from an older right row (DuckDB ASOF
+    returns the matched row verbatim)."""
+    left = spark.createDataFrame(
+        [("A", _d("2024-01-06"), 1)], "k string, t date, row_id int"
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", _d("2024-01-02"), 10.0, 100.0),
+            ("A", _d("2024-01-05"), None, 200.0),  # matched row: v is NULL
+        ],
+        "k string, rt date, v double, w double",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        value_cols=["v", "w"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["w"] == 200.0
+    assert out[0]["v"] is None  # NOT 10.0 from the older row
+
+
 def test_range_join_bucketed_exact_bounds(spark):
     left = spark.createDataFrame(
         [(0.0,), (499.9,), (500.0,), (1999.9,), (2000.0,), (7999.0,)],

@@ -65,5 +65,6 @@ def test_extract_features_deterministic_and_complete(spark):
     assert sorted(map(str, f1)) == sorted(map(str, f2))
     assert len(f1) == 50
     for r in f1:
-        assert len(r["feat"]) == 4
+        for i in range(multimodal.N_FEATURES):
+            assert 0.0 <= r[f"feat_{i}"] < 1.0
         assert r["n_bytes"] > 0

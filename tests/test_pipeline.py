@@ -80,6 +80,34 @@ def test_scd0_idempotent_and_unique(spark, tmp_path):
     assert out.select("stock_key").distinct().count() == 10
 
 
+def test_scd0_corrupt_target_raises_not_first_load(spark, tmp_path):
+    """A target that EXISTS but can't be read (corrupt footer) must
+    surface the error — treating it as first-load would append the whole
+    batch without the anti-join and duplicate keys on the next repair."""
+    import pytest
+
+    target = tmp_path / "fact"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    raw = fetch_stock(spark, fixture_fetcher, "AAA", SENTINEL_DATE)
+    batch = normalize_stock_payload(raw, "AAA")
+    with pytest.raises(Exception):
+        merge_append(batch, str(target), "stock_key")
+    # nothing must have been appended to the broken target
+    assert not list(target.glob("*stock_key*")) and len(list(target.iterdir())) == 1
+
+
+def test_scd0_empty_dir_is_first_load(spark, tmp_path):
+    """An existing-but-empty target directory IS a first load (the
+    UNABLE_TO_INFER_SCHEMA case), not an error."""
+    target = tmp_path / "fact"
+    target.mkdir()
+    raw = fetch_stock(spark, fixture_fetcher, "AAA", SENTINEL_DATE)
+    batch = normalize_stock_payload(raw, "AAA")
+    assert merge_append(batch, str(target), "stock_key") == 10
+
+
 def test_incremental_boundary_fetches_exactly_missing_days(spark, tmp_path):
     """from = watermark + 1 pulls exactly the days the sink lacks."""
     target = str(tmp_path / "fact")

@@ -64,6 +64,34 @@ def test_lsh_bucket_determinism(spark):
     assert n_buckets > 1, "all vectors landed in one bucket"
 
 
+def test_brute_force_corpus_bound_enforced(spark, monkeypatch):
+    """The exact baselines must REFUSE oversized corpora (clear error
+    naming the scale path), not attempt the driver collect."""
+    import pytest
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    monkeypatch.setattr(similarity, "MAX_BROADCAST_ROWS", 10)
+    with pytest.raises(ValueError, match="lsh_topk"):
+        similarity.brute_force_topk(emb, emb.limit(5), k=3)
+    with pytest.raises(ValueError, match="near_dup_pairs_lsh"):
+        dedup.embedding_near_dup_pairs(emb)
+
+
+def test_ivf_trains_on_sample_when_corpus_exceeds_budget(spark):
+    """IVF must never collect the full corpus for training: with a tiny
+    training budget it still builds an index and returns exact-scored
+    neighbors."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(
+        emb, queries, dim=64, k=5, n_centroids=8, n_probe=3,
+        train_sample_rows=100,  # corpus is 500 → forces the sample path
+    )
+    rows = out.collect()
+    assert rows and {r["query_id"] for r in rows} <= set(range(10))
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)

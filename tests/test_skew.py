@@ -41,6 +41,18 @@ def test_salted_join_matches_plain_join(spark):
     assert n_groups == 8
 
 
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    big = _hot_key_df(spark)
+    small = spark.createDataFrame([("HOT", 1.0)], "k string, w double")
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="not supported"):
+            skew.salted_join(big, small, on="k", how=how)
+    # left-side types still work
+    assert skew.salted_join(big, small, on="k", how="left_anti").count() == 200
+
+
 def test_salted_distinct_count_exact(spark):
     df = _hot_key_df(spark).withColumn("v", F.col("v") % 777)  # repeats
     plain = {
@@ -58,10 +70,42 @@ def test_salted_distinct_count_exact(spark):
 
 def test_lsh_bucket_cap_drops_only_oversized(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
-    uncapped = dedup.minhash_candidates(docs)
+    uncapped = dedup.minhash_candidates(docs, max_bucket_size=None)
     capped = dedup.minhash_candidates(docs, max_bucket_size=10**6)
     # astronomically large cap: identical result
     assert uncapped.exceptAll(capped).count() == 0
     # cap of 1 kills every bucket → no pairs
     none = dedup.minhash_candidates(docs, max_bucket_size=1)
     assert none.count() == 0
+
+
+def test_lsh_bucket_cap_on_by_default_kills_boilerplate_bucket(spark):
+    """One adversarial boilerplate bucket (200 near-identical docs) must
+    be DROPPED by the default cap, not expanded into ~20k pairs."""
+    boiler = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("terms of service apply to all users of this site").alias(
+            "text"
+        ),
+    )
+    organic = spark.range(1000, 1040).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("organic document number "),
+            F.col("id").cast("string"),
+            F.lit(" with distinct content words"),
+        ).alias("text"),
+    )
+    docs = boiler.unionAll(organic)
+
+    capped = dedup.minhash_candidates(docs, max_bucket_size=100)
+    boiler_pairs = capped.filter(F.col("id_a") < 200).count()
+    assert boiler_pairs == 0, "oversized boilerplate bucket must be dropped"
+
+    # and the default IS capped (same behavior as an explicit small cap
+    # once the bucket exceeds it)
+    default_pairs = dedup.minhash_candidates(docs)
+    assert default_pairs.filter(F.col("id_a") < 200).count() > 0  # 200<1000
+    uncapped = dedup.minhash_candidates(docs, max_bucket_size=None)
+    # identical docs all collide: m(m-1)/2 pairs without any cap
+    assert uncapped.filter(F.col("id_a") < 200).count() >= 199 * 200 // 2

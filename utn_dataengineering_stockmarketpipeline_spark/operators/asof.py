@@ -40,23 +40,34 @@ def asof_join(
 
     Right rows must be unique per (key, time) — the stock-bar contract;
     with duplicates the carried value is the max-sorting one.
+
+    All value columns travel as ONE struct carried by a single
+    ``last(ignorenulls=True)``, so every output value comes from the
+    same matched right row — a NULL inside the matched row stays NULL
+    (per-column carries would backfill it from an older row, mixing
+    columns of different right rows and diverging from DuckDB ASOF).
     """
     # side marker orders equal timestamps so a left row sees a right row
     # at the *same* instant (inclusive) or not (strict)
     l_mark, r_mark = (0, 1) if strict else (1, 0)
+    r_struct_type = right.select(*value_cols).schema
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).cast("timestamp").alias("__t"),
         F.lit(l_mark).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in value_cols],
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"{f.name}:{f.dataType.simpleString()}" for f in r_struct_type
+            ) + ">"
+        ).alias("__rrow"),
     )
     r_tagged = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(r_mark).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
     )
     w = (
         Window.partitionBy("__k")
@@ -66,14 +77,11 @@ def asof_join(
     carried = l_tagged.unionByName(r_tagged).select(
         "__side",
         "__lrow",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
     )
     return carried.filter(F.col("__side") == l_mark).select(
         "__lrow.*",
-        *[F.col(f"__r_{c}").alias(c) for c in value_cols],
+        *[F.col(f"__rrow.{c}").alias(c) for c in value_cols],
     )
 
 

@@ -108,7 +108,7 @@ def _band_structs(num_perms: int, bands: int) -> Column:
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_perms: int = 8, bands: int = 4,
-                       max_bucket_size: int | None = None) -> DataFrame:
+                       max_bucket_size: int | None = 1000) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
     Signature → explode into ``bands`` (band, bucket) keys → group each
@@ -121,7 +121,10 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     members expands to m(m-1)/2 pairs, so one boilerplate-text bucket
     of 10⁵ docs means 5x10⁹ pairs in one task. Capped buckets are
     dropped entirely (the standard recall-for-survival trade; such
-    buckets are near-always template text caught by exact dedup).
+    buckets are near-always template text caught by exact dedup). The
+    cap is ON by default — the 100 TB posture is the default posture;
+    pass ``None`` only when the input is known boilerplate-free and
+    bit-exact parity with an uncapped oracle is required.
     """
     sigs = minhash_signatures(df, text_col, id_col, k, num_perms)
     mh_cols = [f"mh_{i}" for i in range(num_perms)]
@@ -266,17 +269,20 @@ def embedding_near_dup_pairs(
     the Pandas-UDF escape hatch is for (SURVEY.md §2.10).
 
     The broadcast bounds this baseline at corpora that fit driver
-    memory (~10⁶ x 64 floats); past that use
+    memory; the bound is ENFORCED (similarity.MAX_BROADCAST_ROWS —
+    raises past it rather than OOMing the driver). Past that use
     :func:`embedding_near_dup_pairs_lsh`, which never materializes the
     corpus in one place.
     """
     import numpy as np
     import pandas as pd
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    from .similarity import _collect_normalized
+
+    ids, mat = _collect_normalized(
+        df, id_col, vec_col,
+        "embedding_near_dup_pairs", "embedding_near_dup_pairs_lsh",
+    )
     bc = df.sparkSession.sparkContext.broadcast((ids, mat))
 
     def score(batches):
@@ -311,7 +317,7 @@ def embedding_near_dup_pairs_lsh(
     planes_per_table: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs — the 100 TB path.
 

@@ -25,9 +25,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# feat_* are scalar columns (not array<double>): downstream consumers —
+# including the driver's pandas canonicalizer — can sort/hash scalars,
+# and Parquet stores them as plain double columns with min/max stats.
+N_FEATURES = 4
 FEATURE_SCHEMA = (
     "asset_id long, modality string, n_bytes long, sha_prefix string, "
-    "feat array<double>"
+    + ", ".join(f"feat_{i} double" for i in range(N_FEATURES))
 )
 
 
@@ -55,17 +59,18 @@ def extract_features(assets: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "asset_id": pdf["asset_id"],
-                    "modality": pdf["modality"],
-                    "n_bytes": payloads.map(len),
-                    "sha_prefix": payloads.map(
-                        lambda b: hashlib.sha256(b).hexdigest()[:12]
-                    ),
-                    "feat": payloads.map(_fake_features),
-                }
-            )
+            feats = payloads.map(_fake_features)
+            out = {
+                "asset_id": pdf["asset_id"],
+                "modality": pdf["modality"],
+                "n_bytes": payloads.map(len),
+                "sha_prefix": payloads.map(
+                    lambda b: hashlib.sha256(b).hexdigest()[:12]
+                ),
+            }
+            for i in range(N_FEATURES):
+                out[f"feat_{i}"] = feats.map(lambda f, i=i: f[i])
+            yield pd.DataFrame(out)
 
     return assets.select("asset_id", "modality", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA

@@ -17,6 +17,7 @@ broadcast when the pruned side is small.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 
 
@@ -40,13 +41,24 @@ def merge_append(incoming: DataFrame, target_path: str, key: str,
 
     Returns the number of rows appended (the reference prints this,
     DB_manager.py:179). Creates the target on first load.
+
+    Only a genuinely-absent target counts as "first load". Any other
+    read failure (permissions, corrupt footer, transient FS error) is
+    re-raised — treating it as first-load would append the whole batch
+    without the anti-join and silently break the SCD-0 exactly-once
+    invariant that the streaming sink (streaming/ingest.py scd0_sink)
+    relies on for replay absorption.
     """
     spark = incoming.sparkSession
     try:
         target = spark.read.parquet(target_path)
         fresh = new_rows(incoming, target, key)
-    except Exception:  # first load: target does not exist yet
-        fresh = incoming.dropDuplicates([key])
+    except AnalysisException as e:
+        get_cond = getattr(e, "getCondition", None) or e.getErrorClass
+        cond = get_cond() or ""
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise  # real failure — surface it, don't skip the anti-join
+        fresh = incoming.dropDuplicates([key])  # first load
     fresh = fresh.persist()  # count + write without recomputing the anti-join
     try:
         n = fresh.count()

@@ -26,6 +26,34 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, l2_norm
 
+#: Hard ceiling for driver-side corpus materialization in the exact
+#: baselines (~2M x 64 float64 ≈ 1 GiB). Above this the operators
+#: REFUSE to run rather than silently OOM the driver; the scale paths
+#: are lsh_topk / ivf_topk / embedding_near_dup_pairs_lsh.
+MAX_BROADCAST_ROWS = 2_000_000
+
+
+def _collect_normalized(df: DataFrame, id_col: str, vec_col: str,
+                        op_name: str, scale_alternative: str):
+    """Driver-side (ids, normalized float64 matrix) with an ENFORCED row
+    bound — the documented contract of the exact baselines, not a
+    silent assumption. Raises before collecting anything if the corpus
+    exceeds MAX_BROADCAST_ROWS."""
+    import numpy as np
+
+    n = df.count()
+    if n > MAX_BROADCAST_ROWS:
+        raise ValueError(
+            f"{op_name}: corpus has {n} rows > MAX_BROADCAST_ROWS="
+            f"{MAX_BROADCAST_ROWS}; the exact baseline materializes the "
+            f"corpus on the driver. Use {scale_alternative} at this scale."
+        )
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -46,16 +74,16 @@ def brute_force_topk(
     Excludes self-matches. Similarity rounds to ``round_to`` BEFORE
     ranking with a deterministic (sim desc, neighbor_id) tiebreak, so
     results are stable across engines and partitionings. Corpus must
-    fit driver memory (it is the BROADCAST side by definition); the
-    scale paths are :func:`lsh_topk` and :func:`ivf_topk`.
+    fit driver memory (it is the BROADCAST side by definition) — the
+    bound is ENFORCED (MAX_BROADCAST_ROWS, raises past it); the scale
+    paths are :func:`lsh_topk` and :func:`ivf_topk`.
     """
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
-    c_ids = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    c_ids, mat = _collect_normalized(
+        corpus, id_col, vec_col, "brute_force_topk", "lsh_topk/ivf_topk"
+    )
     bc = corpus.sparkSession.sparkContext.broadcast((c_ids, mat))
 
     def score(batches):
@@ -224,12 +252,18 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_rows: int = 65_536,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the other standard ANN
     index besides LSH (Faiss's default shape).
 
-    Train: deterministic k-means over the corpus (driver-side numpy —
-    at 100 TB you train on a sample; centroid count stays tiny).
+    Train: deterministic k-means over a bounded SAMPLE of the corpus —
+    never the full corpus. When the corpus exceeds
+    ``train_sample_rows``, a seeded ``df.sample`` draws ~that many rows
+    (centroid quality needs only a representative sample; Faiss trains
+    the same way), so driver memory for training is O(sample), not
+    O(corpus), at any scale. The sample is sorted by id before k-means
+    so centroids are identical regardless of partitioning.
     Index: each corpus vector assigns to its nearest centroid
     (Arrow-batched BLAS, one pass). Search: each query probes its
     ``n_probe`` closest centroids, exact-reranks only those lists —
@@ -239,7 +273,14 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    rows = corpus.select(id_col, vec_col).collect()
+    train = corpus.select(id_col, vec_col)
+    n = train.count()
+    if n > train_sample_rows:
+        # seeded Bernoulli sample, slightly over-drawn then truncated
+        # (deterministically, in id order) to the requested size
+        frac = min(1.0, 1.2 * train_sample_rows / n)
+        train = train.sample(fraction=frac, seed=42)
+    rows = sorted(train.collect(), key=lambda r: r[0])[:train_sample_rows]
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_centroids)

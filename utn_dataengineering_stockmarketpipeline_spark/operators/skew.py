@@ -41,8 +41,20 @@ def salted_join(
 
     ``big`` rows salt by a hash of ALL their columns (stable under
     retries); ``small`` rows replicate across every salt. Output
-    columns match ``big.join(small, on, how)``.
+    matches ``big.join(small, on, how)`` for the LEFT-side join types
+    only — each big row carries exactly one salt, so it joins/misses
+    exactly once. Right/full outer would emit each unmatched small row
+    once PER SALT (n_salts duplicates), so those are rejected; put the
+    skewed side on the left or de-dup downstream instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} not supported — small-side rows "
+            f"are replicated per salt, so right/full outer joins would "
+            f"duplicate unmatched small rows. Allowed: {sorted(allowed)}"
+        )
     non_key = [c for c in big.columns if c != on] or [on]
     b = big.withColumn("__salt", _salt(non_key, n_salts))
     s = small.withColumn(

@@ -408,7 +408,7 @@ SELECT stock_ticker,
        MAX(stock_high)                  AS month_high,
        MIN(stock_low)                   AS month_low,
        arg_max(stock_close, stock_date) AS month_close,
-       SUM(stock_volume)                AS month_volume,
+       CAST(SUM(stock_volume) AS BIGINT) AS month_volume,
        COUNT(*)                         AS n_days
 FROM stock_prices
 GROUP BY stock_ticker, stock_year, stock_month
@@ -440,7 +440,7 @@ SELECT stock_ticker,
        stock_month,
        CAST(SUM(CAST(stock_close * stock_volume AS DECIMAL(28,6))) AS DOUBLE)
          / CAST(SUM(stock_volume) AS DOUBLE) AS vwap,
-       SUM(stock_volume) AS total_volume
+       CAST(SUM(stock_volume) AS BIGINT) AS total_volume
 FROM stock_prices
 GROUP BY stock_ticker, stock_year, stock_month
 """),

@@ -19,26 +19,62 @@ from pyspark.sql import types as T
 
 from .catalog import register
 
-def _capped_state_partitions(spark: SparkSession, n: int = 32):
-    """Context manager: cap shuffle partitions for a streaming drain.
+def _scoped_conf(spark: SparkSession, **settings: str):
+    """Context manager: set session confs, restore originals on exit.
 
-    A streaming query creates one state store per shuffle partition at
-    START and keeps it for the checkpoint's lifetime; inheriting a
-    batch-tuned 200 means 200 tiny HDFS-backed stores for a bounded
-    drain. Restored afterwards so the caller's session is untouched.
+    Catalog queries must not leak conf changes into the session — e.g.
+    ``spark.sql.legacy.parquet.nanosAsLong`` changes how *batch* reads
+    of events.parquet parse ``ts``, so a leaked set would make later
+    batch queries depend on driver iteration order. Every conf touched
+    here is restored (or unset, if it had no prior value).
     """
     import contextlib
 
     @contextlib.contextmanager
     def guard():
-        old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        saved: dict[str, str | None] = {}
+        for key, val in settings.items():
+            saved[key] = spark.conf.get(key, None)
+            spark.conf.set(key, val)
         try:
             yield
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old)
+            for key, old in saved.items():
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)
 
     return guard()
+
+
+def _capped_state_partitions(spark: SparkSession, n: int = 32):
+    """Cap shuffle partitions for a streaming drain (restored on exit).
+
+    A streaming query creates one state store per shuffle partition at
+    START and keeps it for the checkpoint's lifetime; inheriting a
+    batch-tuned 200 means 200 tiny HDFS-backed stores for a bounded
+    drain.
+    """
+    return _scoped_conf(spark, **{"spark.sql.shuffle.partitions": str(n)})
+
+
+def _streaming_events_conf(spark: SparkSession, n_partitions: int = 32):
+    """All conf a bounded events-stream drain needs, scoped:
+
+    - UTC session timezone so window bounds match the UTC-epoch oracle;
+    - ``nanosAsLong`` so the TIMESTAMP(NANOS) parquet column reads as
+      long (converted to a real timestamp via ``timestamp_micros``);
+    - capped shuffle partitions (state-store-per-partition, see above).
+    """
+    return _scoped_conf(
+        spark,
+        **{
+            "spark.sql.session.timeZone": "UTC",
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+            "spark.sql.shuffle.partitions": str(n_partitions),
+        },
+    )
 
 
 _EVENTS_LONG_TS = T.StructType(
@@ -69,34 +105,32 @@ GROUP BY 1, 2
     tags=("streaming", "window", "events"),
 )
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # the file source wants a directory; glob-filter it to the one table
-    raw = (
-        spark.readStream.schema(_EVENTS_LONG_TS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # integer div: double division loses µs precision at ns-epoch scale
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = (
-        raw.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
-                "total_value"
-            ),
-        )
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
-        )
-    )
     name = "stream_hourly_" + uuid.uuid4().hex[:12]
-    with _capped_state_partitions(spark):
+    with _streaming_events_conf(spark):
+        # the file source wants a directory; glob-filter it to the one table
+        raw = (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            # integer div: double division loses µs precision at ns-epoch scale
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                    "total_value"
+                ),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -105,7 +139,11 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+        # materialize inside the conf scope: the memory sink holds plain
+        # rows, so the returned DataFrame no longer depends on the confs
+        out = spark.table(name)
+        out.count()
+    return out
 
 
 @register(
@@ -129,32 +167,30 @@ FROM p JOIN er ON p.user_id = er.user_id
 def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import stream_stream_join
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_LONG_TS)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-
-    def side(etype: str, prefix: str) -> DataFrame:
-        return raw.filter(F.col("event_type") == etype).select(
-            "user_id",
-            F.col("ts").alias(f"{prefix}_ts"),
-            F.col("event_id").alias(f"{prefix}_id"),
+    name = "stream_ssj_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        raw = (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
 
-    joined = stream_stream_join(
-        side("purchase", "p"),
-        side("error", "e"),
-        on="user_id",
-        left_ts="p_ts",
-        right_ts="e_ts",
-    ).select(F.col("l.user_id").alias("user_id"), "p_id", "e_id")
+        def side(etype: str, prefix: str) -> DataFrame:
+            return raw.filter(F.col("event_type") == etype).select(
+                "user_id",
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("event_id").alias(f"{prefix}_id"),
+            )
 
-    name = "stream_ssj_" + uuid.uuid4().hex[:12]
-    with _capped_state_partitions(spark):
+        joined = stream_stream_join(
+            side("purchase", "p"),
+            side("error", "e"),
+            on="user_id",
+            left_ts="p_ts",
+            right_ts="e_ts",
+        ).select(F.col("l.user_id").alias("user_id"), "p_id", "e_id")
+
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -163,4 +199,6 @@ def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.table(name)
+        out = spark.table(name)
+        out.count()
+    return out
