@@ -38,7 +38,114 @@ BENCH_QUERIES = (
     "llm_text_quality",
     "llm_cosine_topk",
     "llm_embedding_near_dup",
+    # approximate scale paths + streaming drains: tracked numbers, not
+    # just the exact baselines
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "stream_events_hourly",
+    "stream_purchase_error_join",
 )
+
+
+def _replicate_docs(spark, sf_dir: str, factor: int):
+    """documents scaled ×factor: replicas get distinct ids and a small
+    distinct text suffix, so corpus GROWS without becoming a wall of
+    exact duplicates (which would measure pair explosion, not scaling)."""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = spark.range(factor).select(F.col("id").alias("rep"))
+    return docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text")).otherwise(
+            F.concat(
+                F.col("text"),
+                F.lit(" variant token "),
+                F.col("rep").cast("string"),
+            )
+        ).alias("text"),
+    )
+
+
+def _replicate_embeddings(spark, sf_dir: str, factor: int):
+    """embeddings ×factor: replicas are exact vector copies with new ids
+    — the worst realistic LSH case (every replica group collides in
+    every table)."""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.agg(F.max("vec_id")).first()[0] + 1
+    rep = spark.range(factor).select(F.col("id").alias("rep"))
+    return emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("rep") * n).alias("vec_id"), "embedding"
+    )
+
+
+def _bucket_quantiles(sizes_df) -> dict:
+    """Summarize a (…, size) bucket-size DataFrame into the numbers a
+    skew dashboard would track."""
+    row = sizes_df.selectExpr(
+        "count(*) AS n_buckets",
+        "percentile_approx(size, array(0.5, 0.9, 0.99)) AS q",
+        "max(size) AS max_size",
+    ).first()
+    return {
+        "n_buckets": row["n_buckets"],
+        "p50": row["q"][0],
+        "p90": row["q"][1],
+        "p99": row["q"][2],
+        "max": row["max_size"],
+    }
+
+
+def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
+    """Evidence that the bucketed (LSH) dedup paths scale near-linearly
+    where brute force scales quadratically: wall time at 1× and
+    ×factor corpus, plus the bucket-size distribution that the default
+    ``max_bucket_size`` guard acts on."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+
+    out: dict = {"factor": factor}
+
+    docs_1x = _replicate_docs(spark, sf_dir, 1)
+    docs_nx = _replicate_docs(spark, sf_dir, factor)
+    emb_1x = _replicate_embeddings(spark, sf_dir, 1)
+    emb_nx = _replicate_embeddings(spark, sf_dir, factor)
+    for df in (docs_1x, docs_nx, emb_1x, emb_nx):
+        df.persist().count()  # isolate operator time from input build
+
+    def timed(label: str, df) -> None:
+        t0 = time.perf_counter()
+        n = df.count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+
+    timed("minhash_lsh_1x", dedup.minhash_candidates(docs_1x))
+    timed("minhash_lsh_10x", dedup.minhash_candidates(docs_nx))
+    out["minhash_buckets_10x"] = _bucket_quantiles(
+        dedup.minhash_bucket_sizes(docs_nx)
+    )
+    timed("sign_lsh_near_dup_1x", dedup.embedding_near_dup_pairs_lsh(emb_1x, dim=64))
+    timed("sign_lsh_near_dup_10x", dedup.embedding_near_dup_pairs_lsh(emb_nx, dim=64))
+    out["embedding_buckets_10x"] = _bucket_quantiles(
+        dedup.embedding_bucket_sizes(emb_nx, dim=64)
+    )
+    # brute-force quadratic reference at 1x only (the point of the LSH
+    # path is not running an n² matmul at 10x)
+    timed("brute_near_dup_1x", dedup.embedding_near_dup_pairs(emb_1x))
+
+    for df in (docs_1x, docs_nx, emb_1x, emb_nx):
+        df.unpersist()
+    return out
 
 
 def main() -> None:
@@ -63,6 +170,8 @@ def main() -> None:
         timings[name] = round(best, 3)
         total += best
 
+    evidence = scale_evidence(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -72,6 +181,7 @@ def main() -> None:
                 "unit": "sec",
                 "timing": "min-of-2 (steady state)",
                 "queries": timings,
+                "scale_evidence": evidence,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

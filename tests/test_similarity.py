@@ -49,6 +49,39 @@ def test_lsh_near_dup_recall_and_precision(spark):
     assert recall >= 0.5, f"recall {recall:.2f}"
 
 
+def test_blas_bucketing_matches_expression_bucketing(spark):
+    """The BLAS matmul bucketer must assign exactly the buckets the
+    reference expression formulation does (same hyperplanes, same bit
+    order) — the fast path may not silently change the hash family."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    expr = emb.select(
+        "vec_id",
+        F.explode(
+            similarity._table_buckets(F.col("embedding"), 64, 4, 4)
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    blas = emb.select(
+        "vec_id",
+        F.posexplode(
+            similarity.table_buckets_blas("embedding", 64, 4, 4)
+        ).alias("tbl", "bucket"),
+    )
+    assert expr.exceptAll(blas).count() == 0
+    assert blas.exceptAll(expr).count() == 0
+
+
+def test_auto_planes_tuning_rule():
+    from utn_dataengineering_stockmarketpipeline_spark.operators.similarity import (
+        auto_planes_per_table,
+    )
+
+    assert auto_planes_per_table(0) == 4
+    assert auto_planes_per_table(500) == 4          # small corpus: floor
+    assert auto_planes_per_table(5_000) == 7        # 2^7=128 ≈ 5000/64
+    assert auto_planes_per_table(50_000) == 10
+    assert auto_planes_per_table(10**9) == 16       # ceiling
+
+
 def test_lsh_bucket_determinism(spark):
     """Bucketing must be identical across evaluations (MD5 planes, no
     RNG): two independent computations agree row-for-row."""

@@ -12,4 +12,4 @@ from .hashing import (  # noqa: F401
     shingles,
     token_hash,
 )
-from .vectors import cosine_similarity, dot, l2_norm  # noqa: F401
+from .vectors import cosine_blas, cosine_similarity, dot, l2_norm  # noqa: F401

