@@ -1,0 +1,31 @@
+"""duplicate_clusters unit semantics on hand-built graphs (the catalog
+oracle covers the LSH-pair integration; these pin the iteration logic)."""
+
+from __future__ import annotations
+
+from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+    duplicate_clusters,
+)
+
+
+def _clusters(spark, edges, n_ids):
+    ids = spark.createDataFrame([(i,) for i in range(n_ids)], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = duplicate_clusters(pairs, ids)
+    return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+
+def test_path_graph_converges_past_diameter_two(spark):
+    # 0-1-2-3-4-5 chain: min label must travel the whole path
+    got = _clusters(spark, [(i, i + 1) for i in range(5)], 8)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 7}
+
+
+def test_two_components_and_singletons(spark):
+    got = _clusters(spark, [(1, 2), (2, 3), (5, 6)], 8)
+    assert got == {0: 0, 1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_no_edges_all_singletons(spark):
+    got = _clusters(spark, [], 4)
+    assert got == {i: i for i in range(4)}

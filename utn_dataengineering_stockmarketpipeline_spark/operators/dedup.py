@@ -433,6 +433,60 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
+                       id_col: str = "doc_id",
+                       max_iters: int = 25) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster_id)
+    with cluster_id = min doc id reachable — the step that turns
+    pairwise LSH output into "keep one doc per duplicate group".
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds, and dedup graphs are near-cliques
+    (diameter ~2), so 3-4 rounds in practice. Each round is ONE
+    shuffle (edges ⋈ labels, groupBy min) over (long, long) rows;
+    ``localCheckpoint`` truncates the growing plan per round.
+    Convergence detected via the strictly-decreasing label sum — one
+    scalar action per round, no full-frame comparison. At extreme
+    graph scale swap in large-star/small-star (Kiveris et al.) — the
+    per-round join shape stays exactly this.
+
+    Singletons (ids with no pairs) keep themselves as cluster_id.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = ids.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(prop, labels["id"] == prop["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16,
                        max_hamming: int = 2) -> DataFrame:

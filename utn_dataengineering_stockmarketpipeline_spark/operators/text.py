@@ -179,3 +179,35 @@ def winnowing_fingerprints(
         .select(id_col, "fp")
         .distinct()
     )
+
+
+# PII patterns deliberately restricted to RE2 ∩ java.util.regex syntax
+# (no backrefs/lookaround) so Spark and any RE2-based engine (DuckDB,
+# Go tooling) scrub byte-identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails/URLs from a text column — the compliance pass every
+    training-data pipeline runs before tokenization.
+
+    Pure regexp_replace/regexp_count expressions: zero-shuffle map
+    stage fused with the scan, no UDF. Emits match counts (audit
+    metrics) plus the scrubbed text; URL scrub runs first so an email
+    inside a URL query string counts once, as '<URL>'.
+    """
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(text_col, URL_PATTERN, "<URL>"),
+        EMAIL_PATTERN,
+        "<EMAIL>",
+    )
+    return df.select(
+        "*",
+        F.regexp_count(text_col, F.lit(URL_PATTERN)).alias("n_urls"),
+        F.regexp_count(
+            F.regexp_replace(text_col, URL_PATTERN, "<URL>"),
+            F.lit(EMAIL_PATTERN),
+        ).alias("n_emails"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -459,3 +459,174 @@ def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.75)).alias("p75"),
         F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
     )
+
+
+@register(
+    "ana_nation_flow",
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE ns.n_name < nc.n_name
+GROUP BY 1, 2, 3
+""",
+    doc="TPC-H Q7-shaped trade flow: revenue between (supplier nation, "
+        "customer nation) pairs per ship year. One genuine fact-to-fact "
+        "shuffle join (lineitem ⋈ orders on orderkey — both sides "
+        "hash-partition once); every dimension broadcasts, including "
+        "nation twice under different roles. The plan shape that "
+        "dominates warehouse workloads at 100 TB: AQE picks the shuffle "
+        "join's partitioning, dims never shuffle the fact",
+    tags=("analytics", "join", "multi-join"),
+)
+def q_nation_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == ns["ns_key"])
+        .join(F.broadcast(nc), c["c_nationkey"] == nc["nc_key"])
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "ana_market_share",
+    """
+WITH flows AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+         ns.n_name AS supp_nation,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS rev
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN part      ON l_partkey = p_partkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region r  ON nc.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'ASIA' AND p_type = 'PROMO')
+SELECT CAST(order_year AS INT) AS order_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+            / CAST(SUM(rev) AS DOUBLE) AS DOUBLE) AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM flows GROUP BY 1
+""",
+    doc="TPC-H Q8-shaped market share: NATION_3 suppliers' revenue share "
+        "of PROMO-part sales to ASIA customers, per order year. Eight-"
+        "table join where the part/region filters prune BEFORE the "
+        "joins (predicate pushdown reaches the scans), the conditional "
+        "share aggregate runs as one pass (no self-join re-scan), and "
+        "exact DECIMAL sums make the double division engine-identical",
+    tags=("analytics", "join", "multi-join", "conditional-agg"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    flows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == ns["ns_key"])
+        .join(F.broadcast(nc), c["c_nationkey"] == nc["nc_key"])
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("nc_region") == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            "supp_nation",
+            rev.alias("rev"),
+        )
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("rev")).otherwise(zero)
+    ).cast("double")
+    return flows.groupBy("order_year").agg(
+        (share_num / F.sum("rev").cast("double")).alias("mkt_share"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "ana_priority_late_orders",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4-shaped correlated EXISTS: orders having any line item "
+        "shipped >60 days after ordering, counted per priority. The "
+        "correlated subquery lowers to a LEFT SEMI shuffle join on "
+        "orderkey — the fact never duplicates rows however many line "
+        "items match, and Catalyst plans it without a manual rewrite",
+    tags=("analytics", "join", "semi", "subquery"),
+)
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -142,6 +142,36 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dup_clusters",
+    f"""
+WITH RECURSIVE {_BANDED_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+SELECT id AS doc_id, MIN(label) AS cluster_id
+FROM reach GROUP BY id
+""",
+    doc="duplicate clusters: connected components over the MinHash-LSH "
+        "pair graph via iterative min-label propagation (one shuffle "
+        "per round, O(diameter) rounds) — turns pairwise near-dup "
+        "output into keep-one-per-group; oracle is DuckDB's recursive "
+        "transitive closure over the identical pair graph",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    return dedup.duplicate_clusters(pairs, docs)
+
+
+@register(
     "llm_ngram_jaccard_pairs",
     f"""
 WITH {_HS_CTES.strip()},
@@ -582,4 +612,65 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("doc_id").alias("n_distinct_ids"),
+    )
+
+
+@register(
+    "llm_pii_scrub",
+    """
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com see https://docs.example.com/d/'
+                   || CAST(doc_id AS VARCHAR) || ' now'
+              ELSE text END AS text
+  FROM documents),
+scrub AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://[^\\s]+')) AS n_urls,
+         len(regexp_extract_all(
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(
+             regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS scrubbed
+  FROM enriched)
+SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       md5(scrubbed) AS scrub_md5,
+       CAST(length(scrubbed) AS BIGINT) AS scrub_len
+FROM scrub
+""",
+    doc="PII scrub (emails/URLs -> placeholders) over a deterministically "
+        "PII-enriched documents table; patterns restricted to RE2 ∩ Java "
+        "regex so both engines scrub byte-identically — verified via "
+        "md5(scrubbed). Zero-shuffle codegen map stage (operators/"
+        "text.pii_scrub)",
+    tags=("llm", "text", "pii"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com see https://docs.example.com/d/"),
+                F.col("doc_id").cast("string"),
+                F.lit(" now"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = text.pii_scrub(enriched)
+    return out.select(
+        "doc_id",
+        F.col("n_urls").cast("bigint").alias("n_urls"),
+        F.col("n_emails").cast("bigint").alias("n_emails"),
+        F.md5("scrubbed").alias("scrub_md5"),
+        F.length("scrubbed").cast("bigint").alias("scrub_len"),
     )

@@ -202,3 +202,107 @@ def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.table(name)
         out.count()
     return out
+
+
+@register(
+    "stream_stateful_totals",
+    """
+SELECT CAST(user_id % 8 AS VARCHAR) AS group_key,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_value
+FROM events GROUP BY 1
+""",
+    doc="custom stateful operator (applyInPandasWithState): per-key "
+        "running (count, sum) carried in partition-local state across "
+        "micro-batches, update-mode emission. Drained availableNow; the "
+        "FINAL state per key must equal the batch GROUP BY, which is "
+        "the DuckDB oracle (totals rounded to 2 dp: state accumulates "
+        "in float64, the oracle in DECIMAL)",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stateful_running_totals
+
+    name = "stream_totals_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        raw = (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            # key on a mod-8 user cohort: few enough keys that the
+            # oracle output is readable, many enough to exercise
+            # cross-partition state
+            .select((F.col("user_id") % 8).alias("cohort"), "value")
+        )
+        totals = stateful_running_totals(raw, "cohort", "value")
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode emits one row per key per micro-batch; the final
+        # state per key is the row with the largest running count
+        out = (
+            spark.table(name)
+            .groupBy("group_key")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.round(F.max_by("total_value", "n_events"), 2).alias(
+                    "total_value"
+                ),
+            )
+        )
+        out.count()
+    return out
+
+
+@register(
+    "stream_dedup_events",
+    """
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="at-least-once -> exactly-once via streaming dropDuplicates: the "
+        "source is deliberately DOUBLED (union of two readStreams over "
+        "the same files — every event delivered twice), watermarked "
+        "dedup state collapses redeliveries, and the per-type counts "
+        "must equal the batch counts over the ORIGINAL table (the "
+        "oracle). The dedup key includes the event-time column so "
+        "state evicts by watermark on an unbounded stream",
+    tags=("streaming", "dedup", "exactly-once"),
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "stream_dedup_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        def one_stream() -> DataFrame:
+            return (
+                spark.readStream.schema(_EVENTS_LONG_TS)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .select("event_id", "ts", "event_type")
+            )
+
+        doubled = one_stream().unionAll(one_stream())
+        deduped = doubled.withWatermark("ts", "10 minutes").dropDuplicates(
+            ["event_id", "ts"]
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out.count()
+    return out
