@@ -95,6 +95,36 @@ def test_asof_join_single_window_no_join_operator(spark):
     assert plan.count("Window") >= 1
 
 
+def test_nation_flow_broadcasts_dims_no_fact_shuffle_for_dims(spark):
+    """Q7 shape: every dimension join broadcasts (at sf0.001 even
+    orders fits the broadcast threshold — also correct); the fact never
+    hash-shuffles for a dim join, and no nested loop anywhere."""
+    plan = plan_of(CATALOG["ana_nation_flow"].build(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 4  # s, c, nation×2 (+o)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only allowed hash-partition exchange is the final aggregation
+    # (a dim join shuffling the fact would add more)
+    agg_exchanges = plan.count("Exchange hashpartitioning")
+    join_types = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert agg_exchanges <= 1 + 2 * join_types
+
+
+def test_market_share_filters_push_to_scans(spark):
+    """Q8 shape: the part/region predicates must reach the parquet scans
+    (PushedFilters), not run post-join."""
+    plan = plan_of(CATALOG["ana_market_share"].build(spark, SF_SMOKE))
+    assert "EqualTo(p_type,PROMO)" in plan
+    assert "EqualTo(r_name,ASIA)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_late_orders_exists_lowers_to_semi_join(spark):
+    plan = plan_of(CATALOG["ana_priority_late_orders"].build(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_whole_stage_codegen_covers_transform_layer(spark):
     """The normalize projection must fuse into codegen'd stages (the
     reference's eager pandas steps collapse to one map stage here)."""

@@ -42,7 +42,9 @@ def _collect_normalized(df: DataFrame, id_col: str, vec_col: str,
     exceeds MAX_BROADCAST_ROWS."""
     import numpy as np
 
-    n = df.count()
+    # count over the pruned id column only — the row-count probe must
+    # not pay a scan of the (fat) vector column
+    n = df.select(id_col).count()
     if n > MAX_BROADCAST_ROWS:
         raise ValueError(
             f"{op_name}: corpus has {n} rows > MAX_BROADCAST_ROWS="

@@ -59,13 +59,18 @@ def _capped_state_partitions(spark: SparkSession, n: int = 32):
     return _scoped_conf(spark, **{"spark.sql.shuffle.partitions": str(n)})
 
 
-def _streaming_events_conf(spark: SparkSession, n_partitions: int = 32):
+def _streaming_events_conf(spark: SparkSession, n_partitions: int = 8):
     """All conf a bounded events-stream drain needs, scoped:
 
     - UTC session timezone so window bounds match the UTC-epoch oracle;
     - ``nanosAsLong`` so the TIMESTAMP(NANOS) parquet column reads as
       long (converted to a real timestamp via ``timestamp_micros``);
-    - capped shuffle partitions (state-store-per-partition, see above).
+    - capped shuffle partitions. Stateful operators pay per-partition
+      state-store commit overhead EVERY micro-batch regardless of row
+      volume (measured: the interval-join drain is 8s at 32 partitions,
+      2.6s at 8 — pure fixed cost). Size partitions to stream volume:
+      8 fits these sf-scale drains; a production stream sizes up with
+      throughput, where the same fixed cost amortizes.
     """
     return _scoped_conf(
         spark,
