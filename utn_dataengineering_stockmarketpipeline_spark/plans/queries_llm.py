@@ -10,7 +10,7 @@ cross-engine, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import M31, SHINGLE_B, perm_seeds
@@ -673,4 +673,59 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_emails").cast("bigint").alias("n_emails"),
         F.md5("scrubbed").alias("scrub_md5"),
         F.length("scrubbed").cast("bigint").alias("scrub_len"),
+    )
+
+
+@register(
+    "llm_tfidf_top_terms",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * ROUND(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                          / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rnk
+  FROM scored)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 3
+""",
+    doc="per-document top-3 TF-IDF terms: explode → two count "
+        "aggregations (term frequency, document frequency) → join → "
+        "ranked window with a deterministic (tfidf desc, term) "
+        "tiebreak. IDF is ROUNDED to 6 dp BEFORE ranking so both "
+        "engines rank identical keys (ln() may differ in the last ulp "
+        "cross-engine); tf and df are exact integers. The relational "
+        "formulation — no UDF, no vocabulary broadcast — is the one "
+        "that survives a 100 TB corpus: everything partial-aggregates",
+    tags=("llm", "text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar; the oracle's COUNT(*) subquery
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        tok.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    scored = tf.join(df_, "term").select(
+        "doc_id", "term", "tf", "df", (F.col("tf") * idf).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )

@@ -619,3 +619,180 @@ def q_ticker_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_days"),
         corr.alias("return_corr"),
     )
+
+
+@register(
+    "ref_rsi14",
+    with_reference_ctes("""
+, chg AS (
+  SELECT stock_ticker, stock_date,
+         CAST(stock_close - LAG(stock_close) OVER
+              (PARTITION BY stock_ticker ORDER BY stock_date)
+              AS DECIMAL(18,6)) AS chg
+  FROM stock_prices),
+g AS (
+  SELECT stock_ticker, stock_date,
+         CASE WHEN chg > 0 THEN chg ELSE CAST(0 AS DECIMAL(18,6)) END AS gain,
+         CASE WHEN chg < 0 THEN -chg ELSE CAST(0 AS DECIMAL(18,6)) END AS loss
+  FROM chg WHERE chg IS NOT NULL),
+w AS (
+  SELECT stock_ticker, stock_date,
+         CAST(SUM(gain) OVER f AS DOUBLE) AS sum_gain,
+         CAST(SUM(loss) OVER f AS DOUBLE) AS sum_loss,
+         COUNT(*) OVER f AS n
+  FROM g WINDOW f AS (PARTITION BY stock_ticker ORDER BY stock_date
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+SELECT stock_ticker, stock_date,
+       CASE WHEN sum_loss = 0 THEN 100.0
+            ELSE 100.0 - 100.0 / (1.0 + sum_gain / sum_loss) END AS rsi14
+FROM w WHERE n = 14
+"""),
+    doc="RSI-14 (SMA variant): daily close changes split into gain/loss "
+        "streams, 14-row sliding sums as exact DECIMAL partials (so the "
+        "sliding-window reduction is order-independent and the oracle "
+        "hash-matches), one shuffle shared with every other per-ticker "
+        "window. Extends the declared-but-uncomputed indicator family "
+        "the reference renames for (API_manager.py:180-181)",
+    tags=("reference", "window", "indicator"),
+)
+def q_rsi14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    wlag = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    chg = sp.select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("stock_close") - F.lag("stock_close").over(wlag))
+        .cast("decimal(18,6)")
+        .alias("chg"),
+    ).filter(F.col("chg").isNotNull())
+    zero = F.lit(0).cast("decimal(18,6)")
+    g = chg.select(
+        "stock_ticker",
+        "stock_date",
+        F.when(F.col("chg") > 0, F.col("chg")).otherwise(zero).alias("gain"),
+        F.when(F.col("chg") < 0, -F.col("chg")).otherwise(zero).alias("loss"),
+    )
+    frame = wlag.rowsBetween(-13, 0)
+    w = g.select(
+        "stock_ticker",
+        "stock_date",
+        F.sum("gain").over(frame).cast("double").alias("sum_gain"),
+        F.sum("loss").over(frame).cast("double").alias("sum_loss"),
+        F.count(F.lit(1)).over(frame).alias("n"),
+    ).filter(F.col("n") == 14)
+    return w.select(
+        "stock_ticker",
+        "stock_date",
+        F.when(F.col("sum_loss") == 0, F.lit(100.0))
+        .otherwise(
+            F.lit(100.0)
+            - F.lit(100.0) / (F.lit(1.0) + F.col("sum_gain") / F.col("sum_loss"))
+        )
+        .alias("rsi14"),
+    )
+
+
+@register(
+    "ref_drawdown",
+    with_reference_ctes("""
+SELECT stock_ticker, stock_date, stock_close,
+       MAX(stock_close) OVER (PARTITION BY stock_ticker ORDER BY stock_date
+                              ROWS UNBOUNDED PRECEDING) AS running_peak,
+       stock_close / MAX(stock_close) OVER
+           (PARTITION BY stock_ticker ORDER BY stock_date
+            ROWS UNBOUNDED PRECEDING) - 1 AS drawdown
+FROM stock_prices
+"""),
+    doc="running peak + drawdown per ticker: cumulative MAX over an "
+        "ordered row frame (exact — no float accumulation at all, so "
+        "cross-engine identical); the risk metric every stock dashboard "
+        "derives from the bars the reference stores",
+    tags=("reference", "window", "indicator"),
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    peak = F.max("stock_close").over(
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sp.select(
+        "stock_ticker",
+        "stock_date",
+        "stock_close",
+        peak.alias("running_peak"),
+        (F.col("stock_close") / peak - 1).alias("drawdown"),
+    )
+
+
+@register(
+    "ref_ticker_beta",
+    with_reference_ctes("""
+, rets AS (
+  SELECT stock_ticker, stock_date,
+         stock_close / LAG(stock_close) OVER
+             (PARTITION BY stock_ticker ORDER BY stock_date) - 1 AS r
+  FROM stock_prices),
+rr AS (SELECT * FROM rets WHERE r IS NOT NULL),
+mkt AS (
+  SELECT stock_date,
+         CAST(SUM(CAST(ROUND(r * 10000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS rm_q
+  FROM rr GROUP BY stock_date),
+pairs AS (
+  SELECT stock_ticker,
+         CAST(ROUND(rr.r * 10000) AS BIGINT) AS y,
+         CAST(ROUND(mkt.rm_q) AS BIGINT) AS x
+  FROM rr JOIN mkt USING (stock_date)),
+s AS (
+  SELECT stock_ticker, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM pairs GROUP BY stock_ticker)
+SELECT stock_ticker, n,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS beta
+FROM s
+"""),
+    doc="per-ticker beta vs the equal-weight market return: the "
+        "covariance/variance ratio from EXACT int64 partial sums (n, "
+        "Σx, Σy, Σxy, Σx²) over quantized returns (round(r·10⁴) — 1 bp "
+        "resolution; integer quantization is the only double→exact "
+        "conversion both engines perform identically). Quantization is "
+        "sized so every sum stays under 2⁵³: each converts to double "
+        "EXACTLY and the final combination is pure IEEE double "
+        "arithmetic, identical on any engine. (DuckDB's HUGEINT→DOUBLE "
+        "cast is off by 1 ulp for some >2⁵³ values — discovered "
+        "building this oracle — so exact-integer-then-cast does NOT "
+        "work at 10⁶ quantization.) One-pass parallel regression: "
+        "never a second centered pass over 100 TB, order-independent "
+        "partial aggregation",
+    tags=("reference", "aggregate", "regression"),
+)
+def q_ticker_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    wlag = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    rr = sp.select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("stock_close") / F.lag("stock_close").over(wlag) - 1).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    q = F.round(F.col("r") * 10_000).cast("bigint")
+    mkt = rr.groupBy("stock_date").agg(
+        (F.sum(q).cast("double") / F.count(F.lit(1))).alias("rm_q")
+    )
+    pairs = rr.join(mkt, "stock_date").select(
+        "stock_ticker",
+        q.alias("y"),
+        F.round(F.col("rm_q")).cast("bigint").alias("x"),
+    )
+    s = pairs.groupBy("stock_ticker").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select("stock_ticker", "n", beta.alias("beta"))
