@@ -469,13 +469,17 @@ SELECT stock_ticker, stock_date, sma20,
        sma20 - 2 * sd AS lower_band
 FROM (
   SELECT stock_ticker, stock_date,
-         s / 20 AS sma20,
-         SQRT(GREATEST((s2 - s * s / 20) / 19, 0)) AS sd,
+         sm / 1000000.0 / 20 AS sma20,
+         SQRT(GREATEST((s2 - sd1 * sd1 / 20) / 19, 0)) AS sd,
          rn
   FROM (
     SELECT stock_ticker, stock_date,
-           CAST(SUM(CAST(stock_close AS DECIMAL(18,6))) OVER w20 AS DOUBLE) AS s,
-           CAST(SUM(CAST(stock_close * stock_close AS DECIMAL(28,2))) OVER w20 AS DOUBLE) AS s2,
+           CAST(SUM(CAST(ROUND(stock_close * 1000000) AS BIGINT))
+                OVER w20 AS DOUBLE) AS sm,
+           CAST(SUM(CAST(ROUND(stock_close) AS BIGINT)) OVER w20 AS DOUBLE) AS sd1,
+           CAST(SUM(CAST(ROUND(stock_close) AS BIGINT)
+                    * CAST(ROUND(stock_close) AS BIGINT))
+                OVER w20 AS DOUBLE) AS s2,
            ROW_NUMBER() OVER wseq AS rn
     FROM stock_prices
     WINDOW w20 AS (PARTITION BY stock_ticker ORDER BY stock_date
@@ -486,14 +490,15 @@ FROM (
 """),
     doc="20-day Bollinger bands. Rolling stddev is NOT computed with the "
         "engine's stddev aggregate (whose float accumulation order "
-        "differs across engines): both moments come from exact DECIMAL "
-        "window sums, then identical scalar double math — bit-equal "
-        "results. Decimal scales are sized so the unscaled sum stays "
-        "under 2^53: above that, decimal→double conversion is double-"
-        "rounded differently by the two engines (observed 1-ulp drift "
-        "that the sma-2sd cancellation amplifies). Rows with an "
-        "incomplete 20-day frame are dropped (rn >= 20) so n is the "
-        "constant 20.",
+        "differs across engines): both moments come from exact int64 "
+        "window sums of ROUND-quantized closes (micro-dollars for the "
+        "mean, whole dollars for the variance), then identical scalar "
+        "double math — bit-equal results. ROUND() is the only double→"
+        "exact conversion both engines perform identically (CAST to "
+        "DECIMAL rounds differently at scale boundaries — found by the "
+        "full-catalog 12-digit sweep), and the quantization is sized "
+        "so every sum stays under 2^53 and converts to double exactly. "
+        "Rows with an incomplete 20-day frame are dropped (rn >= 20).",
     tags=("reference", "window", "rolling"),
 )
 def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,27 +509,24 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-19, 0)
     )
     wseq = Window.partitionBy("stock_ticker").orderBy("stock_date")
-    s = F.sum(F.col("stock_close").cast("decimal(18,6)")).over(w20).cast(
-        "double"
-    )
-    s2 = (
-        F.sum(
-            (F.col("stock_close") * F.col("stock_close")).cast("decimal(28,2)")
-        )
-        .over(w20)
-        .cast("double")
-    )
+    qm = F.round(F.col("stock_close") * 1_000_000).cast("bigint")
+    qd = F.round(F.col("stock_close")).cast("bigint")
+    sm = F.sum(qm).over(w20).cast("double")
+    sd1 = F.sum(qd).over(w20).cast("double")
+    s2 = F.sum(qd * qd).over(w20).cast("double")
     base = sp.select(
         "stock_ticker",
         "stock_date",
-        s.alias("s"),
+        sm.alias("sm"),
+        sd1.alias("sd1"),
         s2.alias("s2"),
         F.row_number().over(wseq).alias("rn"),
     ).filter(F.col("rn") >= 20)
-    sma20 = F.col("s") / F.lit(20.0)
+    sma20 = F.col("sm") / F.lit(1_000_000.0) / F.lit(20)
     sd = F.sqrt(
         F.greatest(
-            (F.col("s2") - F.col("s") * F.col("s") / F.lit(20.0)) / F.lit(19.0),
+            (F.col("s2") - F.col("sd1") * F.col("sd1") / F.lit(20))
+            / F.lit(19),
             F.lit(0.0),
         )
     )
