@@ -45,6 +45,14 @@ BENCH_QUERIES = (
     "llm_ann_ivf_topk",
     "stream_events_hourly",
     "stream_purchase_error_join",
+    # round-2 additions: iterative graph, multi-join warehouse shapes,
+    # text compliance pass, indicator windows
+    "llm_dup_clusters",
+    "llm_pii_scrub",
+    "llm_tfidf_top_terms",
+    "ana_nation_flow",
+    "ana_market_share",
+    "ref_rsi14",
 )
 
 

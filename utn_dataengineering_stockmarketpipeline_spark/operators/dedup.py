@@ -521,7 +521,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
             ).alias("hamming"),
         )
 
-    cand = half_join("h_lo").unionAll(half_join("h_hi")).dropDuplicates(
-        ["id_a", "id_b"]
+    # filter BEFORE the dedup shuffle: hamming is computed in the join
+    # projection, so rejecting far pairs first means dropDuplicates
+    # shuffles only the (tiny) surviving near-pair set
+    cand = (
+        half_join("h_lo")
+        .filter(F.col("hamming") <= max_hamming)
+        .unionAll(half_join("h_hi").filter(F.col("hamming") <= max_hamming))
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
+    return cand.dropDuplicates(["id_a", "id_b"])
