@@ -228,3 +228,43 @@ def test_lake_roundtrip_partition_layout_and_compaction(spark, tmp_path):
         leaf = os.path.join(path, "stock_year=2024", month_dir)
         files = [f for f in os.listdir(leaf) if f.endswith(".parquet")]
         assert len(files) == 1
+
+
+def test_scd2_idempotent_and_versions(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    snap = spark.createDataFrame(
+        [("A", "Alpha v2"), ("B", "Beta"), ("C", "Gamma")], "k string, name string"
+    )
+    current = spark.createDataFrame(
+        [
+            ("A", "Alpha v1", dt.date(2020, 1, 1), None, True),
+            ("B", "Beta", dt.date(2020, 1, 1), None, True),
+            ("D", "Delta", dt.date(2020, 1, 1), None, True),  # absent in snap
+            ("A", "Alpha v0", dt.date(2015, 1, 1), dt.date(2020, 1, 1), False),
+        ],
+        "k string, name string, valid_from date, valid_to date, is_current boolean",
+    )
+    out = scd2_apply(snap, current, "k", ["name"], "2024-06-01")
+    rows = {(r["k"], r["name"]): r for r in out.collect()}
+    assert len(rows) == 6
+    # A: v1 closed at load date, v2 opened, v0 history intact
+    assert rows[("A", "Alpha v1")]["valid_to"] == dt.date(2024, 6, 1)
+    assert rows[("A", "Alpha v1")]["is_current"] is False
+    assert rows[("A", "Alpha v2")]["is_current"] is True
+    assert rows[("A", "Alpha v0")]["valid_to"] == dt.date(2020, 1, 1)
+    # B unchanged; C brand new; D (absent from snapshot) stays open
+    assert rows[("B", "Beta")]["is_current"] is True
+    assert rows[("C", "Gamma")]["valid_from"] == dt.date(2024, 6, 1)
+    assert rows[("D", "Delta")]["is_current"] is True
+
+    # idempotent: re-applying the identical snapshot changes nothing
+    again = scd2_apply(snap, out, "k", ["name"], "2024-07-01")
+    assert again.count() == out.count()
+    assert again.exceptAll(out).count() == 0
+
+    # exactly one open row per key
+    opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)

@@ -35,6 +35,73 @@ def new_rows(incoming: DataFrame, target: DataFrame, key: str,
     )
 
 
+def scd2_apply(
+    incoming: DataFrame,
+    current: DataFrame,
+    key: str,
+    tracked: list[str],
+    load_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """SCD Type 2: versioned-dimension merge (the warehouse extension
+    one step past the reference's insert-only Type 0).
+
+    ``current`` carries version columns (valid_from, valid_to NULL for
+    open rows, is_current); ``incoming`` is an unversioned snapshot.
+    Returns the complete new table state:
+
+    - unchanged open rows and all closed history pass through;
+    - open rows whose ``tracked`` attributes differ from the snapshot
+      close (valid_to = load_date, is_current = false) and a new open
+      version inserts;
+    - never-seen keys insert as new open rows.
+
+    Keys absent from the snapshot stay open (dimension snapshots can be
+    partial). One full-outer-shaped comparison expressed as two
+    hash-equi anti/semi joins — attribute comparison happens on an MD5
+    of the tracked columns, so the join carries (key, hash) only, not
+    every tracked column twice. Idempotent: re-applying the same
+    snapshot changes nothing.
+    """
+    from pyspark.sql import functions as F
+
+    att = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in tracked]))
+    ld = F.lit(load_date).cast("date")
+
+    open_cur = current.filter(F.col(is_current))
+    closed_cur = current.filter(~F.col(is_current))
+    inc_h = incoming.withColumn("__h", att)
+    cur_h = open_cur.withColumn("__h", att)
+
+    # open rows invalidated by a differing snapshot row for the same key
+    changed_keys = inc_h.select(key, "__h").join(
+        cur_h.select(key, "__h"), [key], "inner"
+    ).filter(inc_h["__h"] != cur_h["__h"]).select(key)
+    to_close = (
+        open_cur.join(changed_keys, key, "left_semi")
+        .withColumn(valid_to, ld)
+        .withColumn(is_current, F.lit(False))
+    )
+    unchanged_open = open_cur.join(changed_keys, key, "left_anti")
+
+    # snapshot rows that become new open versions: changed keys + brand-new
+    new_keys = inc_h.join(cur_h.select(key), key, "left_anti").select(key)
+    insert_keys = changed_keys.unionByName(new_keys)
+    to_insert = (
+        incoming.join(insert_keys, key, "left_semi")
+        .withColumn(valid_from, ld)
+        .withColumn(valid_to, F.lit(None).cast("date"))
+        .withColumn(is_current, F.lit(True))
+    )
+    return (
+        closed_cur.unionByName(unchanged_open)
+        .unionByName(to_close)
+        .unionByName(to_insert)
+    )
+
+
 def merge_append(incoming: DataFrame, target_path: str, key: str,
                  partition_by: list[str] | None = None) -> int:
     """SCD-0 load: append only never-seen keys to a parquet target.

@@ -798,3 +798,91 @@ def q_ticker_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
     return s.select("stock_ticker", "n", beta.alias("beta"))
+
+
+@register(
+    "ref_scd2_markets",
+    with_reference_ctes("""
+, cur_open AS (
+  SELECT market_stockid,
+         CASE WHEN market_exchange = 'NASDAQ'
+              THEN market_companyname || ' (legacy)'
+              ELSE market_companyname END AS market_companyname,
+         market_country, market_exchange, market_currency, market_stockisin,
+         DATE '2020-01-01' AS valid_from,
+         CAST(NULL AS DATE) AS valid_to,
+         TRUE AS is_current
+  FROM markets),
+cur_closed AS (
+  SELECT market_stockid, market_companyname || ' (v0)' AS market_companyname,
+         market_country, market_exchange, market_currency, market_stockisin,
+         DATE '2015-01-01' AS valid_from,
+         DATE '2020-01-01' AS valid_to,
+         FALSE AS is_current
+  FROM markets WHERE market_stockid = 'AAPL')
+SELECT * FROM cur_closed
+UNION ALL
+SELECT * FROM cur_open WHERE market_exchange <> 'NASDAQ'
+UNION ALL
+SELECT market_stockid, market_companyname, market_country, market_exchange,
+       market_currency, market_stockisin, valid_from,
+       DATE '2024-06-01' AS valid_to, FALSE AS is_current
+FROM cur_open WHERE market_exchange = 'NASDAQ'
+UNION ALL
+SELECT market_stockid, market_companyname, market_country, market_exchange,
+       market_currency, market_stockisin,
+       DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
+       TRUE AS is_current
+FROM markets WHERE market_exchange = 'NASDAQ'
+"""),
+    doc="SCD Type 2 versioned-dimension merge (operators/scd.scd2_apply) "
+        "— one step past the reference's insert-only Type 0 "
+        "(DB_manager.py:139). Current state: NASDAQ rows carry a stale "
+        "'(legacy)' name plus one closed AAPL history row; applying the "
+        "fresh markets snapshot must close the 3 stale versions at the "
+        "load date, open 3 new ones, pass through unchanged NYSE rows "
+        "and history. Attribute comparison joins on an MD5 of tracked "
+        "columns so only (key, hash) shuffles; the oracle hand-derives "
+        "the expected post-merge state",
+    tags=("reference", "scd2", "warehouse"),
+)
+def q_scd2_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_apply
+
+    mk = markets(spark, sf_dir)
+    stale_name = F.when(
+        F.col("market_exchange") == "NASDAQ",
+        F.concat(F.col("market_companyname"), F.lit(" (legacy)")),
+    ).otherwise(F.col("market_companyname"))
+    cur_open = mk.select(
+        "market_stockid",
+        stale_name.alias("market_companyname"),
+        "market_country",
+        "market_exchange",
+        "market_currency",
+        "market_stockisin",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    cur_closed = mk.filter(F.col("market_stockid") == "AAPL").select(
+        "market_stockid",
+        F.concat(F.col("market_companyname"), F.lit(" (v0)")).alias(
+            "market_companyname"
+        ),
+        "market_country",
+        "market_exchange",
+        "market_currency",
+        "market_stockisin",
+        F.lit("2015-01-01").cast("date").alias("valid_from"),
+        F.lit("2020-01-01").cast("date").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    current = cur_open.unionByName(cur_closed)
+    return scd2_apply(
+        mk,
+        current,
+        key="market_stockid",
+        tracked=["market_companyname"],
+        load_date="2024-06-01",
+    )
