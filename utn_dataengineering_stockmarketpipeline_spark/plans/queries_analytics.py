@@ -630,3 +630,31 @@ def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "ana_approx_sketches",
+    None,  # HLL/t-digest parameters differ per engine — no value oracle;
+    # relative-error bounds vs exact are pinned in tests/test_sketches.py
+    doc="sketch aggregates — the 100 TB cardinality/quantile path: "
+        "approx_count_distinct (HyperLogLog++: fixed-size register "
+        "merge, order-insensitive, no per-key value set) and "
+        "approx_percentile (t-digest: partial-aggregable, no per-group "
+        "sort). Exact COUNT(DISTINCT) over 10⁹ users is a shuffle of "
+        "every distinct value; the sketch is a few KB per group",
+    tags=("analytics", "sketch", "approximate"),
+)
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
+            "value_quantiles"
+        ),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.col("value_quantiles")[0].alias("p50"),
+        F.col("value_quantiles")[1].alias("p95"),
+        F.col("value_quantiles")[2].alias("p99"),
+    )
