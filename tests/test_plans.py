@@ -169,3 +169,10 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_tfidf_and_clusters_no_nested_loop(spark):
+    for name in ("llm_tfidf_top_terms", "llm_dup_clusters", "ref_scd2_markets"):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

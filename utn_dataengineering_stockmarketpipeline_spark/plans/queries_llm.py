@@ -729,3 +729,23 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
+
+
+@register(
+    "llm_resize_plan",
+    None,  # depends on the synthetic MULTIMODAL derivation; rows-only
+    # with the multimodal family (decode stays stubbed, geometry is real)
+    doc="image resize planning: target geometry is pure JVM metadata "
+        "math (aspect-preserving least-scale), only rows that actually "
+        "shrink proceed to the decode stage — payload bytes never "
+        "materialize for skipped rows (operators/multimodal.resize_plan)",
+    tags=("llm", "multimodal"),
+)
+def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs)
+    return multimodal.resize_plan(assets, max_width=224, max_height=224).select(
+        "asset_id", "target_width", "target_height", "needs_resize"
+    )
