@@ -451,17 +451,22 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     graph scale swap in large-star/small-star (Kiveris et al.) — the
     per-round join shape stays exactly this.
 
-    Singletons (ids with no pairs) keep themselves as cluster_id.
+    Singletons (ids with no pairs) keep themselves as cluster_id and —
+    crucially for corpus scale — never enter the iteration: on a real
+    corpus the overwhelming majority of documents have no near-dup
+    edge, so the per-round join runs over only the edge-touched minority
+    and the singleton majority unions in once at the end.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = ids.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
+    touched = edges.select(F.col("src").alias("id")).distinct()
+    labels = touched.select("id", F.col("id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iters):
+        if prev_sum is None:  # no edges at all: everything is a singleton
+            break
         prop = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -482,7 +487,10 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(
+    singles = ids.select(F.col(id_col).alias("id")).join(
+        touched, "id", "left_anti"
+    ).select("id", F.col("id").alias("label"))
+    return labels.unionByName(singles).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
     )
 
