@@ -199,3 +199,31 @@ def test_scd0_load_invariants(spark, tmp_path_factory, batch):
         json_rows_to_df(spark, rows, STOCK_RAW), "AAA"
     )
     assert merge_append(norm_all, target, "stock_key") == 0
+
+
+def test_pii_scrub_counts_match_injections(spark):
+    """Property: injecting k emails and m URLs into clean text yields
+    exactly n_emails=k, n_urls=m, and scrubbing is idempotent."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        pii_scrub,
+    )
+
+    rows = []
+    for i in range(30):
+        k, m = i % 4, (i // 4) % 3
+        base = f"doc {i} with plain words only"
+        parts = [base]
+        parts += [f"user{i}_{j}@example.com" for j in range(k)]
+        parts += [f"https://site{i}.example/p/{j}" for j in range(m)]
+        rows.append((i, k, m, " ".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, k int, m int, text string")
+    out = pii_scrub(df).collect()
+    for r in out:
+        assert r["n_emails"] == r["k"], r
+        assert r["n_urls"] == r["m"], r
+        assert "@" not in r["scrubbed"]
+        assert "https://" not in r["scrubbed"]
+    # idempotent: scrubbing scrubbed text finds nothing
+    scrubbed = pii_scrub(df).select("doc_id", F.col("scrubbed").alias("text"))
+    again = pii_scrub(scrubbed).collect()
+    assert all(r["n_emails"] == 0 and r["n_urls"] == 0 for r in again)
