@@ -45,3 +45,44 @@ def latest_per_entity(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def ema(df, key_col: str, time_col: str, value_col: str, span: int = 20,
+        out_col: str = "ema"):
+    """Exponential moving average per key — the per-group ORDERED
+    RECURRENCE class (EMA / Wilder smoothing / Kalman-style filters)
+    that window frames cannot express: e_t = a·x_t + (1-a)·e_{t-1}.
+
+    ``applyInPandas`` per key: each group arrives as one Arrow batch,
+    sorts by time locally, runs the recurrence sequentially. One shuffle
+    on the key; groups process in parallel — the 100 TB contract is
+    "group fits one task", which holds for per-entity time series (a
+    ticker's daily history is tiny; millions of tickers give the
+    parallelism). The recurrence is a Python loop over the group —
+    exact same float op order (mul, mul, add) every engine; swap in
+    scipy.signal.lfilter for very long series.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    a = 2.0 / (span + 1.0)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(key_col, time_col, value_col).schema
+    ) + f", {out_col} double"
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(time_col).reset_index(drop=True)
+        prev = None
+        vals = []
+        for x in pdf[value_col]:
+            prev = x if prev is None else a * x + (1.0 - a) * prev
+            vals.append(prev)
+        pdf[out_col] = vals
+        return pdf
+
+    return (
+        df.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(fn, out_schema)
+    )

@@ -886,3 +886,39 @@ def q_scd2_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
         tracked=["market_companyname"],
         load_date="2024-06-01",
     )
+
+
+@register(
+    "ref_ema20",
+    with_reference_ctes("""
+, b AS (
+  SELECT stock_ticker, stock_date, stock_close,
+         ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                            ORDER BY stock_date) AS rn
+  FROM stock_prices)
+SELECT stock_ticker, stock_date, stock_close, e AS ema
+FROM (
+  WITH RECURSIVE ema(stock_ticker, rn, stock_date, stock_close, e) AS (
+    SELECT stock_ticker, rn, stock_date, stock_close, stock_close
+    FROM b WHERE rn = 1
+    UNION ALL
+    SELECT b.stock_ticker, b.rn, b.stock_date, b.stock_close,
+           (2.0 / 21.0) * b.stock_close + (1.0 - 2.0 / 21.0) * ema.e
+    FROM b JOIN ema
+      ON b.stock_ticker = ema.stock_ticker AND b.rn = ema.rn + 1)
+  SELECT * FROM ema)
+"""),
+    doc="EMA-20 per ticker: the per-group ordered-recurrence operator "
+        "class (operators/windows.ema, applyInPandas — one shuffle on "
+        "the key, sequential smoothing inside each Arrow group). Window "
+        "frames cannot express e_t = a·x_t + (1-a)·e_{t-1}; the oracle "
+        "is DuckDB's recursive CTE stepping the identical recurrence, "
+        "and both sides run the same (mul, mul, add) float op order, "
+        "so values match exactly",
+    tags=("reference", "indicator", "stateful", "applyInPandas"),
+)
+def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ema
+
+    sp = stock_prices(spark, sf_dir)
+    return ema(sp, "stock_ticker", "stock_date", "stock_close", span=20)
