@@ -49,4 +49,115 @@ def _load_all() -> None:
     from . import queries_joins  # noqa: F401
 
 
+# Driver-window rotation policy
+# -----------------------------
+# The driver's per-round correctness check covers the FIRST 50 queries in
+# catalog iteration order.  With more than 50 registered queries, ordering
+# is therefore part of the verification contract: queries are listed
+# explicitly below, prioritised so that
+#   1. queries with no prior driver row come first,
+#   2. queries whose Spark plan or oracle changed this round come next
+#      (a prior green row no longer covers them),
+#   3. long-green, unchanged queries fill the window and rotate out last.
+# Queries pushed past position 50 keep full local oracle coverage via
+# tests/test_catalog_oracle.py (same compare, whole catalog, every run);
+# the rotation guarantees every query gets a driver row at least every
+# other round.  Round-3 ordering below: r2-unverified tail (22) first,
+# then round-3-modified queries, then stable r2 greens.
+_DRIVER_ORDER: tuple[str, ...] = (
+    # --- never / least-recently driver-checked (r2 positions 51-72) ---
+    "join_asof_price_at_ship",
+    "join_range_price_bands",
+    "stream_events_hourly",
+    "stream_purchase_error_join",
+    "stream_stateful_totals",
+    "stream_dedup_events",
+    "llm_pii_scrub",
+    "llm_tfidf_top_terms",
+    "llm_repetition_ratio",
+    "llm_doc_profile",
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "llm_multimodal_features",
+    "llm_lang_id",
+    "llm_doc_fingerprint",
+    "llm_winnowing_fingerprints",
+    "llm_cosine_topk",
+    "llm_embedding_norms",
+    "llm_embedding_near_dup",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    # --- changed in round 3 (plan and/or oracle edited; need fresh rows) ---
+    "ref_bollinger_bands",
+    "ref_scd2_markets",
+    "ref_ema20",
+    "llm_minhash_lsh_pairs",
+    "llm_dup_clusters",
+    # --- stable r2 greens filling the remainder of the window ---
+    "ref_get_last_price",
+    "ref_latest_per_ticker",
+    "ref_rolling_30day_mean",
+    "ref_scd0_new_markets",
+    "ref_scd0_new_stock_keys",
+    "ref_watermarks",
+    "ref_global_max_date",
+    "ref_normalize_stock_payload",
+    "ref_normalize_market_payload",
+    "ref_scalar_functions",
+    "ref_stock_prices_table",
+    "ref_markets_table",
+    "ref_daily_returns",
+    "ref_top_movers",
+    "ref_ohlc_monthly",
+    "ref_vwap_monthly",
+    "ref_ticker_correlation",
+    "ref_rsi14",
+    "ref_drawdown",
+    "ref_ticker_beta",
+    "ana_pricing_summary",
+    "ana_top_customers",
+    "ana_region_revenue",
+    "ana_order_priority",
+    "ana_window_rank",
+    "ana_lead_lag",
+    "ana_rollup_volume",
+    "ana_set_ops",
+    "ana_events_hourly",
+    "ana_distinct_users_salted",
+    "ana_user_sessions",
+    "ana_cube_returns",
+    "ana_pivot_status",
+    "ana_quantity_percentiles",
+    "ana_nation_flow",
+    "ana_market_share",
+    "ana_priority_late_orders",
+    "ana_approx_sketches",
+    "llm_dedup_exact",
+    "llm_minhash_signatures",
+    "llm_ngram_jaccard_pairs",
+    "llm_simhash",
+    "llm_simhash_near_pairs",
+    "llm_token_stats",
+    "llm_text_quality",
+)
+
+
+def _apply_driver_order() -> None:
+    """Rebuild CATALOG in _DRIVER_ORDER; unlisted queries (newly added
+    this round) slot in right after the never-checked block so they get a
+    driver row in their first round."""
+    unlisted = [n for n in CATALOG if n not in _DRIVER_ORDER]
+    never_checked = _DRIVER_ORDER[:22]
+    rest = _DRIVER_ORDER[22:]
+    ordered = [*never_checked, *unlisted, *rest]
+    missing = [n for n in ordered if n not in CATALOG]
+    if missing:
+        raise RuntimeError(f"_DRIVER_ORDER references unknown queries: {missing}")
+    reordered = {n: CATALOG[n] for n in ordered}
+    CATALOG.clear()
+    CATALOG.update(reordered)
+
+
 _load_all()
+_apply_driver_order()
