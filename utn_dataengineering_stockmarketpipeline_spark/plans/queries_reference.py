@@ -470,15 +470,16 @@ SELECT stock_ticker, stock_date, sma20,
 FROM (
   SELECT stock_ticker, stock_date,
          sm / 1000000.0 / 20 AS sma20,
-         SQRT(GREATEST((s2 - sd1 * sd1 / 20) / 19, 0)) AS sd,
+         SQRT(GREATEST((s2 - sd1 * sd1 / 20) / 19, 0)) / 100 AS sd,
          rn
   FROM (
     SELECT stock_ticker, stock_date,
            CAST(SUM(CAST(ROUND(stock_close * 1000000) AS BIGINT))
                 OVER w20 AS DOUBLE) AS sm,
-           CAST(SUM(CAST(ROUND(stock_close) AS BIGINT)) OVER w20 AS DOUBLE) AS sd1,
-           CAST(SUM(CAST(ROUND(stock_close) AS BIGINT)
-                    * CAST(ROUND(stock_close) AS BIGINT))
+           CAST(SUM(CAST(ROUND(stock_close * 100) AS BIGINT))
+                OVER w20 AS DOUBLE) AS sd1,
+           CAST(SUM(CAST(ROUND(stock_close * 100) AS BIGINT)
+                    * CAST(ROUND(stock_close * 100) AS BIGINT))
                 OVER w20 AS DOUBLE) AS s2,
            ROW_NUMBER() OVER wseq AS rn
     FROM stock_prices
@@ -492,7 +493,9 @@ FROM (
         "engine's stddev aggregate (whose float accumulation order "
         "differs across engines): both moments come from exact int64 "
         "window sums of ROUND-quantized closes (micro-dollars for the "
-        "mean, whole dollars for the variance), then identical scalar "
+        "mean, cents for the variance — per-row squares ≈ (100·p)² "
+        "≤ ~1e12, 20-row sums ≈ 2e13, comfortably < 2^53), then "
+        "identical scalar "
         "double math — bit-equal results. ROUND() is the only double→"
         "exact conversion both engines perform identically (CAST to "
         "DECIMAL rounds differently at scale boundaries — found by the "
@@ -510,7 +513,7 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wseq = Window.partitionBy("stock_ticker").orderBy("stock_date")
     qm = F.round(F.col("stock_close") * 1_000_000).cast("bigint")
-    qd = F.round(F.col("stock_close")).cast("bigint")
+    qd = F.round(F.col("stock_close") * 100).cast("bigint")
     sm = F.sum(qm).over(w20).cast("double")
     sd1 = F.sum(qd).over(w20).cast("double")
     s2 = F.sum(qd * qd).over(w20).cast("double")
@@ -529,7 +532,7 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(19),
             F.lit(0.0),
         )
-    )
+    ) / F.lit(100.0)
     return base.select(
         "stock_ticker",
         "stock_date",
