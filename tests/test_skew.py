@@ -109,3 +109,15 @@ def test_lsh_bucket_cap_on_by_default_kills_boilerplate_bucket(spark):
     uncapped = dedup.minhash_candidates(docs, max_bucket_size=None)
     # identical docs all collide: m(m-1)/2 pairs without any cap
     assert uncapped.filter(F.col("id_a") < 200).count() >= 199 * 200 // 2
+
+
+def test_oracle_mirrors_default_bucket_cap():
+    """The DuckDB oracles for the LSH queries must apply the SAME bucket
+    cap as the Spark default, or Spark==oracle breaks by construction the
+    moment any bucket exceeds the cap (ADVICE r2)."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+
+    for name in ("llm_minhash_lsh_pairs", "llm_dup_clusters"):
+        sql = CATALOG[name].oracle
+        assert f"<= {dedup.DEFAULT_MAX_BUCKET_SIZE}" in sql, name
+        assert "QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)" in sql, name

@@ -45,6 +45,13 @@ from ..functions.hashing import (
     shingle_hash_rows,
 )
 
+#: Default LSH bucket-size skew guard. A bucket of m members expands to
+#: m(m-1)/2 pairs, so one boilerplate bucket of 1e5 docs is 5e9 pairs in a
+#: single task; buckets past this size are dropped. Oracle SQL that mirrors
+#: an LSH plan must apply the SAME cap (plans/queries_llm._CAPPED_CTE does)
+#: or Spark/oracle diverge by construction once any bucket exceeds it.
+DEFAULT_MAX_BUCKET_SIZE = 1000
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
@@ -112,7 +119,7 @@ def _band_structs(num_perms: int, bands: int) -> Column:
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_perms: int = 8, bands: int = 4,
-                       max_bucket_size: int | None = 1000) -> DataFrame:
+                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
     Signature → explode into ``bands`` (band, bucket) keys → group each
@@ -358,7 +365,7 @@ def embedding_near_dup_pairs_lsh(
     planes_per_table: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Banded sign-LSH near-dup pairs — the 100 TB path.
 

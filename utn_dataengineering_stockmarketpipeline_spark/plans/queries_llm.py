@@ -110,11 +110,18 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BANDED_CTE = f"""
 {_HS_CTES.strip()},
 sig AS (SELECT doc_id, {_SIG_SQL} AS sig FROM hsh),
-banded AS (
+banded_all AS (
   SELECT doc_id, sig, CAST(b AS INT) AS band,
          md5(CAST(sig[b * 2 + 1] AS VARCHAR) || '_' ||
              CAST(sig[b * 2 + 2] AS VARCHAR)) AS bucket
-  FROM sig CROSS JOIN range({_BANDS}) t(b))
+  FROM sig CROSS JOIN range({_BANDS}) t(b)),
+banded AS (
+  -- mirror of operators/dedup.DEFAULT_MAX_BUCKET_SIZE: the Spark plan
+  -- drops over-cap LSH buckets (skew guard), so the oracle must too or
+  -- the two sides diverge by construction on boilerplate-heavy corpora
+  SELECT doc_id, sig, band, bucket FROM banded_all
+  QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)
+          <= {dedup.DEFAULT_MAX_BUCKET_SIZE})
 """
 
 
