@@ -268,3 +268,37 @@ def test_scd2_idempotent_and_versions(spark):
     # exactly one open row per key
     opens = out.filter(F.col("is_current")).groupBy("k").count().collect()
     assert all(r["count"] == 1 for r in opens)
+
+
+def test_scd2_null_transitions_are_versioned(spark):
+    """concat_ws skips nulls, so the attribute hash must null-sentinel
+    each tracked column: NULL→'' and ['a',NULL]→[NULL,'a'] are real
+    changes and must close/open versions (ADVICE r2)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.scd import (
+        scd2_apply,
+    )
+
+    schema = "k string, c1 string, c2 string"
+    current = spark.createDataFrame(
+        [
+            ("A", None, "x", dt.date(2020, 1, 1), None, True),
+            ("B", "a", None, dt.date(2020, 1, 1), None, True),
+        ],
+        schema + ", valid_from date, valid_to date, is_current boolean",
+    )
+    # A: NULL -> '' in c1; B: ['a', NULL] -> [NULL, 'a'] layout shift
+    snap = spark.createDataFrame([("A", "", "x"), ("B", None, "a")], schema)
+    out = scd2_apply(snap, current, "k", ["c1", "c2"], "2024-06-01")
+    rows = out.collect()
+    assert len(rows) == 4  # both keys closed + re-opened
+    for k in ("A", "B"):
+        vers = [r for r in rows if r["k"] == k]
+        closed = [r for r in vers if not r["is_current"]]
+        opened = [r for r in vers if r["is_current"]]
+        assert len(closed) == 1 and len(opened) == 1, k
+        assert closed[0]["valid_to"] == dt.date(2024, 6, 1), k
+        assert opened[0]["valid_from"] == dt.date(2024, 6, 1), k
+
+    # idempotent on the null-bearing snapshot: nothing changes on re-apply
+    again = scd2_apply(snap, out, "k", ["c1", "c2"], "2024-07-01")
+    assert again.exceptAll(out).count() == 0

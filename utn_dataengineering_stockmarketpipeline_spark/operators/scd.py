@@ -67,7 +67,18 @@ def scd2_apply(
     """
     from pyspark.sql import functions as F
 
-    att = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in tracked]))
+    # concat_ws SKIPS null arguments, so without a sentinel ['a', NULL]
+    # hashes like ['a'] and a NULL↔'' change would never version.
+    # Coalesce each tracked column to a value no real string equals.
+    att = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+                for c in tracked
+            ],
+        )
+    )
     ld = F.lit(load_date).cast("date")
 
     open_cur = current.filter(F.col(is_current))
