@@ -146,3 +146,23 @@ def test_ivf_topk_recall_vs_brute_force(spark):
         pair = (r["query_id"], r["neighbor_id"])
         if pair in exact_scores:
             assert r["cosine"] == exact_scores[pair]
+
+
+def test_ivf_training_sample_partition_independent(spark):
+    """Training membership is an order-statistic on xxhash64(id), a pure
+    function of row values — repartitioned input must yield the exact
+    same results (df.sample's Bernoulli draw would not; ADVICE r2)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    def run(corpus):
+        out = similarity.ivf_topk(
+            corpus, queries, dim=64, k=5, n_centroids=8, n_probe=3,
+            train_sample_rows=100,  # corpus is 500 → sample path active
+        )
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+            for r in out.collect()
+        )
+
+    assert run(emb.repartition(1)) == run(emb.repartition(17, "vec_id"))

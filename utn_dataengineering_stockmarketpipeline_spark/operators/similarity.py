@@ -323,11 +323,18 @@ def ivf_topk(
 
     Train: deterministic k-means over a bounded SAMPLE of the corpus —
     never the full corpus. When the corpus exceeds
-    ``train_sample_rows``, a seeded ``df.sample`` draws ~that many rows
-    (centroid quality needs only a representative sample; Faiss trains
-    the same way), so driver memory for training is O(sample), not
-    O(corpus), at any scale. The sample is sorted by id before k-means
-    so centroids are identical regardless of partitioning.
+    ``train_sample_rows``, membership is the ``train_sample_rows``
+    lowest rows by ``(xxhash64(id), id)`` — an order-statistic on a
+    content hash, so the sample is (a) exactly the requested size,
+    (b) uniform-ish like a random draw (hash order is uncorrelated
+    with id/time order), and (c) a pure function of the row VALUES:
+    repartitioned or re-ordered input yields the identical sample,
+    unlike ``df.sample`` whose per-partition Bernoulli draw changes
+    membership with partitioning. Catalyst executes the
+    orderBy+limit as a distributed top-k (TakeOrderedAndProject),
+    so driver memory stays O(sample) at any corpus scale. The
+    collected sample is then sorted by id before k-means so centroid
+    iteration order is reproducible too.
     Index: each corpus vector assigns to its nearest centroid
     (Arrow-batched BLAS, one pass). Search: each query probes its
     ``n_probe`` closest centroids, exact-reranks only those lists —
@@ -337,14 +344,12 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    train = corpus.select(id_col, vec_col)
-    n = train.count()
-    if n > train_sample_rows:
-        # seeded Bernoulli sample, slightly over-drawn then truncated
-        # (deterministically, in id order) to the requested size
-        frac = min(1.0, 1.2 * train_sample_rows / n)
-        train = train.sample(fraction=frac, seed=42)
-    rows = sorted(train.collect(), key=lambda r: r[0])[:train_sample_rows]
+    train = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(train_sample_rows)
+    )
+    rows = sorted(train.collect(), key=lambda r: r[0])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     cent = _kmeans_centroids(mat, n_centroids)
