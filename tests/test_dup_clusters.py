@@ -29,3 +29,23 @@ def test_two_components_and_singletons(spark):
 def test_no_edges_all_singletons(spark):
     got = _clusters(spark, [], 4)
     assert got == {i: i for i in range(4)}
+
+
+def test_non_convergence_raises_not_silent(spark):
+    """Exhausting max_iters before the fixpoint must raise — truncated
+    labels would silently break keep-one-per-cluster downstream
+    (ADVICE r2)."""
+    import pytest
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    # 0-1-2-...-11 path: diameter 11, needs more than 2 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, ids, max_iters=2)
+
+    # and with budget it converges to one cluster
+    out = duplicate_clusters(pairs, ids, max_iters=25)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(12)}

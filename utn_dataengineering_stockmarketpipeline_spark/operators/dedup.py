@@ -471,8 +471,9 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     touched = edges.select(F.col("src").alias("id")).distinct()
     labels = touched.select("id", F.col("id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = prev_sum is None  # no edges at all: everything a singleton
     for _ in range(max_iters):
-        if prev_sum is None:  # no edges at all: everything is a singleton
+        if converged:
             break
         prop = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -491,9 +492,19 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
-            break
+            converged = True
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # Truncated propagation would silently hand downstream "keep one
+        # per cluster" logic WRONG cluster ids (a path graph of diameter
+        # > max_iters never finishes). Fail loudly instead.
+        raise RuntimeError(
+            f"duplicate_clusters: min-label propagation did not converge "
+            f"within max_iters={max_iters} rounds (graph diameter exceeds "
+            f"the round budget). Raise max_iters, or pre-shrink the graph "
+            f"with alternating large-star/small-star rounds."
+        )
     singles = ids.select(F.col(id_col).alias("id")).join(
         touched, "id", "left_anti"
     ).select("id", F.col("id").alias("label"))
