@@ -47,8 +47,15 @@ def latest_per_entity(
     )
 
 
+#: Per-key row bound for the ordered-recurrence operators (ema): each
+#: group materializes as ONE Arrow batch in ONE task, so a group must fit
+#: a task's memory. 10^7 rows ≈ hundreds of MB as Arrow — the practical
+#: ceiling. Same enforced-bound discipline as similarity.MAX_BROADCAST_ROWS.
+MAX_GROUP_ROWS = 10_000_000
+
+
 def ema(df, key_col: str, time_col: str, value_col: str, span: int = 20,
-        out_col: str = "ema"):
+        out_col: str = "ema", max_group_rows: int = MAX_GROUP_ROWS):
     """Exponential moving average per key — the per-group ORDERED
     RECURRENCE class (EMA / Wilder smoothing / Kalman-style filters)
     that window frames cannot express: e_t = a·x_t + (1-a)·e_{t-1}.
@@ -58,9 +65,13 @@ def ema(df, key_col: str, time_col: str, value_col: str, span: int = 20,
     on the key; groups process in parallel — the 100 TB contract is
     "group fits one task", which holds for per-entity time series (a
     ticker's daily history is tiny; millions of tickers give the
-    parallelism). The recurrence is a Python loop over the group —
-    exact same float op order (mul, mul, add) every engine; swap in
-    scipy.signal.lfilter for very long series.
+    parallelism). That contract is ENFORCED, not assumed: a group past
+    ``max_group_rows`` raises in the task rather than silently OOMing —
+    tick-level series must be pre-bucketed (e.g. key = (ticker, year)
+    with carried-in seed values) or chunked before this operator. The
+    recurrence is a Python loop over the group — exact same float op
+    order (mul, mul, add) every engine; swap in scipy.signal.lfilter
+    for very long series.
     """
     import pandas as pd
     from pyspark.sql import functions as F  # noqa: F401
@@ -72,6 +83,13 @@ def ema(df, key_col: str, time_col: str, value_col: str, span: int = 20,
     ) + f", {out_col} double"
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"ema: group {pdf[key_col].iloc[0]!r} has {len(pdf)} rows "
+                f"> max_group_rows={max_group_rows}; a group must fit one "
+                f"task. Pre-bucket the key (e.g. (entity, year) with a "
+                f"carried seed) or chunk the series."
+            )
         pdf = pdf.sort_values(time_col).reset_index(drop=True)
         prev = None
         vals = []
