@@ -42,6 +42,24 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, build) -> DataFra
     return df
 
 
+def evict_materialized(spark: SparkSession, sf_dir: str | None = None) -> int:
+    """Unpersist and drop this session's materialized reference tables —
+    all of them, or only one ``sf_dir``'s. Returns the number evicted.
+
+    A long-lived session sweeping many scale factors (bench loops,
+    notebooks) would otherwise accumulate persisted tables for every
+    sf_dir it ever touched; call this when done with a scale factor.
+    """
+    app = spark.sparkContext.applicationId
+    victims = [
+        k for k in _CACHE
+        if k[0] == app and (sf_dir is None or k[1] == sf_dir)
+    ]
+    for k in victims:
+        _CACHE.pop(k).unpersist()
+    return len(victims)
+
+
 def _ticker_expr(custkey: str = "o_custkey"):
     """o_custkey % 5 → fixed 5-ticker alphabet (pure arithmetic, so the
     DuckDB oracle derives the identical mapping)."""
