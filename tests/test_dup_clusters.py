@@ -49,3 +49,22 @@ def test_non_convergence_raises_not_silent(spark):
     out = duplicate_clusters(pairs, ids, max_iters=25)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_keep_one_per_cluster_action(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+        keep_one_per_cluster,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    clusters = duplicate_clusters(pairs, docs)
+    kept = keep_one_per_cluster(docs, clusters)
+    got = {r["doc_id"]: r["n_members"] for r in kept.collect()}
+    # {0,1,2} -> 0 (size 3); {3} singleton; {4,5} -> 4 (size 2)
+    assert got == {0: 3, 3: 1, 4: 2}
+    assert set(kept.columns) == {"doc_id", "text", "n_members"}

@@ -513,6 +513,28 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     )
 
 
+def keep_one_per_cluster(docs: DataFrame, clusters: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """The dedup ACTION downstream of :func:`duplicate_clusters`: keep
+    exactly the min-id survivor of every duplicate cluster.
+
+    ``cluster_id`` IS the min reachable doc id, so the survivor set is
+    simply rows where ``id == cluster_id`` — a filter on the cluster
+    frame (no extra shuffle), then a left-semi join back to ``docs`` to
+    carry the full surviving rows. Returns ``docs``' schema plus
+    ``n_members`` (cluster size, 1 for singletons) for audit.
+    """
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    survivors = (
+        clusters.filter(F.col(id_col) == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select(id_col, "n_members")
+    )
+    return docs.join(survivors, id_col, "inner")
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16,
                        max_hamming: int = 2) -> DataFrame:

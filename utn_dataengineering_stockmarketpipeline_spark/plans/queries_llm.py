@@ -179,6 +179,46 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_keep_one",
+    f"""
+WITH RECURSIVE {_BANDED_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+          FROM clusters GROUP BY cluster_id)
+SELECT d.doc_id, md5(d.text) AS fingerprint, s.n_members
+FROM documents d
+JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+JOIN sizes s ON s.cluster_id = d.doc_id
+""",
+    doc="the dedup ACTION downstream of llm_dup_clusters: keep exactly "
+        "the min-id survivor per duplicate cluster (cluster_id IS the "
+        "min reachable id, so survivors are id==cluster_id — a filter, "
+        "not another shuffle) with cluster size for audit; oracle is "
+        "min-id selection over the recursive-CTE transitive closure",
+    tags=("llm", "dedup", "graph"),
+)
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    clusters = dedup.duplicate_clusters(pairs, docs)
+    kept = dedup.keep_one_per_cluster(docs, clusters)
+    return kept.select(
+        "doc_id", F.md5("text").alias("fingerprint"), "n_members"
+    )
+
+
+@register(
     "llm_ngram_jaccard_pairs",
     f"""
 WITH {_HS_CTES.strip()},
