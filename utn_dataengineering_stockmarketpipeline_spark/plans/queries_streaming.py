@@ -311,3 +311,130 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.count()
     return out
+
+
+@register(
+    "stream_user_sessions",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+m AS (SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+""",
+    doc="STREAMING sessionization: dynamic-gap session_window state "
+        "merged across micro-batches (sessions have no fixed end until "
+        "the gap elapses — the stateful-window class tumbling windows "
+        "can't express), availableNow-drained in complete mode; must "
+        "equal the batch session_window result, whose oracle is the "
+        "classic gaps-and-islands SQL (same as ana_user_sessions)",
+    tags=("streaming", "session", "stateful", "events"),
+)
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "stream_sess_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        raw = (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        sess = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("session_start"),
+                F.col("sw.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        out.count()
+    return out
+
+
+@register(
+    "stream_sliding_counts",
+    """
+WITH e AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+slots AS (
+  -- an event belongs to the 4 hour-long windows sliding by 15 min that
+  -- cover it: starts = trunc15(ts) - {0,15,30,45} min
+  SELECT e.event_type, e.value,
+         date_trunc('minute', ts)
+           - INTERVAL 1 MINUTE * (EXTRACT(MINUTE FROM ts)::INT % 15)
+           - INTERVAL 15 MINUTE * k.k AS window_start
+  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM slots GROUP BY 1, 2
+""",
+    doc="STREAMING sliding-window aggregation (1 h length, 15 min slide: "
+        "overlapping windows — each event feeds 4 window states), "
+        "availableNow-drained in complete mode; oracle expands each "
+        "event into its 4 covering slots (unnest offsets) and batch-"
+        "aggregates — exactly the window() multiplexing Spark performs",
+    tags=("streaming", "window", "sliding", "events"),
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "stream_slide_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        raw = (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(
+                F.window("ts", "1 hour", "15 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        out.count()
+    return out
