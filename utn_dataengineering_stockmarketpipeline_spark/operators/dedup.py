@@ -513,6 +513,50 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     )
 
 
+def contamination(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Benchmark contamination check — the train/test-leakage gate every
+    training-data pipeline runs (GPT-3 §D / The Pile style n-gram
+    collision): for each corpus doc, the share of its distinct word
+    k-shingles that appear anywhere in the benchmark set.
+
+    Returns (id, n_shared, n_shingles, contamination_ratio) for docs
+    with at least one shared shingle. Both sides go through the same
+    MD5-polynomial shingle hashing as MinHash (one codegen'd MD5 per
+    token); the benchmark's distinct hash set is BROADCAST — benchmark
+    suites are a few MB against a corpus of TBs, so the probe is a
+    map-side hash join, no shuffle of the corpus beyond the per-doc
+    distinct/groupBy pair that shares one (id) partitioning.
+    """
+    bench_hashes = (
+        shingle_hash_rows(benchmark, text_col, id_col, k)
+        .select("h")
+        .distinct()
+    )
+    corpus_hs = (
+        shingle_hash_rows(corpus, text_col, id_col, k)
+        .select(id_col, "h")
+        .distinct()
+    )
+    totals = corpus_hs.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        corpus_hs.join(F.broadcast(bench_hashes), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return hits.join(totals, id_col).select(
+        id_col,
+        "n_shared",
+        "n_shingles",
+        F.round(F.col("n_shared") / F.col("n_shingles"), 6).alias(
+            "contamination_ratio"
+        ),
+    )
+
+
 def keep_one_per_cluster(docs: DataFrame, clusters: DataFrame,
                          id_col: str = "doc_id") -> DataFrame:
     """The dedup ACTION downstream of :func:`duplicate_clusters`: keep

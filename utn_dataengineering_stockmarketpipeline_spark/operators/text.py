@@ -211,3 +211,29 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("n_emails"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def stratified_sample(df: DataFrame, rates_permille: dict[str, int],
+                      stratum_col: str = "lang", id_col: str = "doc_id",
+                      default_permille: int = 1000) -> DataFrame:
+    """Deterministic per-stratum downsampling — the corpus-mixing knob
+    (e.g. downweight over-represented languages/domains before
+    training). ``rates_permille`` maps stratum value → keep-rate in
+    permille (1000 = keep all).
+
+    Membership is a pure function of the row id: keep iff the first 8
+    hex digits of md5(id) — a uniform 32-bit integer — fall under
+    rate/1000 of 2^32, compared in EXACT integer arithmetic
+    (u * 1000 < rate * 2^32), so any engine hashing the same ids keeps
+    the same rows: reproducible mixes, no RNG, no partition
+    sensitivity. A map-only filter fused with the scan — no shuffle,
+    no sampling pass.
+    """
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10,
+               ).cast("bigint")
+    rate = F.lit(default_permille)
+    for value, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum_col) == value, F.lit(permille)).otherwise(
+            rate
+        )
+    return df.filter(u * F.lit(1000) < rate * F.lit(1 << 32))

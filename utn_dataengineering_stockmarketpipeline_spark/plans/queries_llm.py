@@ -796,3 +796,96 @@ def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_plan(assets, max_width=224, max_height=224).select(
         "asset_id", "target_width", "target_height", "needs_resize"
     )
+
+
+# --- corpus curation: contamination, mixing, reporting ----------------------
+
+@register(
+    "llm_contamination",
+    f"""
+WITH {_HS_CTES.strip()},
+sh AS (SELECT DISTINCT doc_id, h
+       FROM (SELECT doc_id, unnest(hs) AS h FROM hsh)),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hit AS (SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.h = b.h GROUP BY c.doc_id)
+SELECT h.doc_id, h.n_shared, t.n_shingles,
+       ROUND(CAST(h.n_shared AS DOUBLE) / t.n_shingles, 6)
+         AS contamination_ratio
+FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+""",
+    doc="benchmark contamination gate (GPT-3 appx-D-style n-gram "
+        "collision): share of each corpus doc's distinct 3-shingles "
+        "found anywhere in the benchmark set (here: the deterministic "
+        "doc_id%97 subset standing in for a benchmark suite); benchmark "
+        "hash set is broadcast, so the probe is a map-side join",
+    tags=("llm", "curation", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return dedup.contamination(corpus, bench)
+
+
+@register(
+    "llm_stratified_sample",
+    f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT * 1000
+      < CASE lang WHEN 'en' THEN 400 WHEN 'zh' THEN 800 ELSE 1000 END
+        * {1 << 32}
+""",
+    doc="deterministic per-stratum downsampling (corpus mixing: en to "
+        "400 permille, zh to 800, rest kept): keep iff the first 8 hex "
+        "of md5(doc_id) — a uniform 32-bit int — falls under the "
+        "stratum rate, exact integer compare; reproducible on any "
+        "engine, map-only, no RNG and no partition sensitivity",
+    tags=("llm", "curation", "sampling"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.stratified_sample(
+        docs, {"en": 400, "zh": 800}, stratum_col="lang"
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_source_mix",
+    """
+WITH m AS (SELECT source, lang, COUNT(*) AS n_docs,
+                  CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                    AS total_tokens
+           FROM documents GROUP BY source, lang)
+SELECT source, lang, n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE)
+             / CAST(CAST(SUM(total_tokens) OVER () AS BIGINT) AS DOUBLE),
+             6) AS token_share
+FROM m
+""",
+    doc="training-mix report: docs and whitespace tokens per "
+        "(source, lang) stratum with each stratum's share of corpus "
+        "tokens — the dashboard behind stratified_sample's rates; "
+        "exact integer token sums, share division in identical double "
+        "arithmetic",
+    tags=("llm", "curation", "reporting"),
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return per.select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / total.cast("double"), 6).alias(
+            "token_share"
+        ),
+    )
