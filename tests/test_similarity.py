@@ -166,3 +166,18 @@ def test_ivf_training_sample_partition_independent(spark):
         )
 
     assert run(emb.repartition(1)) == run(emb.repartition(17, "vec_id"))
+
+
+def test_quantize_int8_zero_vector_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, -0.5]), (3, [0.25, 0.125])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert out[1]["scale"] == 0.0 and out[1]["q8"] == [0, 0]
+    assert out[1]["max_abs_err"] == 0.0
+    assert out[2]["q8"] == [127, -64]  # round(-0.5/ (1/127)) = -63.5 -> -64
+    for r in out.values():
+        assert all(-127 <= q <= 127 for q in r["q8"])
+        # reconstruction error bounded by scale/2 (+ float read noise)
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9

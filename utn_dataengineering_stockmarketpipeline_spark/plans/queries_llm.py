@@ -889,3 +889,37 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+@register(
+    "llm_embedding_quantize",
+    """
+WITH m AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+  FROM embeddings),
+q AS (
+  SELECT vec_id, embedding, max_abs, max_abs / 127.0 AS s,
+         CASE WHEN max_abs = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                     x -> CAST(ROUND(CAST(x AS DOUBLE) / (max_abs / 127.0))
+                               AS INT))
+         END AS q8
+  FROM m)
+SELECT vec_id, ROUND(s, 9) AS scale, q8,
+       ROUND(list_max(list_transform(list_zip(q8, embedding),
+                z -> abs(CAST(z[1] AS DOUBLE) * s
+                         - CAST(z[2] AS DOUBLE)))), 9) AS max_abs_err
+FROM q
+""",
+    doc="per-vector symmetric int8 scalar quantization (Faiss SQ8 "
+        "shape): scale = max|x|/127, q = round(x/scale) — the 4x "
+        "storage/bandwidth lever for corpus-scale embedding stores; "
+        "pure JVM higher-order expressions fused with the scan (zero "
+        "shuffle, no UDF), with max reconstruction error as audit",
+    tags=("llm", "embedding", "quantization"),
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
