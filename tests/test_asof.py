@@ -61,6 +61,44 @@ def test_asof_strict_excludes_same_instant(spark):
     assert got == {1: None, 2: 10.0, 3: 20.0, 4: 40.0, 5: None}
 
 
+def test_asof_forward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", value_cols=["v"],
+        direction="forward",
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    # row 1 sees the first bar after it; row 2 the same-day bar; row 3 the
+    # 01-09 bar; row 4 is after B's only bar → null; row 5 has no bars
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 4: None, 5: None}
+    assert out.count() == left.count()
+
+
+def test_asof_forward_strict_excludes_same_instant(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", value_cols=["v"],
+        direction="forward", strict=True,
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    # row 2 (equal date) now sees the NEXT bar, not the same-day one
+    assert got == {1: 10.0, 2: 30.0, 3: 30.0, 4: None, 5: None}
+
+
+def test_asof_bad_direction_raises(spark):
+    left, right = _frames(spark)
+    import pytest
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(
+            left, right.withColumnRenamed("t", "rt"),
+            on="k", left_time="t", right_time="rt", value_cols=["v"],
+            direction="sideways",
+        )
+
+
 def test_asof_null_in_matched_row_stays_null(spark):
     """A NULL value inside the matched (latest prior) right row must come
     back as NULL — not backfilled from an older right row (DuckDB ASOF

@@ -32,11 +32,18 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, the latest right row
-    with ``right_time <= left_time`` (``<`` when ``strict``) and the
-    same ``on`` key. Right columns come back null when no prior row
-    exists (LEFT ASOF semantics, matching DuckDB's ``ASOF LEFT JOIN``).
+    """As-of join. ``direction="backward"`` (default): for every left
+    row, the latest right row with ``right_time <= left_time`` (``<``
+    when ``strict``). ``direction="forward"``: the earliest right row
+    with ``right_time >= left_time`` (``>`` when ``strict``) — the
+    next-quote / next-fill lookup. Right columns come back null when no
+    matching row exists (LEFT ASOF semantics, matching DuckDB's
+    ``ASOF LEFT JOIN`` with the corresponding inequality). Same
+    one-shuffle union-window plan either way — forward just flips the
+    window frame to [current, unbounded following] and carries with
+    ``first`` instead of ``last``.
 
     Right rows must be unique per (key, time) — the stock-bar contract;
     with duplicates the carried value is the max-sorting one.
@@ -47,9 +54,16 @@ def asof_join(
     (per-column carries would backfill it from an older row, mixing
     columns of different right rows and diverging from DuckDB ASOF).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     # side marker orders equal timestamps so a left row sees a right row
-    # at the *same* instant (inclusive) or not (strict)
-    l_mark, r_mark = (0, 1) if strict else (1, 0)
+    # at the *same* instant (inclusive) or not (strict); the forward
+    # frame looks the other way, so the markers mirror
+    if fwd:
+        l_mark, r_mark = (1, 0) if strict else (0, 1)
+    else:
+        l_mark, r_mark = (0, 1) if strict else (1, 0)
     r_struct_type = right.select(*value_cols).schema
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -69,15 +83,17 @@ def asof_join(
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
         F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__t", "__side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    base = Window.partitionBy("__k").orderBy("__t", "__side")
+    if fwd:
+        w = base.rowsBetween(0, Window.unboundedFollowing)
+        carry = F.first("__rrow", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.unboundedPreceding, 0)
+        carry = F.last("__rrow", ignorenulls=True).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         "__side",
         "__lrow",
-        F.last("__rrow", ignorenulls=True).over(w).alias("__rrow"),
+        carry.alias("__rrow"),
     )
     return carried.filter(F.col("__side") == l_mark).select(
         "__lrow.*",

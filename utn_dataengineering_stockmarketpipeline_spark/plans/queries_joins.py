@@ -113,3 +113,52 @@ def q_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty"
         ),
     )
+
+
+@register(
+    "join_asof_next_price",
+    f"""
+WITH {STOCK_PRICES_CTE.strip()},
+li AS (
+  SELECT l_orderkey, l_linenumber,
+         {ticker_sql('l_suppkey')} AS stock_ticker,
+         CAST(l_shipdate AS DATE) + 7 AS receipt_date
+  FROM lineitem)
+SELECT li.l_orderkey, li.l_linenumber, li.stock_ticker, li.receipt_date,
+       sp.stock_date AS px_date, sp.stock_close AS px_close
+FROM li ASOF LEFT JOIN stock_prices sp
+  ON li.stock_ticker = sp.stock_ticker AND li.receipt_date <= sp.stock_date
+""",
+    doc="FORWARD as-of join: the next stock bar at-or-after each "
+        "lineitem receipt date (ship+7d; the testdata carries no "
+        "receipt column) — the next-quote/next-fill lookup, same "
+        "one-shuffle union-window plan with the frame flipped to "
+        "[current, unbounded following], vs DuckDB's native forward "
+        "ASOF LEFT JOIN (li.t <= sp.t)",
+    tags=("joins", "asof", "window"),
+)
+def q_asof_next_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _ticker_expr("l_suppkey").alias("stock_ticker"),
+        F.date_add(F.col("l_shipdate").cast("date"), 7).alias("receipt_date"),
+    )
+    sp = stock_prices(spark, sf_dir)
+    joined = asof_join(
+        li,
+        sp,
+        on="stock_ticker",
+        left_time="receipt_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+        direction="forward",
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "stock_ticker",
+        "receipt_date",
+        F.col("stock_date").alias("px_date"),
+        F.col("stock_close").alias("px_close"),
+    )
