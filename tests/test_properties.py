@@ -227,3 +227,40 @@ def test_pii_scrub_counts_match_injections(spark):
     scrubbed = pii_scrub(df).select("doc_id", F.col("scrubbed").alias("text"))
     again = pii_scrub(scrubbed).collect()
     assert all(r["n_emails"] == 0 and r["n_urls"] == 0 for r in again)
+
+
+def test_chunk_documents_covers_text_exactly(spark):
+    """Chunks at stride intervals cover every char; starts are exact
+    stride multiples; tail chunk is the remainder; empty/null emit
+    nothing."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, None), (4, "abc"), (5, "abcd")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, size=4, stride=3).orderBy(
+        "doc_id", "chunk_ix"
+    ).collect()
+    got = [(r["doc_id"], r["chunk_ix"], r["chunk_start"], r["chunk_text"])
+           for r in rows]
+    assert got == [
+        (1, 0, 0, "abcd"), (1, 1, 3, "defg"), (1, 2, 6, "ghij"),
+        (1, 3, 9, "j"),
+        (4, 0, 0, "abc"),
+        (5, 0, 0, "abcd"), (5, 1, 3, "d"),
+    ]
+    # reassembly: stride-prefix of every non-tail chunk concatenates
+    # back to the original text
+    texts = {1: "abcdefghij", 4: "abc", 5: "abcd"}
+    for doc, text in texts.items():
+        chunks = [c for d, _, _, c in got if d == doc]
+        rebuilt = "".join(c[:3] for c in chunks[:-1]) + chunks[-1]
+        assert rebuilt == text
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        chunk_documents(df, size=0, stride=3)

@@ -237,3 +237,41 @@ def stratified_sample(df: DataFrame, rates_permille: dict[str, int],
             rate
         )
     return df.filter(u * F.lit(1000) < rate * F.lit(1 << 32))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", size: int = 120,
+                    stride: int = 80) -> DataFrame:
+    """Fixed-size character-window chunking with overlap — the
+    retrieval / context-window prep step of a training-data pipeline
+    (every ``stride`` chars, emit the ``size``-char window starting
+    there; the final windows are shorter at the tail).
+
+    One row in → ``ceil(len/stride)`` rows out with columns
+    ``(id_col, chunk_ix, chunk_start, chunk_text)``. Null/empty texts
+    emit nothing. Zero-shuffle: scan → sequence/explode → substring,
+    all inside WholeStageCodegen, so at corpus scale this is a pure
+    map stage fused with the parquet scan (output partitioning ==
+    input partitioning; no skew introduced beyond per-doc length).
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    n = F.length(F.col(text_col))
+    return (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(0), n - F.lit(1), F.lit(stride))
+            ).alias("chunk_start"),
+        )
+        .select(
+            id_col,
+            F.expr(f"CAST(chunk_start DIV {stride} AS BIGINT)").alias("chunk_ix"),
+            F.col("chunk_start").cast("bigint").alias("chunk_start"),
+            F.expr(f"substring({text_col}, chunk_start + 1, {size})").alias(
+                "chunk_text"
+            ),
+        )
+    )

@@ -663,6 +663,32 @@ def q_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_doc_chunks",
+    """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, 80)) AS chunk_start
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id,
+       chunk_start // 80 AS chunk_ix,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       substring(text, CAST(chunk_start AS INT) + 1, 120) AS chunk_text
+FROM c
+""",
+    doc="fixed-size character-window chunking with overlap "
+        "(size=120, stride=80) — the retrieval/context-window prep "
+        "step. Zero-shuffle sequence/explode/substring map stage "
+        "fused with the scan (operators/text.py:chunk_documents); "
+        "oracle is DuckDB generate_series+substring.",
+    tags=("llm", "text", "chunking"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=120, stride=80
+    )
+
+
+@register(
     "llm_pii_scrub",
     """
 WITH enriched AS (
