@@ -142,3 +142,40 @@ def test_range_join_bucketed_exact_bounds(spark):
         (2000.0, 2),
         (7999.0, 2),
     ]
+
+
+def test_interval_overlap_join_dedup_and_bounds(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, 0, 25),     # spans many buckets; overlaps R10 and R20
+            (2, 9, 10),     # touches R10 at exactly one point
+            (3, -12, -4),   # negative coords; overlaps R-neg
+            (4, 50, 60),    # overlaps nothing
+        ],
+        "lid int, llo int, lhi int",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 5, 30),    # shares buckets 0,1,2,3 with L1 → must emit ONCE
+            (20, 25, 40),   # touches L1 endpoint
+            (30, -6, -1),   # negative overlap with L3
+            (40, 100, 110),
+        ],
+        "rid int, rlo int, rhi int",
+    )
+    out = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", bucket_width=8
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    assert got == [(1, 10), (1, 20), (2, 10), (3, 30)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlapping column"):
+        interval_overlap_join(
+            left, left, "llo", "lhi", "llo", "lhi", bucket_width=8
+        )

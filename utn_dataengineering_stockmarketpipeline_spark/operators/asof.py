@@ -132,3 +132,47 @@ def range_join_bucketed(
     )
     joined = l_b.join(r_b, "__bucket").filter((p >= lo_c) & (p < hi_c))
     return joined.drop("__bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Interval × interval overlap join: every (left, right) pair whose
+    CLOSED intervals intersect (``l_lo <= r_hi AND r_lo <= l_hi``).
+    The inequality pair becomes ONE equi-join: both sides explode to
+    the fixed-width buckets their interval spans and join on bucket.
+
+    A pair sharing several buckets is emitted exactly once WITHOUT a
+    distinct pass: a match only counts in the first bucket both
+    intervals cover — ``max(floor(l_lo/W), floor(r_lo/W))`` — which is
+    pure arithmetic on the joined row, so dedup costs zero extra
+    shuffles. Shuffle volume scales with Σ(span/W + 1) per side, not
+    |L|×|R|; pick ``bucket_width`` near the typical interval length.
+
+    Column names must be disjoint across the two sides (raises
+    otherwise) — the output carries all columns of both.
+    """
+    dup = sorted(set(left.columns) & set(right.columns))
+    if dup:
+        raise ValueError(f"overlapping column names across sides: {dup}")
+    l_lo, l_hi = F.col(left_lo), F.col(left_hi)
+    r_lo, r_hi = F.col(right_lo), F.col(right_hi)
+    w = bucket_width
+    lb = left.withColumn(
+        "__bucket", F.explode(F.sequence(F.floor(l_lo / w), F.floor(l_hi / w)))
+    )
+    rb = right.withColumn(
+        "__bucket", F.explode(F.sequence(F.floor(r_lo / w), F.floor(r_hi / w)))
+    )
+    joined = lb.join(rb, "__bucket").filter(
+        (l_lo <= r_hi)
+        & (r_lo <= l_hi)
+        & (F.col("__bucket") == F.greatest(F.floor(l_lo / w), F.floor(r_lo / w)))
+    )
+    return joined.drop("__bucket")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.asof import asof_join, range_join_bucketed
+from ..operators.asof import asof_join, interval_overlap_join, range_join_bucketed
 from ..sources.parquet import load_table
 from .catalog import register
 from .reference_tables import (
@@ -161,4 +161,70 @@ def q_asof_next_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "receipt_date",
         F.col("stock_date").alias("px_date"),
         F.col("stock_close").alias("px_close"),
+    )
+
+
+@register(
+    "join_interval_promo_overlap",
+    """
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           AS ship_lo
+  FROM lineitem),
+p AS (
+  SELECT promo_month,
+         datediff('day', DATE '1970-01-01', promo_month) AS promo_lo
+  FROM (SELECT DISTINCT date_trunc('month', CAST(l_shipdate AS DATE))
+               AS promo_month
+        FROM lineitem))
+SELECT li.l_orderkey, li.l_linenumber, p.promo_month,
+       CAST(LEAST(li.ship_lo + 6, p.promo_lo + 6)
+            - GREATEST(li.ship_lo, p.promo_lo) + 1 AS BIGINT) AS overlap_days
+FROM li JOIN p
+  ON li.ship_lo <= p.promo_lo + 6 AND p.promo_lo <= li.ship_lo + 6
+""",
+    doc="interval × interval overlap join: each lineitem's 7-day ship "
+        "window [shipdate, shipdate+6] against the first-7-days promo "
+        "window of every ship month, plus the overlap length in days. "
+        "Bucketed equi-join plan (operators/asof.py:"
+        "interval_overlap_join) — both sides explode to 7-day buckets, "
+        "multi-bucket pairs dedup by first-shared-bucket arithmetic, "
+        "zero distinct pass — vs DuckDB's native inequality join.",
+    tags=("joins", "interval", "overlap"),
+)
+def q_interval_promo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = F.lit("1970-01-01").cast("date")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_lo"),
+    ).withColumn("ship_hi", F.col("ship_lo") + 6)
+    promo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias(
+                "promo_month"
+            )
+        )
+        .distinct()
+        .select(
+            "promo_month",
+            F.datediff(F.col("promo_month"), epoch).alias("promo_lo"),
+        )
+        .withColumn("promo_hi", F.col("promo_lo") + 6)
+    )
+    joined = interval_overlap_join(
+        li, promo, "ship_lo", "ship_hi", "promo_lo", "promo_hi",
+        bucket_width=7,
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "promo_month",
+        (
+            F.least(F.col("ship_hi"), F.col("promo_hi"))
+            - F.greatest(F.col("ship_lo"), F.col("promo_lo"))
+            + F.lit(1)
+        ).cast("bigint").alias("overlap_days"),
     )
