@@ -41,3 +41,45 @@ def test_ema_default_bound_is_module_constant(spark):
     assert windows.MAX_GROUP_ROWS == 10_000_000
     df = _series(spark, 8)
     assert windows.ema(df, "ticker", "t", "x").count() == 8
+
+
+def test_funnel_ordering_discriminates(spark):
+    """The catalog data has every user completing every stage; this
+    hand-built set exercises the ordering constraint the funnel is
+    about: clicks BEFORE the first view don't count, purchases before
+    the qualifying click don't count."""
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.plans import (
+        queries_analytics as qa,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, etype, minutes):
+        return (uid, etype, t0 + dt.timedelta(minutes=minutes))
+
+    rows = [
+        # u1: full ordered funnel
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+        # u2: click precedes the only view → stalls at view
+        ev(2, "click", 0), ev(2, "view", 5),
+        # u3: purchase precedes the qualifying click → stalls at purchase
+        ev(3, "view", 0), ev(3, "purchase", 1), ev(3, "click", 4),
+        # u4: no view at all → only counted in total
+        ev(4, "click", 0), ev(4, "purchase", 1),
+        # u5: same-instant chain (>= is inclusive) → full funnel
+        ev(5, "view", 0), ev(5, "click", 0), ev(5, "purchase", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+
+    import unittest.mock as mock
+
+    with mock.patch.object(qa, "load_table", return_value=df):
+        out = qa.q_funnel_conversion(spark, "unused").collect()[0]
+    assert (
+        out["users_total"], out["users_view"],
+        out["users_click"], out["users_purchase"],
+    ) == (5, 4, 3, 2)

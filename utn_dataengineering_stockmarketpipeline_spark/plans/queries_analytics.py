@@ -658,3 +658,85 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_quantiles")[1].alias("p95"),
         F.col("value_quantiles")[2].alias("p99"),
     )
+
+
+@register(
+    "ana_funnel_conversion",
+    """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_view
+       FROM e),
+s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t_view
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_click
+       FROM s1),
+s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t_click
+                          THEN ts END)
+                   OVER (PARTITION BY user_id) AS t_purchase
+       FROM s2)
+SELECT COUNT(DISTINCT user_id) AS users_total,
+       COUNT(DISTINCT CASE WHEN t_view IS NOT NULL
+                           THEN user_id END) AS users_view,
+       COUNT(DISTINCT CASE WHEN t_click IS NOT NULL
+                           THEN user_id END) AS users_click,
+       COUNT(DISTINCT CASE WHEN t_purchase IS NOT NULL
+                           THEN user_id END) AS users_purchase
+FROM s3
+""",
+    doc="ordered funnel view → click → purchase: per user, first view, "
+        "first click at-or-after that view, first purchase at-or-after "
+        "that click; stage counts of users surviving each step. Three "
+        "chained unbounded-frame window aggs share ONE hash exchange "
+        "on user_id (no orderBy → no sort), then a single global "
+        "conditional count-distinct — the sequence-match analytics "
+        "shape at any event volume.",
+    tags=("analytics", "window", "funnel", "events"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    w = Window.partitionBy("user_id")
+    s1 = ev.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("t_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("t_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+
+    # per-user flag rollup FIRST: input is already hash-partitioned by
+    # user_id from the window exchange, so this groupBy adds NO shuffle
+    # and shrinks to one row per user — the 4-way countDistinct
+    # alternative would Expand every event row ×4 through two more
+    # exchanges
+    flags = s3.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull()).alias("v"),
+        F.max(F.col("t_click").isNotNull()).alias("c"),
+        F.max(F.col("t_purchase").isNotNull()).alias("p"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        F.sum(F.col("v").cast("bigint")).alias("users_view"),
+        F.sum(F.col("c").cast("bigint")).alias("users_click"),
+        F.sum(F.col("p").cast("bigint")).alias("users_purchase"),
+    )
