@@ -56,6 +56,9 @@ BENCH_QUERIES = (
     # round-3 additions
     "llm_dedup_keep_one",
     "ref_scd2_markets",
+    "join_interval_promo_overlap",
+    "ana_funnel_conversion",
+    "llm_doc_chunks",
 )
 
 
