@@ -275,3 +275,39 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
             ),
         )
     )
+
+
+def ngram_doc_frequency(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_docs: int = 2) -> DataFrame:
+    """Boilerplate n-gram detection — word n-grams appearing in at
+    least ``min_docs`` DISTINCT documents, with their document
+    frequency. The detection half of C4-style boilerplate removal
+    (headers, footers, license blurbs repeat verbatim across pages;
+    content n-grams don't).
+
+    Returns ``(ngram, n_docs)``. Plan: the n-gram build is a
+    zero-shuffle map stage (higher-order ``transform`` over a token
+    index sequence — no Python), then ONE partial-aggregated shuffle
+    on the n-gram; the distinct-doc count dedups inside each group.
+    On a 100 TB corpus the HAVING threshold is pushed as a post-agg
+    filter, and the output is the (tiny) boilerplate dictionary you
+    broadcast back to scrub with.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = F.split(F.col(text_col), " ")
+    # element_at is 1-based; i ranges over 0..len-n
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(w) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -740,3 +740,51 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c").cast("bigint")).alias("users_click"),
         F.sum(F.col("p").cast("bigint")).alias("users_purchase"),
     )
+
+
+@register(
+    "ana_retention_cohorts",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+f AS (SELECT user_id, ts,
+             MIN(ts) OVER (PARTITION BY user_id) AS first_ts
+      FROM e),
+d AS (SELECT DISTINCT user_id,
+             date_trunc('week', CAST(first_ts AS DATE)) AS cohort_week,
+             CAST(datediff('day',
+                           date_trunc('week', CAST(first_ts AS DATE)),
+                           date_trunc('week', CAST(ts AS DATE))) // 7
+                  AS BIGINT) AS week_offset
+      FROM f)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM d GROUP BY cohort_week, week_offset
+""",
+    doc="weekly retention cohorts: users grouped by ISO week of first "
+        "event; n_users active per (cohort, weeks-since) cell. One "
+        "window exchange on user_id; the per-user distinct reuses that "
+        "partitioning (user_id ⊆ distinct keys → no exchange), then "
+        "one tiny partial-agg shuffle on the cohort cell. The offset "
+        "is calendar-aligned (week-start to week-start), an exact "
+        "multiple of 7 days — integer-exact in both engines.",
+    tags=("analytics", "window", "cohort", "events"),
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    first_ts = F.min("ts").over(Window.partitionBy("user_id"))
+    cohort = F.trunc(F.col("first_ts").cast("date"), "week")
+    event_week = F.trunc(F.col("ts").cast("date"), "week")
+    return (
+        ev.withColumn("first_ts", first_ts)
+        .select(
+            "user_id",
+            cohort.alias("cohort_week"),
+            (F.datediff(event_week, cohort) / 7).cast("bigint").alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -689,6 +689,32 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_boilerplate_ngrams",
+    """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+ng AS (SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ngram
+       FROM toks WHERE len(w) >= 3)
+SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs
+FROM ng GROUP BY ngram
+HAVING COUNT(DISTINCT doc_id) >= 3
+""",
+    doc="boilerplate word-3-gram detection: n-grams appearing in >= 3 "
+        "distinct documents with their document frequency — the "
+        "detection half of C4-style boilerplate removal. Zero-shuffle "
+        "higher-order-function n-gram build + ONE partial-aggregated "
+        "shuffle (operators/text.py:ngram_doc_frequency).",
+    tags=("llm", "text", "curation"),
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_doc_frequency(
+        load_table(spark, sf_dir, "documents"), n=3, min_docs=3
+    )
+
+
+@register(
     "llm_pii_scrub",
     """
 WITH enriched AS (
