@@ -252,7 +252,54 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
 
     _scd2_scale(spark, factor, out)
     _streaming_scale(spark, sf_dir, factor, out)
+    _interval_scale(spark, sf_dir, factor, out)
     return out
+
+
+def _interval_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
+    """Interval-overlap join at 1× and ×factor left intervals against a
+    fixed promo side: the bucketed equi-join plan should scale with
+    |L| + output pairs, never |L|×|R|. Replicas shift by a few days per
+    copy so the interval distribution spreads instead of stacking."""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    epoch = F.lit("1970-01-01").cast("date")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), epoch).alias("ship_lo")
+    )
+    promo = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.trunc(F.col("l_shipdate").cast("date"), "month").alias("m"))
+        .distinct()
+        .select(F.datediff(F.col("m"), epoch).alias("promo_lo"))
+        .withColumn("promo_hi", F.col("promo_lo") + 6)
+    )
+    rep = spark.range(factor).select(F.col("id").alias("rep"))
+
+    def left(fac_df):
+        return (
+            li.crossJoin(fac_df)
+            .select((F.col("ship_lo") + F.col("rep") * 3).alias("lo"))
+            .withColumn("hi", F.col("lo") + 6)
+        )
+
+    l1 = left(rep.limit(1)).persist()
+    ln = left(rep).persist()
+    l1.count(), ln.count()
+    for label, l in ((f"interval_overlap_1x", l1), (f"interval_overlap_{factor}x", ln)):
+        t0 = time.perf_counter()
+        n = interval_overlap_join(
+            l, promo, "lo", "hi", "promo_lo", "promo_hi", bucket_width=7
+        ).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+    l1.unpersist(), ln.unpersist()
 
 
 def main() -> None:
