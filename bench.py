@@ -57,6 +57,7 @@ BENCH_QUERIES = (
     "llm_dedup_keep_one",
     "ref_scd2_markets",
     "join_interval_promo_overlap",
+    "join_ffill_calendar",
     "ana_funnel_conversion",
     "llm_doc_chunks",
 )

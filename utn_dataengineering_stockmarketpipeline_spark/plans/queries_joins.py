@@ -228,3 +228,61 @@ def q_interval_promo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1)
         ).cast("bigint").alias("overlap_days"),
     )
+
+
+@register(
+    "join_ffill_calendar",
+    f"""
+WITH {STOCK_PRICES_CTE.strip()},
+sp AS (SELECT stock_ticker, stock_date, stock_close FROM stock_prices),
+cal AS (
+  SELECT stock_ticker,
+         CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE)
+           AS cal_date
+  FROM (SELECT stock_ticker, MIN(stock_date) AS mind,
+               MAX(stock_date) AS maxd
+        FROM sp GROUP BY stock_ticker))
+SELECT cal.stock_ticker, cal.cal_date,
+       sp.stock_close AS close_ffill,
+       CAST(datediff('day', sp.stock_date, cal.cal_date) AS INT)
+         AS days_stale
+FROM cal ASOF LEFT JOIN sp
+  ON cal.stock_ticker = sp.stock_ticker AND cal.cal_date >= sp.stock_date
+""",
+    doc="calendar resampling + forward fill: a gapless per-ticker daily "
+        "calendar (min..max bar date), each day carrying the most "
+        "recent close and its staleness in days — the gap-fill / "
+        "as-of-alignment step before any calendar-window indicator. "
+        "Pure composition: per-ticker min/max agg → date sequence "
+        "explode → the one-shuffle union-window asof_join. No join "
+        "against the calendar (that plan re-shuffles twice); vs "
+        "DuckDB's native ASOF LEFT JOIN over a generate_series "
+        "calendar.",
+    tags=("joins", "asof", "resample", "window"),
+)
+def q_ffill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir).select(
+        "stock_ticker", "stock_date", "stock_close"
+    )
+    cal = (
+        sp.groupBy("stock_ticker")
+        .agg(F.min("stock_date").alias("d0"), F.max("stock_date").alias("d1"))
+        .select(
+            "stock_ticker",
+            F.explode(F.sequence("d0", "d1")).alias("cal_date"),
+        )
+    )
+    joined = asof_join(
+        cal,
+        sp,
+        on="stock_ticker",
+        left_time="cal_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+    )
+    return joined.select(
+        "stock_ticker",
+        "cal_date",
+        F.col("stock_close").alias("close_ffill"),
+        F.datediff("cal_date", "stock_date").alias("days_stale"),
+    )
