@@ -883,6 +883,86 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_curation_pipeline",
+    f"""
+WITH RECURSIVE {_BANDED_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY id),
+sh AS (SELECT DISTINCT doc_id, h
+       FROM (SELECT doc_id, unnest(hs) AS h FROM hsh)),
+bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hit AS (SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM corpus c JOIN bench b ON c.h = b.h GROUP BY c.doc_id),
+contaminated AS (
+  SELECT h.doc_id FROM hit h JOIN tot t ON h.doc_id = t.doc_id
+  WHERE h.n_shared * 2 >= t.n_shingles)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+JOIN clusters c ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+WHERE len({_TOKS}) >= 30
+  AND len(list_filter({_TOKS}, t -> regexp_full_match(t, '[a-zA-Z]+'))) * 5
+      >= len({_TOKS}) * 4
+  AND ({_lang_id_sql()}) = 'en'
+  AND d.doc_id % 97 <> 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+    doc="the END-TO-END corpus curation pass, one DAG: map-only "
+        "quality gates (>= 30 tokens, >= 80 percent alpha tokens — "
+        "integer-exact comparisons, no float boundaries) + lang-ID "
+        "gate fused with the scan, benchmark-contamination anti-join "
+        "(broadcast benchmark shingle set, docs sharing >= half their "
+        "shingles with the benchmark dropped), MinHash-LSH duplicate "
+        "clustering with min-id survivor selection. What a reference "
+        "user runs nightly before training; every stage is the "
+        "already-oracled operator, composed.",
+    tags=("llm", "curation", "dedup", "pipeline"),
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[a-zA-Z]+$")))
+    gated = docs.filter(
+        (n_tokens >= 30)
+        & (n_alpha * 5 >= n_tokens * 4)
+        & (text.lang_id("text") == "en")
+        & (F.col("doc_id") % 97 != 0)
+    )
+
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    contaminated = dedup.contamination(corpus, bench).filter(
+        F.col("n_shared") * 2 >= F.col("n_shingles")
+    )
+
+    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    clusters = dedup.duplicate_clusters(pairs, docs)
+    survivors = clusters.filter(
+        F.col("cluster_id") == F.col("doc_id")
+    ).select("doc_id")
+
+    return (
+        gated.join(survivors, "doc_id")
+        .join(
+            F.broadcast(contaminated.select("doc_id")), "doc_id", "left_anti"
+        )
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register(
     "llm_stratified_sample",
     f"""
 SELECT doc_id, lang, source
