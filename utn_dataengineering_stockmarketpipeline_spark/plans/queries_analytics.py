@@ -788,3 +788,38 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "ana_min_cost_supplier",
+    """
+SELECT DISTINCT p.p_partkey, p.p_name, li.l_suppkey,
+       li.l_extendedprice AS min_price
+FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+WHERE li.l_extendedprice = (
+  SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+  WHERE l2.l_partkey = li.l_partkey)
+""",
+    doc="TPC-H Q2-shaped min-cost supplier per part: the correlated "
+        "scalar subquery DECORRELATES to a per-part window min + "
+        "equality filter — one shuffle on partkey; the distinct reuses "
+        "that partitioning (partkey ⊆ keys → no second exchange) and "
+        "the part dim broadcasts. The oracle keeps the correlated "
+        "form, so the check proves the decorrelation is semantics-"
+        "preserving (ties: every min-price supplier rows out).",
+    tags=("analytics", "window", "decorrelation"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey", "min_price")
+    )

@@ -925,3 +925,28 @@ def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sp = stock_prices(spark, sf_dir)
     return ema(sp, "stock_ticker", "stock_date", "stock_close", span=20)
+
+
+@register(
+    "ref_unpivot_ohlc",
+    with_reference_ctes("""
+SELECT stock_ticker, stock_date, field, value
+FROM stock_prices
+UNPIVOT (value FOR field IN
+         (stock_open, stock_high, stock_low, stock_close))
+"""),
+    doc="wide→long reshape of the OHLC bars (`DataFrame.unpivot`, the "
+        "melt operator): 4 price fields per bar become 4 rows — a "
+        "zero-shuffle Expand stage fused with the scan, vs DuckDB's "
+        "SQL-standard UNPIVOT. The long form feeds generic "
+        "per-(field) analytics without per-column query variants.",
+    tags=("reference", "reshape"),
+)
+def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    return sp.unpivot(
+        ids=["stock_ticker", "stock_date"],
+        values=["stock_open", "stock_high", "stock_low", "stock_close"],
+        variableColumnName="field",
+        valueColumnName="value",
+    )
