@@ -823,3 +823,111 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select("p_partkey", "p_name", "l_suppkey", "min_price")
     )
+
+
+@register(
+    "ana_sole_late_supplier",
+    """
+WITH ll AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 30
+           AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+FROM ll l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.is_late
+  AND EXISTS (SELECT 1 FROM ll l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM ll l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.is_late)
+GROUP BY s.s_suppkey, s.s_name
+""",
+    doc="TPC-H Q21-shaped blame query: lines shipped > 30 days after "
+        "order date, in multi-supplier orders where NO other supplier "
+        "was late. The EXISTS ('another supplier') and NOT EXISTS "
+        "('another LATE supplier') both decorrelate to per-order "
+        "window min/max: another-supplier-exists ⟺ min(suppkey) ≠ "
+        "max(suppkey); no-other-late ⟺ the late rows' supplier "
+        "min == max (and the row itself is late) — ONE shuffle on "
+        "orderkey replaces two lineitem self-joins. Oracle keeps the "
+        "EXISTS form, proving the rewrite.",
+    tags=("analytics", "window", "decorrelation", "anti-join"),
+)
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    ll = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("sd") > F.date_add(F.col("od"), 30)).alias("is_late"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    flagged = ll.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.min("l_suppkey").over(w).alias("min_s"),
+        F.max("l_suppkey").over(w).alias("max_s"),
+        F.min(late_supp).over(w).alias("min_ls"),
+        F.max(late_supp).over(w).alias("max_ls"),
+    )
+    blamed = flagged.filter(
+        F.col("is_late")
+        & (F.col("min_s") != F.col("max_s"))
+        & (F.col("min_ls") == F.col("max_ls"))
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "ana_important_parts",
+    """
+WITH pv AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+FROM pv
+WHERE CAST(val AS DOUBLE) * 4 * (SELECT COUNT(*) FROM pv)
+      > 5 * (SELECT CAST(SUM(val) AS DOUBLE) FROM pv)
+""",
+    doc="TPC-H Q11-shaped share-of-total filter: parts whose lineitem "
+        "value exceeds 1.25x the MEAN part value — scale-free, so the "
+        "cut discriminates at every sf. The global (total, count) "
+        "scalar is a tiny second aggregation broadcast against the "
+        "per-part rollup. Sums stay exact-decimal; the 5/4 threshold "
+        "compare runs in per-row double arithmetic on identical "
+        "inputs, which is bit-identical across engines (only float "
+        "REDUCTIONS are order-sensitive).",
+    tags=("analytics", "aggregate", "scalar-subquery"),
+)
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("val")
+    )
+    total = pv.agg(
+        F.sum("val").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("val").cast("double") * 4 * F.col("n_parts")
+            > 5 * F.col("total")
+        )
+        .select("l_partkey", F.col("val").cast("double").alias("part_value"))
+    )
