@@ -622,3 +622,53 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text",
         .unionAll(half_join("h_hi").filter(F.col("hamming") <= max_hamming))
     )
     return cand.dropDuplicates(["id_a", "id_b"])
+
+
+def containment_pairs(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", k: int = 3,
+                      num_perms: int = 8, bands: int = 4) -> DataFrame:
+    """Directed containment scores for LSH candidate pairs:
+    ``c_a_in_b = |shingles(A) ∩ shingles(B)| / |shingles(A)|`` and the
+    mirror. Jaccard under-weights SUBSET duplication (a paragraph
+    quoted inside a much longer doc scores low symmetric similarity but
+    containment ≈ 1) — this is the asymmetric gate a curation pipeline
+    layers on top of MinHash.
+
+    Candidate generation is the banded-LSH path (subquadratic); the
+    exact intersection then runs only on candidate pairs: two hash
+    joins of the candidate list against the per-doc distinct shingle
+    sets, one count per pair. Cost scales with candidates × doc size,
+    never |corpus|².
+    """
+    from ..functions.hashing import shingle_hash_rows
+
+    cand = minhash_candidates(
+        docs, text_col, id_col, k=k, num_perms=num_perms, bands=bands
+    ).select("id_a", "id_b")
+    sh = (
+        shingle_hash_rows(docs, text_col, id_col, k)
+        .select(F.col(id_col).alias("__id"), "h")
+        .distinct()
+    )
+    tot = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cand.join(sh, cand["id_a"] == sh["__id"])
+        .select("id_a", "id_b", "h")
+        .join(
+            sh.select(F.col("__id").alias("__idb"), F.col("h").alias("__hb")),
+            (F.col("id_b") == F.col("__idb")) & (F.col("h") == F.col("__hb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(tot.select(F.col("__id"), F.col("n").alias("n_a")),
+                    F.col("id_a") == F.col("__id")).drop("__id")
+        .join(tot.select(F.col("__id"), F.col("n").alias("n_b")),
+              F.col("id_b") == F.col("__id")).drop("__id")
+        .select(
+            "id_a", "id_b", "n_shared", "n_a", "n_b",
+            F.round(F.col("n_shared") / F.col("n_a"), 6).alias("c_a_in_b"),
+            F.round(F.col("n_shared") / F.col("n_b"), 6).alias("c_b_in_a"),
+        )
+    )

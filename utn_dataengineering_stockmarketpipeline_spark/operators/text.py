@@ -10,7 +10,7 @@ no float accumulations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Marker stopwords per language for the n-gram/stopword-count heuristic.
@@ -310,4 +310,24 @@ def ngram_doc_frequency(df: DataFrame, n: int = 3, id_col: str = "doc_id",
         .groupBy("ngram")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def sample_k_per_stratum(df: DataFrame, k: int, stratum_col: str = "lang",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic EXACT-k sample per stratum: rank rows inside each
+    stratum by (md5(id), id) and keep the first ``k`` — the eval-set /
+    human-review draw where every stratum must contribute a fixed
+    count regardless of its size (rate-based ``stratified_sample``
+    can't guarantee that). md5 ordering is uniform and engine-agnostic
+    (lowercase hex both here and in DuckDB), the id tiebreak makes the
+    draw total, so any engine picks the same rows. One shuffle on the
+    stratum; the per-group sort is the window's, no global sort."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
     )

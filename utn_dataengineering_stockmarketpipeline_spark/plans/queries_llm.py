@@ -883,6 +883,68 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_sample_k_per_stratum",
+    """
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 20
+""",
+    doc="deterministic EXACT-k (k=20) draw per language stratum — the "
+        "eval-set/human-review sample where each stratum contributes a "
+        "fixed count. Rank by (md5(id), id): uniform, engine-agnostic, "
+        "total order ⇒ reproducible without RNG. One shuffle on the "
+        "stratum (operators/text.py:sample_k_per_stratum).",
+    tags=("llm", "curation", "sampling"),
+)
+def q_sample_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.sample_k_per_stratum(
+        load_table(spark, sf_dir, "documents"), k=20
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_containment_pairs",
+    f"""
+WITH {_BANDED_CTE.strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, h
+       FROM (SELECT doc_id, unnest(hs) AS h FROM hsh)),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b)
+SELECT s.id_a, s.id_b, s.n_shared,
+       ta.n AS n_a, tb.n AS n_b,
+       ROUND(CAST(s.n_shared AS DOUBLE) / ta.n, 6) AS c_a_in_b,
+       ROUND(CAST(s.n_shared AS DOUBLE) / tb.n, 6) AS c_b_in_a
+FROM shared s
+JOIN tot ta ON ta.doc_id = s.id_a
+JOIN tot tb ON tb.doc_id = s.id_b
+""",
+    doc="directed containment scores on LSH candidate pairs: "
+        "|A∩B|/|A| and |A∩B|/|B| over distinct word-3-shingle sets — "
+        "the asymmetric near-dup gate (subset duplication scores ~1 "
+        "here but low Jaccard). Banded-LSH candidates keep it "
+        "subquadratic; exact intersection only on candidates "
+        "(operators/dedup.py:containment_pairs).",
+    tags=("llm", "dedup", "containment"),
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.containment_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=_NUM_PERMS, bands=_BANDS,
+    )
+
+
+@register(
     "llm_curation_pipeline",
     f"""
 WITH RECURSIVE {_BANDED_CTE.strip()},
