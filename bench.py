@@ -60,6 +60,8 @@ BENCH_QUERIES = (
     "join_ffill_calendar",
     "ana_funnel_conversion",
     "llm_doc_chunks",
+    "llm_containment_pairs",
+    "llm_curation_pipeline",
 )
 
 

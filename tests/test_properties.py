@@ -264,3 +264,40 @@ def test_chunk_documents_covers_text_exactly(spark):
 
     with pytest.raises(ValueError, match="positive"):
         chunk_documents(df, size=0, stride=3)
+
+
+@SLOW
+@given(
+    st.lists(st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+             min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(-40, 40), st.integers(0, 15)),
+             min_size=1, max_size=12),
+    st.integers(1, 20),
+)
+def test_interval_overlap_matches_bruteforce(spark, lspans, rspans, width):
+    """For arbitrary (possibly negative, touching, nested) closed
+    intervals and any bucket width, the bucketed plan emits exactly the
+    brute-force overlap set, each pair once."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, lo, lo + n) for i, (lo, n) in enumerate(lspans)],
+        "lid int, llo int, lhi int",
+    )
+    right = spark.createDataFrame(
+        [(i, lo, lo + n) for i, (lo, n) in enumerate(rspans)],
+        "rid int, rlo int, rhi int",
+    )
+    out = interval_overlap_join(
+        left, right, "llo", "lhi", "rlo", "rhi", bucket_width=width
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted(
+        (i, j)
+        for i, (llo, ln) in enumerate(lspans)
+        for j, (rlo, rn) in enumerate(rspans)
+        if llo <= rlo + rn and rlo <= llo + ln
+    )
+    assert got == want
