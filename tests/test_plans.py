@@ -178,6 +178,27 @@ def test_tfidf_and_clusters_no_nested_loop(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_round3_queries_no_nested_loop(spark):
+    """The r3 join/curation additions must lower to equi-joins (bucketed
+    or broadcast-hash), never nested-loop fallbacks, and the funnel must
+    not Expand event rows."""
+    for name in (
+        "join_interval_promo_overlap",
+        "join_ffill_calendar",
+        "join_asof_next_price",
+        "llm_containment_pairs",
+        "llm_boilerplate_ngrams",
+        "llm_curation_pipeline",
+        "ana_sole_late_supplier",
+        "ana_retention_cohorts",
+    ):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    funnel = plan_of(CATALOG["ana_funnel_conversion"].build(spark, SF_SMOKE))
+    assert "Expand" not in funnel
+
+
 def test_reference_table_cache_eviction(spark):
     """Sweeping several scale factors must not accumulate persisted
     tables forever: evict_materialized frees one sf_dir's tables (or
