@@ -113,6 +113,37 @@ def scd2_apply(
     )
 
 
+def scd1_apply(incoming: DataFrame, current: DataFrame, key: str) -> DataFrame:
+    """SCD Type 1: overwrite-in-place upsert (no history).
+
+    The middle rung of the SCD ladder the reference's warehouse implies:
+    Type 0 (insert-only, ``new_rows``/``merge_append``, DB_manager.py:
+    142-177) never updates; Type 2 (``scd2_apply``) versions; Type 1
+    replaces. For each key present in ``incoming`` the snapshot row wins;
+    keys only in ``current`` pass through (snapshots can be partial);
+    never-seen keys insert. Returns the complete new table state.
+
+    Spark-first shape: MERGE-without-MERGE as one ``left_anti`` join plus
+    a union — the surviving-current side shuffles on the key once and the
+    incoming side streams through unchanged. No full-outer join (which
+    would materialize both sides' columns twice), no per-row comparison:
+    unchanged rows are overwritten with identical values, which is
+    idempotent and cheaper at scale than hash-diffing every attribute
+    just to skip a same-value write. Duplicate keys within the batch are
+    collapsed first (last-writer-ambiguity removed the same way
+    ``new_rows`` does).
+
+    At 100 TB: the anti-join benefits from the same partition-pruning
+    advice as ``new_rows`` — prune ``current`` to partitions that can
+    contain incoming keys before the join, and AQE broadcasts the batch
+    side when it is small.
+    """
+    survivors = current.join(
+        incoming.select(key), on=key, how="left_anti"
+    )
+    return survivors.unionByName(incoming.dropDuplicates([key]))
+
+
 def merge_append(incoming: DataFrame, target_path: str, key: str,
                  partition_by: list[str] | None = None) -> int:
     """SCD-0 load: append only never-seen keys to a parquet target.

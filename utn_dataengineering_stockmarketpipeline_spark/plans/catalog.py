@@ -88,12 +88,36 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_embedding_near_dup_lsh",
     "llm_ann_lsh_topk",
     "llm_ann_ivf_topk",
+    # --- new in round 3 (first driver rows this round) ---
+    "ref_unpivot_ohlc",
+    "ana_funnel_conversion",
+    "ana_retention_cohorts",
+    "ana_min_cost_supplier",
+    "ana_sole_late_supplier",
+    "ana_important_parts",
+    "llm_dedup_keep_one",
+    "llm_doc_chunks",
+    "llm_boilerplate_ngrams",
+    "llm_contamination",
+    "llm_sample_k_per_stratum",
+    "llm_containment_pairs",
+    "llm_curation_pipeline",
+    "llm_stratified_sample",
+    "llm_source_mix",
+    "llm_embedding_quantize",
+    "stream_user_sessions",
+    "stream_sliding_counts",
+    "join_asof_next_price",
+    "join_interval_promo_overlap",
+    "join_ffill_calendar",
     # --- changed in round 3 (plan and/or oracle edited; need fresh rows) ---
     "ref_bollinger_bands",
     "ref_scd2_markets",
     "ref_ema20",
     "llm_minhash_lsh_pairs",
     "llm_dup_clusters",
+    # --- added late in round 3: past the window now, front of r4's ---
+    # (unlisted queries auto-slot here via _apply_driver_order)
     # --- stable r2 greens filling the remainder of the window ---
     "ref_get_last_price",
     "ref_latest_per_ticker",
@@ -143,14 +167,21 @@ _DRIVER_ORDER: tuple[str, ...] = (
 )
 
 
+# Boundary between the curated 50-query driver window and the rotating
+# tail.  The window is full (22 never-checked + 21 new-in-r3 + 5 changed
+# + 2 stable greens); queries registered after this ordering was pinned
+# slot in at the boundary — just past the window, first in line for r4.
+_WINDOW_PIN = 48  # 22 never-checked + 21 new-in-r3 + 5 changed-in-r3
+
+
 def _apply_driver_order() -> None:
-    """Rebuild CATALOG in _DRIVER_ORDER; unlisted queries (newly added
-    this round) slot in right after the never-checked block so they get a
-    driver row in their first round."""
+    """Rebuild CATALOG in _DRIVER_ORDER; unlisted queries (added after
+    the ordering above was pinned) slot in right after the changed-in-r3
+    block — past this round's full window, at the front of round 4's."""
     unlisted = [n for n in CATALOG if n not in _DRIVER_ORDER]
-    never_checked = _DRIVER_ORDER[:22]
-    rest = _DRIVER_ORDER[22:]
-    ordered = [*never_checked, *unlisted, *rest]
+    head = _DRIVER_ORDER[:_WINDOW_PIN]
+    rest = _DRIVER_ORDER[_WINDOW_PIN:]
+    ordered = [*head, *unlisted, *rest]
     missing = [n for n in ordered if n not in CATALOG]
     if missing:
         raise RuntimeError(f"_DRIVER_ORDER references unknown queries: {missing}")

@@ -892,6 +892,62 @@ def q_scd2_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_scd1_markets",
+    with_reference_ctes("""
+SELECT market_stockid, market_companyname, market_country,
+       market_exchange, market_currency, market_stockisin
+FROM markets
+UNION ALL
+SELECT 'DLST', 'Delisted Holdings', 'USA', 'NYSE', 'USD', 'US0000000DL5'
+"""),
+    doc="SCD Type 1 overwrite-in-place upsert (operators/scd.scd1_apply) "
+        "— the middle rung between the reference's insert-only Type 0 "
+        "(DB_manager.py:142-177) and the versioned Type 2. Current state: "
+        "NASDAQ rows carry stale '(legacy)' names, AAPL is missing (new "
+        "key), and a delisted 'DLST' row has no snapshot match. Applying "
+        "the fresh markets snapshot must overwrite the stale names, "
+        "insert AAPL, and pass DLST through — so the result is exactly "
+        "markets ∪ {DLST}, which the oracle states directly. Plan: one "
+        "left_anti shuffle + union, no full-outer, no attribute diffing",
+    tags=("reference", "scd1", "warehouse"),
+)
+def q_scd1_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd1_apply
+
+    mk = markets(spark, sf_dir)
+    cols = [
+        "market_stockid",
+        "market_companyname",
+        "market_country",
+        "market_exchange",
+        "market_currency",
+        "market_stockisin",
+    ]
+    stale_name = F.when(
+        F.col("market_exchange") == "NASDAQ",
+        F.concat(F.col("market_companyname"), F.lit(" (legacy)")),
+    ).otherwise(F.col("market_companyname"))
+    stale = (
+        mk.filter(F.col("market_stockid") != "AAPL")
+        .select(
+            "market_stockid",
+            stale_name.alias("market_companyname"),
+            *cols[2:],
+        )
+    )
+    delisted = spark.range(1).select(
+        F.lit("DLST").alias("market_stockid"),
+        F.lit("Delisted Holdings").alias("market_companyname"),
+        F.lit("USA").alias("market_country"),
+        F.lit("NYSE").alias("market_exchange"),
+        F.lit("USD").alias("market_currency"),
+        F.lit("US0000000DL5").alias("market_stockisin"),
+    )
+    current = stale.unionByName(delisted)
+    return scd1_apply(mk.select(*cols), current, key="market_stockid")
+
+
+@register(
     "ref_ema20",
     with_reference_ctes("""
 , b AS (
