@@ -931,3 +931,100 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", F.col("val").cast("double").alias("part_value"))
     )
+
+
+@register(
+    "ana_big_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       o_totalprice, CAST(qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+""",
+    doc="TPC-H Q18-shaped large-volume orders: the HAVING aggregation "
+        "collapses lineitem to a tiny set of qualifying order keys "
+        "FIRST, so the subsequent orders/customer joins touch only "
+        "those keys (AQE broadcasts the aggregated side). The naive "
+        "plan — join everything, then aggregate — shuffles the full "
+        "fact table twice; this shape shuffles it once, map-side "
+        "combined. Quantity sums stay exact-decimal.",
+    tags=("analytics", "aggregate", "semi-join"),
+)
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_totalprice",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "ana_lapsed_customers",
+    """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+    doc="TPC-H Q22-shaped lapsed high-value customers: above-average "
+        "balance (scalar-subquery decorrelated to a 1-row broadcast) "
+        "with no orders since 2000 (NOT EXISTS decorrelated to a "
+        "left_anti join against the date-pruned orders projection). "
+        "The anti-join's build side carries only o_custkey, and the "
+        "date filter prunes it before the shuffle. The avg is an "
+        "exact-decimal sum divided in double; the > compare runs "
+        "per-row on identical inputs, bit-identical across engines.",
+    tags=("analytics", "anti-join", "scalar-subquery"),
+)
+def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("ab")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
