@@ -58,6 +58,33 @@ def test_query_matches_oracle(name, spark, duck):
     mism = [(x, y) for x, y in zip(a, b) if x != y][:3]
     assert a == b, f"{name}: value mismatch, first diffs: {mism}"
 
+    # Driver-parity: the driver compares via pandas (sort_values over all
+    # columns, then value-hash), which is dtype-sensitive (int64 1234 vs
+    # float64 1234.0 hash differently — DuckDB HUGEINT sums arrive as
+    # float64) and cannot hash list cells at all.  Mirror both hazards.
+    spdf = sdf.toPandas()
+    dkdf = duck.execute(q.oracle).df()
+    for col in sorted(spark_cols):
+        sk, dk = spdf[col].dtype.kind, dkdf[col].dtype.kind
+        num = {"i", "u", "f"}
+        both_num = sk in num and dk in num
+        assert sk == dk or not both_num, (
+            f"{name}.{col}: pandas dtype kind {sk!r} vs oracle {dk!r} — "
+            "the driver's value hash is dtype-sensitive; cast the oracle "
+            "(e.g. CAST(SUM(..) AS BIGINT)) or the Spark column to agree"
+        )
+        for frame, side in ((spdf, "spark"), (dkdf, "oracle")):
+            if len(frame) and frame[col].dtype.kind == "O":
+                cell = frame[col].iloc[0]
+                try:
+                    hash(cell)
+                except TypeError:
+                    pytest.fail(
+                        f"{name}.{col} ({side}): unhashable cell "
+                        f"{type(cell).__name__} — the driver's pandas "
+                        "compare will error; serialize arrays to strings"
+                    )
+
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(name, spark):

@@ -632,8 +632,9 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS n_empty,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars,
        MAX(n_chars) AS max_chars,
        COUNT(DISTINCT doc_id) AS n_distinct_ids
@@ -1102,7 +1103,8 @@ q AS (
                                AS INT))
          END AS q8
   FROM m)
-SELECT vec_id, ROUND(s, 9) AS scale, q8,
+SELECT vec_id, ROUND(s, 9) AS scale,
+       array_to_string(q8, ',') AS q8_csv,
        ROUND(list_max(list_transform(list_zip(q8, embedding),
                 z -> abs(CAST(z[1] AS DOUBLE) * s
                          - CAST(z[2] AS DOUBLE)))), 9) AS max_abs_err
@@ -1116,4 +1118,12 @@ FROM q
     tags=("llm", "embedding", "quantization"),
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    q = similarity.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    # The driver's comparator value-hashes via pandas, which cannot hash
+    # list cells — serialize the int8 vector to CSV on both sides.
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8_csv"),
+        "max_abs_err",
+    )
