@@ -52,73 +52,29 @@ def _load_all() -> None:
 # Driver-window rotation policy
 # -----------------------------
 # The driver's per-round correctness check covers the FIRST 50 queries in
-# catalog iteration order.  With more than 50 registered queries, ordering
-# is therefore part of the verification contract: queries are listed
-# explicitly below, prioritised so that
-#   1. queries with no prior driver row come first,
-#   2. queries whose Spark plan or oracle changed this round come next
-#      (a prior green row no longer covers them),
-#   3. long-green, unchanged queries fill the window and rotate out last.
-# Queries pushed past position 50 keep full local oracle coverage via
-# tests/test_catalog_oracle.py (same compare, whole catalog, every run);
-# the rotation guarantees every query gets a driver row at least every
-# other round.  Round-3 ordering below: r2-unverified tail (22) first,
-# then round-3-modified queries, then stable r2 greens.
+# catalog iteration order.  With 96 registered queries, ordering is part
+# of the verification contract; every query keeps full local oracle
+# coverage via tests/test_catalog_oracle.py regardless of position.
+#
+# Round-6 rotation:
+#   1. the four streaming drains that FAILED the r5 driver check (the
+#      driver regenerated events.parquet with TIMESTAMP(MICROS); the
+#      readers assumed NANOS — fixed in queries_streaming._events_stream,
+#      and these four must produce fresh green rows proving it),
+#   2. ana_lapsed_customers — registered late in r3, landed at position
+#      50 of a 50-query window, never driver-checked,
+#   3. the 45 long-stable queries whose last driver row is r2 (three
+#      rounds stale),
+#   4. tail: the r4+r5 double-green set (46 queries, freshest evidence).
+# Queries registered after this pin (new in round 6) slot in at the
+# window boundary right after block 2 — inside the window, displacing
+# tail entries of block 3 (which keep their r2 rows + local coverage).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # --- never / least-recently driver-checked (r2 positions 51-72) ---
-    "join_asof_price_at_ship",
-    "join_range_price_bands",
     "stream_events_hourly",
     "stream_purchase_error_join",
-    "stream_stateful_totals",
-    "stream_dedup_events",
-    "llm_pii_scrub",
-    "llm_tfidf_top_terms",
-    "llm_repetition_ratio",
-    "llm_doc_profile",
-    "llm_resize_plan",
-    "llm_frame_sample_plan",
-    "llm_multimodal_features",
-    "llm_lang_id",
-    "llm_doc_fingerprint",
-    "llm_winnowing_fingerprints",
-    "llm_cosine_topk",
-    "llm_embedding_norms",
-    "llm_embedding_near_dup",
-    "llm_embedding_near_dup_lsh",
-    "llm_ann_lsh_topk",
-    "llm_ann_ivf_topk",
-    # --- new in round 3 (first driver rows this round) ---
-    "ref_unpivot_ohlc",
-    "ana_funnel_conversion",
-    "ana_retention_cohorts",
-    "ana_min_cost_supplier",
-    "ana_sole_late_supplier",
-    "ana_important_parts",
-    "llm_dedup_keep_one",
-    "llm_doc_chunks",
-    "llm_boilerplate_ngrams",
-    "llm_contamination",
-    "llm_sample_k_per_stratum",
-    "llm_containment_pairs",
-    "llm_curation_pipeline",
-    "llm_stratified_sample",
-    "llm_source_mix",
-    "llm_embedding_quantize",
     "stream_user_sessions",
     "stream_sliding_counts",
-    "join_asof_next_price",
-    "join_interval_promo_overlap",
-    "join_ffill_calendar",
-    # --- changed in round 3 (plan and/or oracle edited; need fresh rows) ---
-    "ref_bollinger_bands",
-    "ref_scd2_markets",
-    "ref_ema20",
-    "llm_minhash_lsh_pairs",
-    "llm_dup_clusters",
-    # --- added late in round 3: past the window now, front of r4's ---
-    # (unlisted queries auto-slot here via _apply_driver_order)
-    # --- stable r2 greens filling the remainder of the window ---
+    "ana_lapsed_customers",
     "ref_get_last_price",
     "ref_latest_per_ticker",
     "ref_rolling_30day_mean",
@@ -164,20 +120,64 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_simhash_near_pairs",
     "llm_token_stats",
     "llm_text_quality",
+    "join_asof_price_at_ship",
+    "join_range_price_bands",
+    "stream_stateful_totals",
+    "stream_dedup_events",
+    "llm_pii_scrub",
+    "llm_tfidf_top_terms",
+    "llm_repetition_ratio",
+    "llm_doc_profile",
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "llm_multimodal_features",
+    "llm_lang_id",
+    "llm_doc_fingerprint",
+    "llm_winnowing_fingerprints",
+    "llm_cosine_topk",
+    "llm_embedding_norms",
+    "llm_embedding_near_dup",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_ann_ivf_topk",
+    "ref_unpivot_ohlc",
+    "ana_funnel_conversion",
+    "ana_retention_cohorts",
+    "ana_min_cost_supplier",
+    "ana_sole_late_supplier",
+    "ana_important_parts",
+    "llm_dedup_keep_one",
+    "llm_doc_chunks",
+    "llm_boilerplate_ngrams",
+    "llm_contamination",
+    "llm_sample_k_per_stratum",
+    "llm_containment_pairs",
+    "llm_curation_pipeline",
+    "llm_stratified_sample",
+    "llm_source_mix",
+    "llm_embedding_quantize",
+    "join_asof_next_price",
+    "join_interval_promo_overlap",
+    "join_ffill_calendar",
+    "ref_bollinger_bands",
+    "ref_scd2_markets",
+    "ref_ema20",
+    "llm_minhash_lsh_pairs",
+    "llm_dup_clusters",
+    "ref_scd1_markets",
+    "ana_big_orders",
 )
 
 
-# Boundary between the curated 50-query driver window and the rotating
-# tail.  The window is full (22 never-checked + 21 new-in-r3 + 5 changed
-# + 2 stable greens); queries registered after this ordering was pinned
-# slot in at the boundary — just past the window, first in line for r4.
-_WINDOW_PIN = 48  # 22 never-checked + 21 new-in-r3 + 5 changed-in-r3
+# New (unlisted) queries slot in after the must-verify head: the four
+# repaired streaming drains + the one never-checked query.
+_WINDOW_PIN = 5
 
 
 def _apply_driver_order() -> None:
     """Rebuild CATALOG in _DRIVER_ORDER; unlisted queries (added after
-    the ordering above was pinned) slot in right after the changed-in-r3
-    block — past this round's full window, at the front of round 4's."""
+    the ordering above was pinned) slot in at _WINDOW_PIN — right after
+    the must-verify head, inside the driver's 50-query window."""
     unlisted = [n for n in CATALOG if n not in _DRIVER_ORDER]
     head = _DRIVER_ORDER[:_WINDOW_PIN]
     rest = _DRIVER_ORDER[_WINDOW_PIN:]

@@ -1028,3 +1028,204 @@ def q_lapsed_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+@register(
+    "ana_price_histogram",
+    """
+SELECT CAST(FLOOR((p_retailprice - 900.0) / 10.0) AS INT) AS bucket,
+       CAST(900.0 + 10.0 * CAST(FLOOR((p_retailprice - 900.0) / 10.0) AS INT)
+            AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n_parts,
+       CAST(MIN(p_retailprice) AS DOUBLE) AS min_price,
+       CAST(MAX(p_retailprice) AS DOUBLE) AS max_price
+FROM part
+GROUP BY 1, 2
+""",
+    doc="equi-width histogram (fixed [900,1000) domain, width 10): the "
+        "bucket id is a pure projection, so the whole profile is one "
+        "partial-aggregated groupBy — shuffle size = bucket count, not "
+        "rows. Fixed bounds (not data-dependent min/max) keep it one "
+        "pass; a data-dependent domain would need a 2-row broadcast "
+        "pre-pass. MIN/MAX of doubles are order-independent, so no "
+        "decimal detour is needed",
+    tags=("analytics", "profiling", "histogram"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    bucket = F.floor((F.col("p_retailprice") - F.lit(900.0)) / F.lit(10.0)).cast(
+        "int"
+    )
+    return (
+        part.withColumn("bucket", bucket)
+        .withColumn(
+            "bucket_lo", F.lit(900.0) + F.lit(10.0) * F.col("bucket")
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )
+
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "ana_data_profile",
+    "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_val,
+       CAST(MAX({c}) AS DOUBLE) AS max_val,
+       CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ),
+    doc="dataset profiling (rows / nulls / distincts / min / max / exact "
+        "sum) for four measure columns in ONE scan: a single agg computes "
+        "all 24 statistics, then stack() unpivots the 1-row result into "
+        "one row per column. The multi-COUNT(DISTINCT) plan uses "
+        "Catalyst's expand (4x row multiplier) but still reads lineitem "
+        "once — vs the oracle's 4 UNION ALL scans. At 100 TB, replace "
+        "exact distinct with approx_count_distinct to drop the expand",
+    tags=("analytics", "profiling"),
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__null"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(18,6)")).cast("double").alias(f"{c}__sum"),
+        ]
+    one = li.agg(*aggs)
+    stack = "stack({n}, {args}) as (col_name, n_rows, n_null, n_distinct, min_val, max_val, sum_val)".format(
+        n=len(_PROFILE_COLS),
+        args=", ".join(
+            f"'{c}', {c}__rows, {c}__null, {c}__nd, {c}__min, {c}__max, {c}__sum"
+            for c in _PROFILE_COLS
+        ),
+    )
+    return one.selectExpr(stack)
+
+
+@register(
+    "ana_pareto_parts",
+    """
+WITH best AS (
+  SELECT p_size, MIN(p_retailprice) AS best_price FROM part GROUP BY p_size),
+sky AS (
+  SELECT p_size, best_price,
+         MIN(best_price) OVER (ORDER BY p_size DESC
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_larger
+  FROM best)
+SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+FROM part p
+JOIN sky s ON p.p_size = s.p_size AND p.p_retailprice = s.best_price
+WHERE s.min_larger IS NULL OR s.best_price < s.min_larger
+""",
+    doc="2-D skyline (Pareto frontier: maximize p_size, minimize price). "
+        "NOT the O(n^2) dominance anti-join: aggregate to best price per "
+        "size (one partial-agg shuffle, output = |distinct sizes|), take "
+        "a running strict-min over larger sizes (RANGE ... 1 PRECEDING "
+        "on the DESC order gives strictness; the unpartitioned window is "
+        "safe because its input is already |sizes| rows, not the table), "
+        "then one broadcast join back to recover the frontier rows",
+    tags=("analytics", "skyline", "window"),
+)
+def q_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    best = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("best_price")
+    )
+    w = (
+        Window.orderBy(F.col("p_size").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        best.withColumn("min_larger", F.min("best_price").over(w))
+        .filter(
+            F.col("min_larger").isNull()
+            | (F.col("best_price") < F.col("min_larger"))
+        )
+        # rename: sky derives from part, so joining back on bare p_size
+        # would be an ambiguous self-join reference
+        .select(
+            F.col("p_size").alias("sky_size"),
+            F.col("best_price"),
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(sky),
+            (F.col("p_size") == F.col("sky_size"))
+            & (F.col("p_retailprice") == F.col("best_price")),
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+@register(
+    "ana_first_touch",
+    """
+WITH e AS (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+m AS (SELECT *,
+        LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type,
+        LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+      FROM e)
+SELECT event_id AS purchase_id, user_id, touch_type
+FROM m
+WHERE event_type = 'purchase' AND touch_ts IS NOT NULL
+  AND ts - touch_ts <= INTERVAL 30 MINUTE
+""",
+    doc="last-touch attribution: for each purchase, the most recent "
+        "non-purchase event by the same user within 30 min. ONE window "
+        "pass (last ignorenulls over rows-preceding frame) — not a "
+        "self-join: the per-user sort is a single shuffle on user_id, "
+        "and both attributed columns ride the same frame so they come "
+        "from the same source row. Tie-broken by (ts, event_id) for "
+        "cross-engine determinism",
+    tags=("analytics", "attribution", "window", "events"),
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    non_purchase = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    np_ts = F.when(F.col("event_type") != "purchase", F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn("touch_type", F.last(non_purchase, ignorenulls=True).over(w))
+        .withColumn("touch_ts", F.last(np_ts, ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("touch_ts").isNotNull()
+            # ts is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false): no
+            # direct long cast, so compare via interval arithmetic
+            & (F.col("ts") <= F.col("touch_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"), "user_id", "touch_type"
+        )
+    )

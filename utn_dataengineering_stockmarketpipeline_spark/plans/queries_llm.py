@@ -1127,3 +1127,47 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.col("q8").cast("array<string>")).alias("q8_csv"),
         "max_abs_err",
     )
+
+
+@register(
+    "llm_fuzzy_name_pairs",
+    """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, split_part(p_name, ' ', 1) AS blk FROM names)
+SELECT a.p_name AS name_a, c.p_name AS name_b,
+       levenshtein(a.p_name, c.p_name) AS dist
+FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+WHERE levenshtein(a.p_name, c.p_name) <= 4
+""",
+    doc="fuzzy record linkage with blocking: DISTINCT-project the name "
+        "domain FIRST (the 100 TB move — edit distance runs on the "
+        "value domain, never the row count), block on the first token "
+        "(equi-join, no cartesian), order pairs a<b to halve the work, "
+        "then Levenshtein <= 4 inside blocks only. Both engines run "
+        "the same per-pair dynamic program, so distances are integers "
+        "and hash-exact",
+    tags=("llm", "fuzzy", "dedup", "blocking"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("blk", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+    )
+    a = names.alias("a")
+    c = names.alias("c")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("c.p_name"))
+    return (
+        a.join(
+            c,
+            (F.col("a.blk") == F.col("c.blk"))
+            & (F.col("a.p_name") < F.col("c.p_name")),
+        )
+        .filter(dist <= 4)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("c.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+    )

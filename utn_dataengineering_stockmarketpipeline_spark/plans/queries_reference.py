@@ -1006,3 +1006,79 @@ def q_unpivot_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="field",
         valueColumnName="value",
     )
+
+
+@register(
+    "ref_zscore_anomalies",
+    with_reference_ctes("""
+, win AS (
+  SELECT stock_ticker, stock_date, stock_close,
+         SUM(CAST(stock_close AS DECIMAL(18,6))) OVER w AS s1,
+         SUM(CAST(stock_close * stock_close AS DECIMAL(28,10))) OVER w AS s2,
+         COUNT(*) OVER w AS n
+  FROM stock_prices
+  WINDOW w AS (PARTITION BY stock_ticker ORDER BY stock_date
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT stock_ticker, stock_date, stock_close,
+         CAST(s1 AS DOUBLE) / 20.0 AS mu,
+         SQRT(GREATEST(
+           (CAST(s2 AS DOUBLE) - 20.0 * (CAST(s1 AS DOUBLE) / 20.0)
+                                      * (CAST(s1 AS DOUBLE) / 20.0)) / 19.0,
+           0.0)) AS sd
+  FROM win WHERE n = 20)
+SELECT stock_ticker, stock_date, stock_close,
+       ROUND(mu, 6) AS rolling_mean,
+       ROUND((stock_close - mu) / sd, 4) AS zscore
+FROM z
+WHERE sd > 0 AND ABS((stock_close - mu) / sd) > 2.0
+"""),
+    doc="rolling 20-day z-score anomaly detection per ticker: exact "
+        "decimal window sums (sum, sum-of-squares) feed a closed-form "
+        "variance in plain double arithmetic, so both engines execute "
+        "the identical IEEE op sequence and the |z|>2 cut lands on "
+        "bit-identical values — no stddev_samp, whose parallel merge "
+        "order is engine-specific. One shuffle on ticker; the frame "
+        "is rows-based so partial windows are dropped by count, not "
+        "by date arithmetic",
+    tags=("reference", "window", "anomaly", "timeseries"),
+)
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = (
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(-19, 0)
+    )
+    c = F.col("stock_close").cast("decimal(18,6)")
+    # square in DOUBLE then cast — the same IEEE product both engines
+    # compute; squaring inside decimal overflows DuckDB's mul width
+    c2 = (F.col("stock_close") * F.col("stock_close")).cast("decimal(28,10)")
+    df = sp.select(
+        "stock_ticker",
+        "stock_date",
+        "stock_close",
+        F.sum(c).over(w).alias("s1"),
+        F.sum(c2).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).filter(F.col("n") == 20)
+    mu = F.col("s1").cast("double") / F.lit(20.0)
+    var = (
+        F.col("s2").cast("double") - F.lit(20.0) * mu * mu
+    ) / F.lit(19.0)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = (F.col("stock_close") - mu) / sd
+    return (
+        df.withColumn("mu", mu)
+        .withColumn("sd", sd)
+        .filter((F.col("sd") > 0) & (F.abs((F.col("stock_close") - F.col("mu")) / F.col("sd")) > 2.0))
+        .select(
+            "stock_ticker",
+            "stock_date",
+            "stock_close",
+            F.round("mu", 6).alias("rolling_mean"),
+            F.round((F.col("stock_close") - F.col("mu")) / F.col("sd"), 4).alias(
+                "zscore"
+            ),
+        )
+    )

@@ -93,6 +93,62 @@ _EVENTS_LONG_TS = T.StructType(
     ]
 )
 
+_EVENTS_MICROS_TS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),  # TIMESTAMP(MICROS), native
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+# sf_dir -> parquet time unit of events.ts ('ns' | 'us'). The driver has
+# shipped BOTH encodings across rounds, so the unit is probed from file
+# metadata, never assumed — assuming nanos against a micros file slides
+# every timestamp 1000x toward the epoch and silently wrecks windows.
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(sf_dir: str) -> str:
+    """Physical time unit of ``events.ts`` in this directory's parquet."""
+    unit = _TS_UNIT_CACHE.get(sf_dir)
+    if unit is None:
+        import pyarrow.parquet as pq
+
+        typ = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field(
+            "ts"
+        ).type
+        unit = getattr(typ, "unit", "us")
+        _TS_UNIT_CACHE[sf_dir] = unit
+    return unit
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over events.parquet with ``ts`` as a proper
+    microsecond TimestampType, whatever the file's physical unit.
+
+    - TIMESTAMP(MICROS): read natively with a TimestampType schema.
+    - TIMESTAMP(NANOS): Spark can't read nanos as timestamps; read the
+      column as nano-epoch long (``nanosAsLong``, set by the enclosing
+      ``_streaming_events_conf``) and truncate. Integer division: ``/``
+      routes through double and nano-epoch values exceed 2^53, so the
+      float round-trip is off by ±1 µs.
+    """
+    if _events_ts_unit(sf_dir) == "ns":
+        return (
+            spark.readStream.schema(_EVENTS_LONG_TS)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+    return (
+        spark.readStream.schema(_EVENTS_MICROS_TS)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
 
 @register(
     "stream_events_hourly",
@@ -112,14 +168,7 @@ GROUP BY 1, 2
 def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_hourly_" + uuid.uuid4().hex[:12]
     with _streaming_events_conf(spark):
-        # the file source wants a directory; glob-filter it to the one table
-        raw = (
-            spark.readStream.schema(_EVENTS_LONG_TS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            # integer div: double division loses µs precision at ns-epoch scale
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        raw = _events_stream(spark, sf_dir)
         agg = (
             raw.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -174,12 +223,7 @@ def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_ssj_" + uuid.uuid4().hex[:12]
     with _streaming_events_conf(spark):
-        raw = (
-            spark.readStream.schema(_EVENTS_LONG_TS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        raw = _events_stream(spark, sf_dir)
 
         def side(etype: str, prefix: str) -> DataFrame:
             return raw.filter(F.col("event_type") == etype).select(
@@ -231,14 +275,11 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = "stream_totals_" + uuid.uuid4().hex[:12]
     with _streaming_events_conf(spark):
-        raw = (
-            spark.readStream.schema(_EVENTS_LONG_TS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            # key on a mod-8 user cohort: few enough keys that the
-            # oracle output is readable, many enough to exercise
-            # cross-partition state
-            .select((F.col("user_id") % 8).alias("cohort"), "value")
+        # key on a mod-8 user cohort: few enough keys that the
+        # oracle output is readable, many enough to exercise
+        # cross-partition state
+        raw = _events_stream(spark, sf_dir).select(
+            (F.col("user_id") % 8).alias("cohort"), "value"
         )
         totals = stateful_running_totals(raw, "cohort", "value")
         q = (
@@ -284,12 +325,8 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_dedup_" + uuid.uuid4().hex[:12]
     with _streaming_events_conf(spark):
         def one_stream() -> DataFrame:
-            return (
-                spark.readStream.schema(_EVENTS_LONG_TS)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-                .select("event_id", "ts", "event_type")
+            return _events_stream(spark, sf_dir).select(
+                "event_id", "ts", "event_type"
             )
 
         doubled = one_stream().unionAll(one_stream())
@@ -342,12 +379,7 @@ FROM s GROUP BY user_id, sid
 def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_sess_" + uuid.uuid4().hex[:12]
     with _streaming_events_conf(spark):
-        raw = (
-            spark.readStream.schema(_EVENTS_LONG_TS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        raw = _events_stream(spark, sf_dir)
         sess = (
             raw.withWatermark("ts", "10 minutes")
             .groupBy(
@@ -402,12 +434,7 @@ FROM slots GROUP BY 1, 2
 def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "stream_slide_" + uuid.uuid4().hex[:12]
     with _streaming_events_conf(spark):
-        raw = (
-            spark.readStream.schema(_EVENTS_LONG_TS)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        raw = _events_stream(spark, sf_dir)
         agg = (
             raw.withWatermark("ts", "10 minutes")
             .groupBy(
@@ -436,5 +463,65 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         out = spark.table(name)
+        out.count()
+    return out
+
+
+@register(
+    "stream_hourly_topk",
+    """
+WITH c AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS rk
+  FROM c)
+SELECT window_start, event_type, n_events, rk FROM r WHERE rk <= 3
+""",
+    doc="streaming top-k: tumbling 1h counts maintained by the stream "
+        "(complete-mode state), ranked top-3-per-window AFTER the drain "
+        "by a batch row_number over the tiny aggregate (|windows| x "
+        "|event types| rows — ranking inside the stream would force "
+        "complete-mode re-sorts of all state every micro-batch). "
+        "Deterministic tie-break (count DESC, then type) keeps both "
+        "engines' rank assignment identical",
+    tags=("streaming", "window", "topk"),
+)
+def q_stream_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = "stream_topk_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        raw = _events_stream(spark, sf_dir)
+        agg = (
+            raw.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        from pyspark.sql import Window as W
+
+        rk = F.row_number().over(
+            W.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), "event_type"
+            )
+        )
+        out = (
+            spark.table(name)
+            .withColumn("rk", rk)
+            .filter(F.col("rk") <= 3)
+        )
         out.count()
     return out
