@@ -136,8 +136,9 @@ def _replicated_events_dir(sf_dir: str, factor: int, out_root: str) -> str:
     big = pa.concat_tables(parts)
     path = Path(out_root) / f"events_x{factor}"
     path.mkdir(parents=True, exist_ok=True)
-    # version 2.6 preserves TIMESTAMP(NANOS) — the streaming reader's
-    # nanosAsLong path depends on the replica matching the original type
+    # version 2.6 preserves the source's timestamp unit (nanos or
+    # micros) — the streaming reader probes the replica's unit, so the
+    # replica must match the original encoding
     pq.write_table(big, path / "events.parquet", version="2.6",
                    coerce_timestamps=None)
     return str(path)

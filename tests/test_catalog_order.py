@@ -10,11 +10,9 @@ from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import (
     _WINDOW_PIN,
 )
 
-# Queries with no green driver row before round 3 (VERDICT.md r2): these
-# MUST sit inside the 50-query driver window this round.
-R2_UNVERIFIED = _DRIVER_ORDER[:22]
-
-# The curated window head: never-checked + new-in-r3 + changed-in-r3.
+# The must-verify head: queries whose last driver row is missing or red
+# (this round: the four repaired streaming drains + the never-checked
+# ana_lapsed_customers). These MUST land inside the 50-query window.
 WINDOW_HEAD = _DRIVER_ORDER[:_WINDOW_PIN]
 
 
@@ -23,23 +21,18 @@ def test_catalog_complete_and_ordered():
     assert len(set(_DRIVER_ORDER)) == len(_DRIVER_ORDER)
 
 
-def test_unverified_queries_inside_driver_window():
+def test_head_inside_driver_window():
     window = list(CATALOG)[:50]
-    missing = [n for n in R2_UNVERIFIED if n not in window]
-    assert not missing, f"driver-unverified queries outside window: {missing}"
+    missing = [n for n in WINDOW_HEAD if n not in window]
+    assert not missing, f"must-verify queries outside window: {missing}"
 
 
-def test_window_head_is_stable():
-    # The curated head (never-checked, new-in-r3, changed-in-r3) occupies
-    # positions 0..47 verbatim — late additions must not evict any of it.
-    assert tuple(CATALOG)[:_WINDOW_PIN] == WINDOW_HEAD
-
-
-def test_late_additions_slot_at_boundary():
-    # Queries registered after the ordering was pinned sit immediately
-    # after the curated head: just past this round's window, first in
-    # line for round 4's.
-    names = list(CATALOG)
-    late = [n for n in CATALOG if n not in _DRIVER_ORDER]
-    n = len(late)
-    assert names[_WINDOW_PIN:_WINDOW_PIN + n] == late
+def test_new_queries_inside_driver_window():
+    """Queries registered after the ordering was pinned (no driver row
+    yet) slot in at _WINDOW_PIN — they must sit inside the window."""
+    window = list(CATALOG)[:50]
+    unlisted = [n for n in CATALOG if n not in _DRIVER_ORDER]
+    missing = [n for n in unlisted if n not in window]
+    assert not missing, f"new queries outside driver window: {missing}"
+    # and the pin itself leaves room for them
+    assert _WINDOW_PIN + len(unlisted) <= 50

@@ -41,8 +41,9 @@ def get_spark(app_name: str = "utn-stockmarket-spark") -> SparkSession:
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # Arrow for pandas_udf / mapInPandas extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # The driver's events.parquet stores TIMESTAMP(NANOS); Spark reads
-        # it as long when this flag is set (sources/parquet.py re-types it).
+        # events.parquet has shipped as TIMESTAMP(NANOS) or (MICROS)
+        # across driver rounds; this flag makes the nanos variant read as
+        # long (sources/parquet.py re-types it) and is a no-op for micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Target split size — at 100 TB this keeps ~128MB tasks; local SFs
         # produce a handful of splits, which AQE coalesces anyway.

@@ -1,10 +1,13 @@
 """Parquet scan layer (SURVEY.md §2 S6).
 
 One loader per driver table. The only re-typing done here is the
-``events.ts`` TIMESTAMP(NANOS) column: Spark reads it as nano-epoch long
-(``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
-microsecond timestamps — exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP
-cast does, so oracles agree.
+``events.ts`` column, whose parquet unit has varied across driver
+rounds: TIMESTAMP(MICROS) reads natively; TIMESTAMP(NANOS) reads as
+nano-epoch long (``spark.sql.legacy.parquet.nanosAsLong``) and is
+truncated to microsecond timestamps — exactly what DuckDB's
+TIMESTAMP_NS→TIMESTAMP cast does, so oracles agree either way. The
+truncation is guarded by the observed dtype, so it only fires for the
+nanos encoding.
 
 Everything else is a bare ``spark.read.parquet`` so Catalyst keeps full
 pushdown freedom (PushedFilters / ReadSchema reach the scan node).
@@ -35,8 +38,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Both configs are set at runtime (they are SQL confs) because callers
     may hand us a session built without them — e.g. the driver's own
     harness session:
-    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), unreadable
-      otherwise;
+    - nanosAsLong: a NANOS-encoded events.parquet is unreadable
+      otherwise (no-op for the MICROS encoding);
     - UTC session timezone: parquet timestamps are naive instants; the
       DuckDB oracle renders them as stored, so Spark must too.
     """
