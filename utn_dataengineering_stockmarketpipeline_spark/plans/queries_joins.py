@@ -286,3 +286,113 @@ def q_ffill_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stock_close").alias("close_ffill"),
         F.datediff("cal_date", "stock_date").alias("days_stale"),
     )
+
+
+@register(
+    "join_interp_calendar",
+    f"""
+WITH {STOCK_PRICES_CTE.strip()},
+sp AS (SELECT stock_ticker, stock_date, stock_close FROM stock_prices),
+cal AS (
+  SELECT stock_ticker,
+         CAST(unnest(generate_series(mind, maxd, INTERVAL 1 DAY)) AS DATE)
+           AS cal_date
+  FROM (SELECT stock_ticker, MIN(stock_date) AS mind,
+               MAX(stock_date) AS maxd
+        FROM sp GROUP BY stock_ticker)),
+prev AS (
+  SELECT cal.stock_ticker, cal.cal_date,
+         sp.stock_date AS prev_date, sp.stock_close AS prev_close
+  FROM cal ASOF LEFT JOIN sp
+    ON cal.stock_ticker = sp.stock_ticker AND cal.cal_date >= sp.stock_date),
+nxt AS (
+  SELECT cal.stock_ticker, cal.cal_date,
+         sp.stock_date AS next_date, sp.stock_close AS next_close
+  FROM cal ASOF LEFT JOIN sp
+    ON cal.stock_ticker = sp.stock_ticker AND cal.cal_date <= sp.stock_date)
+SELECT p.stock_ticker, p.cal_date, p.prev_date, n.next_date,
+       CASE WHEN p.prev_date = p.cal_date THEN p.prev_close
+            WHEN p.prev_close IS NULL OR n.next_close IS NULL THEN NULL
+            ELSE p.prev_close
+                 + (n.next_close - p.prev_close)
+                   * (CAST(datediff('day', p.prev_date, p.cal_date) AS DOUBLE)
+                      / CAST(datediff('day', p.prev_date, n.next_date)
+                             AS DOUBLE))
+       END AS close_interp
+FROM prev p JOIN nxt n
+  ON p.stock_ticker = n.stock_ticker AND p.cal_date = n.cal_date
+""",
+    doc="calendar resampling with LINEAR interpolation: gapless "
+        "per-ticker daily spine where non-trading days get the "
+        "straight-line value between the surrounding bars — the "
+        "gap-fill used before calendar-window math that forward-fill "
+        "would bias. Composition of the two as-of directions "
+        "(backward prev bar, forward next bar) on the SAME spine — "
+        "each a one-shuffle union-window plan — plus one equi-join to "
+        "pair them. The interpolation weight is an integer-day ratio, "
+        "so both engines run the identical IEEE sequence and the "
+        "result hash-matches without rounding",
+    tags=("joins", "asof", "resample", "interpolation"),
+)
+def q_interp_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir).select(
+        "stock_ticker", "stock_date", "stock_close"
+    )
+    cal = (
+        sp.groupBy("stock_ticker")
+        .agg(F.min("stock_date").alias("d0"), F.max("stock_date").alias("d1"))
+        .select(
+            "stock_ticker",
+            F.explode(F.sequence("d0", "d1")).alias("cal_date"),
+        )
+    )
+    prev = asof_join(
+        cal,
+        sp,
+        on="stock_ticker",
+        left_time="cal_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+    ).select(
+        "stock_ticker",
+        "cal_date",
+        F.col("stock_date").alias("prev_date"),
+        F.col("stock_close").alias("prev_close"),
+    )
+    nxt = asof_join(
+        cal,
+        sp,
+        on="stock_ticker",
+        left_time="cal_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+        direction="forward",
+    ).select(
+        "stock_ticker",
+        "cal_date",
+        F.col("stock_date").alias("next_date"),
+        F.col("stock_close").alias("next_close"),
+    )
+    both = prev.join(nxt, on=["stock_ticker", "cal_date"])
+    frac = (
+        F.datediff("cal_date", "prev_date").cast("double")
+        / F.datediff("next_date", "prev_date").cast("double")
+    )
+    interp = (
+        F.when(F.col("prev_date") == F.col("cal_date"), F.col("prev_close"))
+        .when(
+            F.col("prev_close").isNull() | F.col("next_close").isNull(),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.col("prev_close")
+            + (F.col("next_close") - F.col("prev_close")) * frac
+        )
+    )
+    return both.select(
+        "stock_ticker",
+        "cal_date",
+        "prev_date",
+        "next_date",
+        interp.alias("close_interp"),
+    )
