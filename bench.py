@@ -62,6 +62,14 @@ BENCH_QUERIES = (
     "llm_doc_chunks",
     "llm_containment_pairs",
     "llm_curation_pipeline",
+    # round-6 additions: profiling, skyline, anomaly, attribution,
+    # fuzzy linkage, streaming top-k
+    "ana_data_profile",
+    "ana_pareto_parts",
+    "ref_zscore_anomalies",
+    "ana_first_touch",
+    "llm_fuzzy_name_pairs",
+    "stream_hourly_topk",
 )
 
 

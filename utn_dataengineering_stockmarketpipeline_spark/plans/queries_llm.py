@@ -1171,3 +1171,170 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+@register(
+    "llm_incremental_dedup",
+    f"""
+WITH {_BANDED_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+hits AS (
+  SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS new_id,
+         CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS corpus_id
+  FROM pairs
+  WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)),
+agg AS (SELECT new_id, MIN(corpus_id) AS dup_of,
+               CAST(COUNT(*) AS BIGINT) AS n_corpus_hits
+        FROM hits GROUP BY new_id)
+SELECT d.doc_id, a.dup_of,
+       COALESCE(a.n_corpus_hits, 0) AS n_corpus_hits,
+       a.dup_of IS NOT NULL AS is_dup
+FROM documents d LEFT JOIN agg a ON a.new_id = d.doc_id
+WHERE d.doc_id % 5 = 0
+""",
+    doc="INCREMENTAL dedup — the nightly-ingest shape: screen a new "
+        "batch (docs with id % 5 = 0, ~20%) against the standing corpus "
+        "without re-pairing the corpus with itself. MinHash-LSH "
+        "candidates filtered to cross (corpus, new) collisions only; "
+        "each new doc reports its lowest-id corpus collision and hit "
+        "count. At 100 TB the corpus side's signatures are precomputed "
+        "and the batch side is small, so the bucket join is "
+        "batch-sized, not corpus-sized — intra-batch duplicates are "
+        "intentionally out of scope (that's the batch's own LSH pass)",
+    tags=("llm", "dedup", "incremental", "minhash"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    is_new_a = F.col("id_a") % 5 == 0
+    is_new_b = F.col("id_b") % 5 == 0
+    hits = (
+        pairs.filter(is_new_a != is_new_b)
+        .select(
+            F.when(is_new_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
+                "new_id"
+            ),
+            F.when(is_new_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
+                "corpus_id"
+            ),
+        )
+        .groupBy("new_id")
+        .agg(
+            F.min("corpus_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_corpus_hits"),
+        )
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    return (
+        batch.join(hits, batch.doc_id == hits.new_id, "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+
+
+@register(
+    "llm_sequence_packing",
+    f"""
+WITH tok AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS cum_before
+  FROM tok)
+SELECT doc_id, source, n_tokens,
+       cum_before // 2048 AS seq_id,
+       CAST(cum_before % 2048 AS INT) AS seq_offset
+FROM c
+""",
+    doc="training-sequence packing (concat-then-chunk): per source, "
+        "documents concatenate in doc_id order and cut into fixed "
+        "2048-token sequences; each doc learns which sequence its first "
+        "token lands in and at what offset. ONE window shuffle on "
+        "source — the exclusive running sum is the whole algorithm; "
+        "integer token counts keep both engines exact. The 100 TB "
+        "version partitions by (source, shard) with carried-in shard "
+        "base offsets — same arithmetic, no global sort",
+    tags=("llm", "packing", "window"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = text_ops.token_stats(docs, "text").select(
+        "doc_id", "source", F.col("ws_tokens").cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = tok.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("cum_before div 2048").alias("seq_id"),
+        (F.col("cum_before") % 2048).cast("int").alias("seq_offset"),
+    )
+
+
+@register(
+    "llm_mix_temperature",
+    """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source),
+sq AS (
+  SELECT source, n_docs,
+         ROUND(SQRT(CAST(n_docs AS DOUBLE)), 9) AS w_raw
+  FROM counts),
+tot AS (
+  SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,9))) AS DOUBLE) AS z FROM sq)
+SELECT source, n_docs,
+       w_raw / z AS weight,
+       CAST(ROUND(100000 * (w_raw / z)) AS BIGINT) AS target_docs
+FROM sq CROSS JOIN tot
+""",
+    doc="temperature-weighted training mix (T=2 sampling, i.e. "
+        "p proportional to n^(1/2)): per-source target counts for a "
+        "100k-doc budget, flattening the source imbalance the way "
+        "multilingual/multi-source LLM training mixes do. sqrt is "
+        "IEEE-exact in both engines (unlike pow, whose libm vs JVM "
+        "last-ulp disagreement would break the hash), the rounded "
+        "weights sum exactly via DECIMAL, and the division is one "
+        "identical double op. Scale: |sources| rows after one "
+        "partial-agg shuffle, then a 1-row broadcast",
+    tags=("llm", "sampling", "mix"),
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = counts.withColumn(
+        "w_raw", F.round(F.sqrt(F.col("n_docs").cast("double")), 9)
+    )
+    tot = sq.agg(
+        F.sum(F.col("w_raw").cast("decimal(18,9)")).cast("double").alias("z")
+    )
+    return (
+        sq.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("w_raw") / F.col("z")).alias("weight"),
+            F.round(F.lit(100000) * (F.col("w_raw") / F.col("z")))
+            .cast("bigint")
+            .alias("target_docs"),
+        )
+    )
