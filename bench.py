@@ -259,6 +259,19 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     # path is not running an n² matmul at 10x)
     timed("brute_near_dup_1x", dedup.embedding_near_dup_pairs(emb_1x))
 
+    # incremental dedup at 10x: a nightly batch (1/10th of the corpus)
+    # screened against the rest — cross-side pairing only, so wall time
+    # should sit well under the full 10x pairing above
+    from pyspark.sql import functions as F
+
+    timed(
+        "incremental_dedup_10x",
+        dedup.incremental_candidates(
+            docs_nx.filter(F.col("doc_id") % 10 != 0),
+            docs_nx.filter(F.col("doc_id") % 10 == 0),
+        ),
+    )
+
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()
 

@@ -672,3 +672,83 @@ def containment_pairs(docs: DataFrame, text_col: str = "text",
             F.round(F.col("n_shared") / F.col("n_b"), 6).alias("c_b_in_a"),
         )
     )
+
+
+def incremental_candidates(corpus: DataFrame, batch: DataFrame,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           k: int = 3, num_perms: int = 8, bands: int = 4,
+                           max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                           ) -> DataFrame:
+    """Cross-side MinHash-LSH candidates for INCREMENTAL dedup: pairs
+    (corpus doc, batch doc) sharing a band bucket — the corpus is never
+    paired with itself, so the pair expansion is batch-driven.
+
+    Output: (corpus_id, batch_id, est_jaccard), distinct.
+
+    Same one-shuffle shape as :func:`minhash_candidates`: band both
+    sides, group each (band, bucket) collecting the two member lists
+    separately, cross-expand JVM-side only where BOTH sides are present.
+    The ``max_bucket_size`` guard applies to the bucket's TOTAL
+    (corpus + batch) membership — identical semantics to running the
+    full pairing on the union and keeping cross pairs, so an oracle over
+    the unioned banding stays exact. At 100 TB the corpus side's banded
+    rows are a precomputed table partitioned by (band, bucket); the
+    nightly batch bands itself and joins in, touching only the buckets
+    the batch occupies.
+    """
+    mh_cols = [f"mh_{i}" for i in range(num_perms)]
+
+    def banded(df: DataFrame, side: str) -> DataFrame:
+        sigs = minhash_signatures(df, text_col, id_col, k, num_perms)
+        return sigs.select(
+            F.col(id_col).alias("id"),
+            F.struct(*mh_cols).alias("sig"),
+            F.explode(_band_structs(num_perms, bands)).alias("bb"),
+            F.lit(side).alias("side"),
+        )
+
+    u = banded(corpus, "c").unionAll(banded(batch, "b"))
+    member = F.struct(F.col("id"), F.col("sig"))
+    cs = F.sort_array(
+        F.collect_list(F.when(F.col("side") == "c", member))
+    )
+    bs = F.sort_array(
+        F.collect_list(F.when(F.col("side") == "b", member))
+    )
+    size_ok = (F.size("cs") > 0) & (F.size("bs") > 0)
+    if max_bucket_size is not None:
+        size_ok = size_ok & (
+            (F.size("cs") + F.size("bs")) <= max_bucket_size
+        )
+    buckets = (
+        u.groupBy("bb.band", "bb.bucket")
+        .agg(cs.alias("cs"), bs.alias("bs"))
+        .filter(size_ok)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("cs"),
+            lambda x: F.transform(
+                F.col("bs"),
+                lambda y: F.struct(
+                    x["id"].alias("corpus_id"),
+                    y["id"].alias("batch_id"),
+                    x["sig"].alias("sig_a"),
+                    y["sig"].alias("sig_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .dropDuplicates(["corpus_id", "batch_id"])
+    )
+    matches = sum(
+        F.when(F.col(f"sig_a.{c}") == F.col(f"sig_b.{c}"), 1).otherwise(0)
+        for c in mh_cols
+    )
+    return pairs.select(
+        "corpus_id", "batch_id",
+        (matches / F.lit(num_perms)).alias("est_jaccard"),
+    )

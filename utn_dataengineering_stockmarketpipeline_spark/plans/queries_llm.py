@@ -1208,28 +1208,18 @@ WHERE d.doc_id % 5 = 0
 )
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
-    is_new_a = F.col("id_a") % 5 == 0
-    is_new_b = F.col("id_b") % 5 == 0
-    hits = (
-        pairs.filter(is_new_a != is_new_b)
-        .select(
-            F.when(is_new_a, F.col("id_a")).otherwise(F.col("id_b")).alias(
-                "new_id"
-            ),
-            F.when(is_new_a, F.col("id_b")).otherwise(F.col("id_a")).alias(
-                "corpus_id"
-            ),
-        )
-        .groupBy("new_id")
-        .agg(
-            F.min("corpus_id").alias("dup_of"),
-            F.count(F.lit(1)).alias("n_corpus_hits"),
-        )
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.incremental_candidates(
+        corpus, batch, num_perms=_NUM_PERMS, bands=_BANDS
     )
-    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    hits = pairs.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_corpus_hits"),
+    )
     return (
-        batch.join(hits, batch.doc_id == hits.new_id, "left")
+        batch.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
         .select(
             "doc_id",
             "dup_of",
