@@ -223,3 +223,50 @@ def test_reference_table_cache_eviction(spark):
     rt.evict_materialized(spark)
     assert not [k for k in rt._CACHE if k[0] == app]
     assert df2.storageLevel.useMemory is False
+
+
+def test_round6_queries_plan_shapes(spark):
+    """Round-6 additions keep the 100 TB posture: the skyline join-back
+    broadcasts the tiny frontier, the histogram reads only the price
+    column, and no new plan degrades to a nested loop."""
+    plan = plan_of(CATALOG["ana_pareto_parts"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(CATALOG["ana_price_histogram"].build(spark, SF_SMOKE))
+    start = plan.index("ReadSchema")
+    schema_line = plan[start : plan.index("\n", start)]
+    assert "p_retailprice" in schema_line and "p_name" not in schema_line
+
+    for name in (
+        "llm_fuzzy_name_pairs",
+        "ana_first_touch",
+        "ref_zscore_anomalies",
+        "llm_sequence_packing",
+        "llm_incremental_dedup",
+        "join_interp_calendar",
+    ):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_incremental_candidates_cross_side_only(spark):
+    """The incremental LSH path must pair batch docs against corpus docs
+    ONLY — near-identical corpus docs must not appear as pairs, and a
+    batch doc duplicating a corpus doc must be caught."""
+    from pyspark.sql import Row
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    rows = [
+        Row(doc_id=1, text=base),                      # corpus
+        Row(doc_id=2, text=base + "tail"),             # corpus near-dup of 1
+        Row(doc_id=10, text=base + "x"),               # batch near-dup
+        Row(doc_id=11, text="completely different words entirely " * 12),
+    ]
+    df = spark.createDataFrame(rows)
+    corpus = df.filter(F.col("doc_id") < 10)
+    batch = df.filter(F.col("doc_id") >= 10)
+    pairs = dedup.incremental_candidates(corpus, batch).collect()
+    assert all(p.corpus_id < 10 <= p.batch_id for p in pairs)
+    assert any(p.batch_id == 10 for p in pairs), "batch near-dup missed"
+    assert not any(p.batch_id == 11 for p in pairs)
