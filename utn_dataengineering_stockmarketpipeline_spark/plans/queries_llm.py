@@ -1237,12 +1237,12 @@ WITH tok AS (
   FROM documents),
 c AS (
   SELECT *,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS cum_before
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+            AS BIGINT) AS cum_before
   FROM tok)
 SELECT doc_id, source, n_tokens,
-       cum_before // 2048 AS seq_id,
+       CAST(cum_before // 2048 AS BIGINT) AS seq_id,
        CAST(cum_before % 2048 AS INT) AS seq_offset
 FROM c
 """,
