@@ -83,3 +83,39 @@ def test_funnel_ordering_discriminates(spark):
         out["users_total"], out["users_view"],
         out["users_click"], out["users_purchase"],
     ) == (5, 4, 3, 2)
+
+
+def test_ema_chunked_matches_sequential(spark):
+    """The segmented-scan EMA must agree with the sequential loop to
+    float tolerance, across chunk boundaries and key counts — including
+    chunks smaller than, equal to, and larger than the series."""
+    import math
+
+    from pyspark.sql import Row
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.windows import (
+        ema,
+        ema_chunked,
+    )
+
+    rows = [
+        Row(k=f"t{g}", t=i, v=100.0 + 10.0 * math.sin(i / 3.0 + g))
+        for g in range(3)
+        for i in range(57)
+    ]
+    df = spark.createDataFrame(rows)
+    want = {
+        (r.k, r.t): r.ema
+        for r in ema(df, "k", "t", "v", span=10).collect()
+    }
+    for chunk_rows in (7, 57, 1000):
+        got = {
+            (r.k, r.t): r.ema
+            for r in ema_chunked(
+                df, "k", "t", "v", span=10, chunk_rows=chunk_rows
+            ).collect()
+        }
+        assert set(got) == set(want)
+        worst = max(abs(got[k] - want[k]) / max(abs(want[k]), 1e-12)
+                    for k in want)
+        assert worst < 1e-12, f"chunk_rows={chunk_rows}: rel err {worst}"

@@ -104,3 +104,126 @@ def ema(df, key_col: str, time_col: str, value_col: str, span: int = 20,
         .groupBy(key_col)
         .applyInPandas(fn, out_schema)
     )
+
+
+def ema_chunked(df, key_col: str, time_col: str, value_col: str,
+                span: int = 20, out_col: str = "ema",
+                chunk_rows: int = 1_000_000):
+    """EMA without the per-group one-task bound — the 100 TB form of the
+    ordered recurrence that :func:`ema` guards with ``max_group_rows``.
+
+    EMA is a LINEAR recurrence (e_t = a·x_t + (1-a)·e_{t-1}, seeded
+    e_0 = x_0), so a chunk of m rows acts on its incoming state s as an
+    affine map e_out = (1-a)^m · s + B, where B is the chunk's
+    zero-seeded EMA tail. That makes the classic segmented-scan
+    decomposition exact:
+
+    1. chunk each key's series by row_number (ONE window shuffle);
+    2. per (key, chunk): compute the affine summary — an Arrow batch of
+       at most ``chunk_rows``, however long the full series is;
+    3. per key: fold the summaries in chunk order into each chunk's
+       incoming state (one tiny row per CHUNK, not per row — a
+       billion-row key at 10^6 rows/chunk folds 1000 summaries);
+    4. join the seeds back and finish each chunk locally.
+
+    Chunk 0 is special: its first row takes e_0 = x_0 instead of the
+    blend, so its outgoing state uses the skip-first-row affine form.
+
+    Float caveat: the regrouped arithmetic differs from the sequential
+    loop in final ulps (tests bound the error), so :func:`ema` remains
+    the oracle-exact daily-bars path and this is the tick-scale path.
+    """
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    a = 2.0 / (span + 1.0)
+    base = df.select(key_col, time_col, value_col)
+    rn = F.row_number().over(W.partitionBy(key_col).orderBy(time_col))
+    chunked = base.withColumn("__rn", rn).withColumn(
+        "__chunk", F.expr(f"(__rn - 1) div {chunk_rows}")
+    )
+
+    key_str = f"{key_col}__s"
+    summary_schema = (
+        f"{key_str} string, __chunk bigint, a_pow double, b_tail double, "
+        f"a_pow1 double, b_tail1 double, first_val double"
+    )
+
+    def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__rn")
+        x = pdf[value_col].to_numpy(dtype="float64")
+        m = len(x)
+
+        def zero_tail(vals):
+            e = 0.0
+            for v in vals:
+                e = a * v + (1.0 - a) * e
+            return e
+
+        return pd.DataFrame(
+            {
+                key_str: [str(pdf[key_col].iloc[0])],
+                "__chunk": [int(pdf["__chunk"].iloc[0])],
+                "a_pow": [(1.0 - a) ** m],
+                "b_tail": [zero_tail(x)],
+                # skip-first-row forms, used only for chunk 0 (whose
+                # row 0 is the e_0 = x_0 seed, outside the affine map)
+                "a_pow1": [(1.0 - a) ** (m - 1)],
+                "b_tail1": [zero_tail(x[1:])],
+                "first_val": [float(x[0])],
+            }
+        )
+
+    summaries = chunked.groupBy(key_col, "__chunk").applyInPandas(
+        summarize, summary_schema
+    )
+
+    seed_schema = f"{key_str} string, __chunk bigint, seed double"
+
+    def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__chunk")
+        seeds: list[float] = []
+        s = 0.0
+        for _, r in pdf.iterrows():
+            if int(r["__chunk"]) == 0:
+                seeds.append(float(r["first_val"]))  # e_0 = x_0
+                s = float(r["a_pow1"]) * float(r["first_val"]) + float(
+                    r["b_tail1"]
+                )
+            else:
+                seeds.append(s)
+                s = float(r["a_pow"]) * s + float(r["b_tail"])
+        return pd.DataFrame(
+            {key_str: pdf[key_str], "__chunk": pdf["__chunk"], "seed": seeds}
+        )
+
+    seeds = summaries.groupBy(key_str).applyInPandas(fold, seed_schema)
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in base.schema
+    ) + f", {out_col} double"
+
+    def finish(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__rn").reset_index(drop=True)
+        x = pdf[value_col].to_numpy(dtype="float64")
+        first_global = bool(pdf["__chunk"].iloc[0] == 0)
+        e = float(pdf["seed"].iloc[0])
+        vals = []
+        for i, v in enumerate(x):
+            if first_global and i == 0:
+                e = float(v)  # e_0 = x_0, matching ema()
+            else:
+                e = a * v + (1.0 - a) * e
+            vals.append(e)
+        pdf[out_col] = vals
+        return pdf[[key_col, time_col, value_col, out_col]]
+
+    joined = chunked.join(
+        seeds,
+        (F.col(key_col).cast("string") == seeds[key_str])
+        & (chunked["__chunk"] == seeds["__chunk"]),
+    ).drop(seeds["__chunk"]).drop(key_str)
+
+    return joined.groupBy(key_col, "__chunk").applyInPandas(
+        finish, out_schema
+    )
