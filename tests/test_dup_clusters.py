@@ -68,3 +68,22 @@ def test_keep_one_per_cluster_action(spark):
     # {0,1,2} -> 0 (size 3); {3} singleton; {4,5} -> 4 (size 2)
     assert got == {0: 3, 3: 1, 4: 2}
     assert set(kept.columns) == {"doc_id", "text", "n_members"}
+
+
+def test_long_path_graph_converges(spark):
+    """A 200-node path (diameter 199) must converge — pointer jumping
+    makes rounds O(log diameter); plain propagation would need 199."""
+    from pyspark.sql import Row
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+
+    n = 200
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    ids = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = duplicate_clusters(pairs, ids).collect()
+    assert len(out) == n
+    assert all(r.cluster_id == 0 for r in out)
