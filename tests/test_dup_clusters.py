@@ -87,3 +87,33 @@ def test_long_path_graph_converges(spark):
     out = duplicate_clusters(pairs, ids).collect()
     assert len(out) == n
     assert all(r.cluster_id == 0 for r in out)
+
+
+def test_incremental_equals_cross_filtered_full(spark):
+    """incremental_candidates(corpus, batch) must equal
+    minhash_candidates(corpus ∪ batch) filtered to cross pairs — same
+    banding, same bucket cap over total membership."""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    from conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    inc = {
+        (r.corpus_id, r.batch_id)
+        for r in dedup.incremental_candidates(corpus, batch).collect()
+    }
+    full = dedup.minhash_candidates(docs).collect()
+    want = set()
+    for r in full:
+        a_new, b_new = r.id_a % 4 == 0, r.id_b % 4 == 0
+        if a_new != b_new:
+            want.add((r.id_b, r.id_a) if a_new else (r.id_a, r.id_b))
+    assert inc == want
