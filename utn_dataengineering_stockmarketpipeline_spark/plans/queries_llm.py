@@ -1328,3 +1328,104 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("target_docs"),
         )
     )
+
+
+@register(
+    "llm_minhash_calibration",
+    f"""
+WITH {_BANDED_CTE.strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(list_sum(list_transform(list_zip(a.sig, b.sig),
+                       z -> CASE WHEN z[1] = z[2] THEN 1 ELSE 0 END))
+              AS DOUBLE) / {_NUM_PERMS} AS est_jaccard
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, h
+       FROM (SELECT doc_id, unnest(hs) AS h FROM hsh)),
+tot AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT c.id_a, c.id_b, MIN(c.est_jaccard) AS est_jaccard,
+         COUNT(*) AS n_shared
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+  GROUP BY c.id_a, c.id_b),
+scored AS (
+  SELECT s.est_jaccard,
+         ROUND(CAST(s.n_shared AS DOUBLE)
+               / (ta.n + tb.n - s.n_shared), 9) AS exact_j
+  FROM shared s
+  JOIN tot ta ON ta.doc_id = s.id_a
+  JOIN tot tb ON tb.doc_id = s.id_b)
+SELECT est_jaccard,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(CAST(SUM(CAST(exact_j AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+            AS DOUBLE) AS mean_exact_jaccard
+FROM scored GROUP BY est_jaccard
+""",
+    doc="MinHash estimator CALIBRATION — the observability surface a "
+        "production dedup pipeline monitors: for every estimated-Jaccard "
+        "level the LSH emits (k/8 for 8 perms), the mean EXACT shingle "
+        "Jaccard over those candidate pairs. Exact intersections run "
+        "only on candidates (subquadratic); per-pair scores round to "
+        "9 dp then sum in DECIMAL so the mean is order-independent. "
+        "Drift between est and exact is the signal to retune "
+        "perms/bands before recall silently degrades",
+    tags=("llm", "dedup", "minhash", "calibration"),
+)
+def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import shingle_hash_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_candidates(
+        docs, num_perms=_NUM_PERMS, bands=_BANDS
+    )
+    sh = (
+        shingle_hash_rows(docs, "text", "doc_id", 3)
+        .select(F.col("doc_id").alias("__id"), "h")
+        .distinct()
+    )
+    tot = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cand.join(sh, cand["id_a"] == sh["__id"])
+        .select("id_a", "id_b", "est_jaccard", "h")
+        .join(
+            sh.select(F.col("__id").alias("__idb"), F.col("h").alias("__hb")),
+            (F.col("id_b") == F.col("__idb")) & (F.col("h") == F.col("__hb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("est_jaccard").alias("est_jaccard"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    scored = (
+        shared.join(
+            tot.select(F.col("__id"), F.col("n").alias("n_a")),
+            F.col("id_a") == F.col("__id"),
+        )
+        .drop("__id")
+        .join(
+            tot.select(F.col("__id"), F.col("n").alias("n_b")),
+            F.col("id_b") == F.col("__id"),
+        )
+        .drop("__id")
+        .select(
+            "est_jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                9,
+            ).alias("exact_j"),
+        )
+    )
+    return scored.groupBy("est_jaccard").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.col("exact_j").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("double")
+        .alias("mean_exact_jaccard"),
+    )
