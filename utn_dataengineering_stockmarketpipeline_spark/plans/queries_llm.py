@@ -1429,3 +1429,32 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("mean_exact_jaccard"),
     )
+
+
+@register(
+    "llm_length_deciles",
+    f"""
+WITH tok AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS INT) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS decile
+FROM tok
+""",
+    doc="token-length deciles (NTILE over a deterministic total order — "
+        "ties broken by doc_id so both engines assign identical "
+        "buckets): the binning used for length-balanced batch "
+        "construction and length-stratified eval draws. The global "
+        "NTILE is single-partition by definition; at 100 TB replace "
+        "with approx-quantile cut points broadcast to a map-side "
+        "bucketer — same output contract, no global sort",
+    tags=("llm", "binning", "window"),
+)
+def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = text_ops.token_stats(docs, "text").select(
+        "doc_id", F.col("ws_tokens").cast("int").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return tok.withColumn("decile", F.ntile(10).over(w).cast("int"))
