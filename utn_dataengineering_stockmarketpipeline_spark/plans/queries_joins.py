@@ -396,3 +396,104 @@ def q_interp_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_date",
         interp.alias("close_interp"),
     )
+
+
+@register(
+    "join_asof_nearest_price",
+    f"""
+WITH {STOCK_PRICES_CTE.strip()},
+probes AS (
+  SELECT DISTINCT {ticker_sql('l_suppkey')} AS stock_ticker,
+         CAST(l_shipdate AS DATE) + 3 AS probe_date
+  FROM lineitem),
+prev AS (
+  SELECT pr.stock_ticker, pr.probe_date,
+         sp.stock_date AS prev_date, sp.stock_close AS prev_close
+  FROM probes pr ASOF LEFT JOIN stock_prices sp
+    ON pr.stock_ticker = sp.stock_ticker AND pr.probe_date >= sp.stock_date),
+nxt AS (
+  SELECT pr.stock_ticker, pr.probe_date,
+         sp.stock_date AS next_date, sp.stock_close AS next_close
+  FROM probes pr ASOF LEFT JOIN stock_prices sp
+    ON pr.stock_ticker = sp.stock_ticker AND pr.probe_date <= sp.stock_date)
+SELECT p.stock_ticker, p.probe_date,
+       CASE
+         WHEN p.prev_date IS NULL THEN n.next_date
+         WHEN n.next_date IS NULL THEN p.prev_date
+         WHEN datediff('day', p.prev_date, p.probe_date)
+              <= datediff('day', p.probe_date, n.next_date)
+           THEN p.prev_date ELSE n.next_date
+       END AS px_date,
+       CASE
+         WHEN p.prev_date IS NULL THEN n.next_close
+         WHEN n.next_date IS NULL THEN p.prev_close
+         WHEN datediff('day', p.prev_date, p.probe_date)
+              <= datediff('day', p.probe_date, n.next_date)
+           THEN p.prev_close ELSE n.next_close
+       END AS px_close
+FROM prev p JOIN nxt n
+  ON p.stock_ticker = n.stock_ticker AND p.probe_date = n.probe_date
+""",
+    doc="NEAREST-neighbor as-of join: the bar closest in time to each "
+        "probe, prev on distance ties — pandas merge_asof "
+        "direction='nearest', which neither engine has natively. "
+        "Probes are DISTINCT-projected to (ticker, date) first — the "
+        "lookup depends on nothing else, so the as-of passes run on "
+        "the key domain (|tickers| x |dates|), not the fact table; "
+        "facts broadcast-join the result back when they need it. "
+        "Composition of the two as-of directions plus an integer-day "
+        "distance compare, exact in both engines",
+    tags=("joins", "asof", "nearest"),
+)
+def q_asof_nearest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    probes = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            _ticker_expr("l_suppkey").alias("stock_ticker"),
+            F.date_add(F.col("l_shipdate").cast("date"), 3).alias(
+                "probe_date"
+            ),
+        )
+        .distinct()
+    )
+    sp = stock_prices(spark, sf_dir)
+    prev = asof_join(
+        probes, sp, on="stock_ticker", left_time="probe_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+    ).select(
+        "stock_ticker", "probe_date",
+        F.col("stock_date").alias("prev_date"),
+        F.col("stock_close").alias("prev_close"),
+    )
+    nxt = asof_join(
+        probes, sp, on="stock_ticker", left_time="probe_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+        direction="forward",
+    ).select(
+        F.col("stock_ticker").alias("n_tk"),
+        F.col("probe_date").alias("n_pd"),
+        F.col("stock_date").alias("next_date"),
+        F.col("stock_close").alias("next_close"),
+    )
+    both = prev.join(
+        nxt,
+        (F.col("stock_ticker") == F.col("n_tk"))
+        & (F.col("probe_date") == F.col("n_pd")),
+    )
+    d_prev = F.datediff("probe_date", "prev_date")
+    d_next = F.datediff("next_date", "probe_date")
+    prev_wins = F.col("next_date").isNull() | (
+        F.col("prev_date").isNotNull() & (d_prev <= d_next)
+    )
+    return both.select(
+        "stock_ticker",
+        "probe_date",
+        F.when(prev_wins, F.col("prev_date"))
+        .otherwise(F.col("next_date"))
+        .alias("px_date"),
+        F.when(prev_wins, F.col("prev_close"))
+        .otherwise(F.col("next_close"))
+        .alias("px_close"),
+    )
