@@ -63,13 +63,21 @@ BENCH_QUERIES = (
     "llm_containment_pairs",
     "llm_curation_pipeline",
     # round-6 additions: profiling, skyline, anomaly, attribution,
-    # fuzzy linkage, streaming top-k
+    # fuzzy linkage, streaming top-k, training-pipeline ops, as-of
+    # compositions, estimator calibration
     "ana_data_profile",
     "ana_pareto_parts",
     "ref_zscore_anomalies",
     "ana_first_touch",
     "llm_fuzzy_name_pairs",
     "stream_hourly_topk",
+    "llm_incremental_dedup",
+    "llm_sequence_packing",
+    "llm_mix_temperature",
+    "llm_minhash_calibration",
+    "llm_length_deciles",
+    "join_interp_calendar",
+    "join_asof_nearest_price",
 )
 
 
