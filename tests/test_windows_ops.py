@@ -119,3 +119,29 @@ def test_ema_chunked_matches_sequential(spark):
         worst = max(abs(got[k] - want[k]) / max(abs(want[k]), 1e-12)
                     for k in want)
         assert worst < 1e-12, f"chunk_rows={chunk_rows}: rel err {worst}"
+
+
+def test_ema_chunked_nonstring_and_null_keys(spark):
+    """Regression: the seed join must carry the NATIVE key type — a
+    string round-trip renders 1e-07 as '1e-07' in Python but '1.0E-7'
+    in the JVM, silently dropping whole groups; null keys vanish under
+    a plain equality join. Row counts must survive an outer check."""
+    from pyspark.sql import Row
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.windows import (
+        ema,
+        ema_chunked,
+    )
+
+    rows = []
+    for key in (1e-07, 2.5, None):
+        for i in range(11):
+            rows.append(Row(k=key, t=i, v=10.0 + i))
+    df = spark.createDataFrame(rows, "k double, t int, v double")
+
+    got = ema_chunked(df, "k", "t", "v", span=4, chunk_rows=4).collect()
+    assert len(got) == len(rows), "groups dropped by the seed join"
+
+    want = {(r.k, r.t): r.ema for r in ema(df, "k", "t", "v", span=4).collect()}
+    for r in got:
+        assert r.ema == pytest.approx(want[(r.k, r.t)], rel=1e-12)

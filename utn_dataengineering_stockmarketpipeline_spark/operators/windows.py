@@ -143,10 +143,14 @@ def ema_chunked(df, key_col: str, time_col: str, value_col: str,
         "__chunk", F.expr(f"(__rn - 1) div {chunk_rows}")
     )
 
-    key_str = f"{key_col}__s"
+    # Carry the NATIVE key type through every intermediate schema.  A
+    # string round-trip (str(key) in Python vs CAST(key AS STRING) in
+    # the JVM) silently drops groups whose renderings differ (floats
+    # '1e-07' vs '1.0E-7', booleans 'True' vs 'true') and null keys.
+    key_type = base.schema[key_col].dataType.simpleString()
     summary_schema = (
-        f"{key_str} string, __chunk bigint, a_pow double, b_tail double, "
-        f"a_pow1 double, b_tail1 double, first_val double"
+        f"{key_col} {key_type}, __chunk bigint, a_pow double, "
+        f"b_tail double, a_pow1 double, b_tail1 double, first_val double"
     )
 
     def summarize(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -162,7 +166,7 @@ def ema_chunked(df, key_col: str, time_col: str, value_col: str,
 
         return pd.DataFrame(
             {
-                key_str: [str(pdf[key_col].iloc[0])],
+                key_col: pdf[key_col].iloc[:1].reset_index(drop=True),
                 "__chunk": [int(pdf["__chunk"].iloc[0])],
                 "a_pow": [(1.0 - a) ** m],
                 "b_tail": [zero_tail(x)],
@@ -178,7 +182,7 @@ def ema_chunked(df, key_col: str, time_col: str, value_col: str,
         summarize, summary_schema
     )
 
-    seed_schema = f"{key_str} string, __chunk bigint, seed double"
+    seed_schema = f"{key_col} {key_type}, __chunk bigint, seed double"
 
     def fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("__chunk")
@@ -194,10 +198,14 @@ def ema_chunked(df, key_col: str, time_col: str, value_col: str,
                 seeds.append(s)
                 s = float(r["a_pow"]) * s + float(r["b_tail"])
         return pd.DataFrame(
-            {key_str: pdf[key_str], "__chunk": pdf["__chunk"], "seed": seeds}
+            {
+                key_col: pdf[key_col].reset_index(drop=True),
+                "__chunk": pdf["__chunk"].reset_index(drop=True),
+                "seed": seeds,
+            }
         )
 
-    seeds = summaries.groupBy(key_str).applyInPandas(fold, seed_schema)
+    seeds = summaries.groupBy(key_col).applyInPandas(fold, seed_schema)
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in base.schema
@@ -218,11 +226,16 @@ def ema_chunked(df, key_col: str, time_col: str, value_col: str,
         pdf[out_col] = vals
         return pdf[[key_col, time_col, value_col, out_col]]
 
+    # Null-safe native-key equi-join: a null key forms a groupBy group
+    # on both sides, so eqNullSafe keeps it where == would drop it.
+    seeds = seeds.withColumnRenamed(key_col, "__seed_key").withColumnRenamed(
+        "__chunk", "__seed_chunk"
+    )
     joined = chunked.join(
         seeds,
-        (F.col(key_col).cast("string") == seeds[key_str])
-        & (chunked["__chunk"] == seeds["__chunk"]),
-    ).drop(seeds["__chunk"]).drop(key_str)
+        F.col(key_col).eqNullSafe(F.col("__seed_key"))
+        & (F.col("__chunk") == F.col("__seed_chunk")),
+    ).drop("__seed_key", "__seed_chunk")
 
     return joined.groupBy(key_col, "__chunk").applyInPandas(
         finish, out_schema

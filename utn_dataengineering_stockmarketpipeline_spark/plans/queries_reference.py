@@ -984,6 +984,53 @@ def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_ema20_chunked",
+    with_reference_ctes("""
+, b AS (
+  SELECT stock_ticker, stock_date, stock_close,
+         ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                            ORDER BY stock_date) AS rn
+  FROM stock_prices)
+SELECT stock_ticker, stock_date, stock_close, ROUND(e, 4) AS ema
+FROM (
+  WITH RECURSIVE ema(stock_ticker, rn, stock_date, stock_close, e) AS (
+    SELECT stock_ticker, rn, stock_date, stock_close, stock_close
+    FROM b WHERE rn = 1
+    UNION ALL
+    SELECT b.stock_ticker, b.rn, b.stock_date, b.stock_close,
+           (2.0 / 21.0) * b.stock_close + (1.0 - 2.0 / 21.0) * ema.e
+    FROM b JOIN ema
+      ON b.stock_ticker = ema.stock_ticker AND b.rn = ema.rn + 1)
+  SELECT * FROM ema)
+"""),
+    doc="EMA-20 via the SEGMENTED-SCAN decomposition "
+        "(operators/windows.ema_chunked) — the unbounded-key form of "
+        "the ordered recurrence. Each key's series is chunked by "
+        "row_number (one window shuffle); each chunk reduces to an "
+        "affine map e_out = (1-a)^m·s + B; per key the maps fold in "
+        "chunk order (one tiny row per CHUNK, so a billion-row key "
+        "folds ~1000 summaries instead of hitting ema()'s one-task "
+        "bound); seeds join back null-safely on the NATIVE key and "
+        "each chunk finishes locally. chunk_rows=512 forces ~4 chunks "
+        "per ticker at sf0.01, so the driver row exercises real chunk "
+        "boundaries. Regrouped float arithmetic differs from the "
+        "sequential loop in final ulps (pytest bounds it at 1e-12 "
+        "relative), so both sides round to 4 decimals; ref_ema20 "
+        "remains the op-order-exact full-precision row",
+    tags=("reference", "indicator", "stateful", "segmented-scan"),
+)
+def q_ema20_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ema_chunked
+
+    sp = stock_prices(spark, sf_dir)
+    out = ema_chunked(
+        sp, "stock_ticker", "stock_date", "stock_close",
+        span=20, chunk_rows=512,
+    )
+    return out.withColumn("ema", F.round("ema", 4))
+
+
+@register(
     "ref_unpivot_ohlc",
     with_reference_ctes("""
 SELECT stock_ticker, stock_date, field, value

@@ -104,24 +104,30 @@ _EVENTS_MICROS_TS = T.StructType(
     ]
 )
 
-# sf_dir -> parquet time unit of events.ts ('ns' | 'us'). The driver has
-# shipped BOTH encodings across rounds, so the unit is probed from file
-# metadata, never assumed — assuming nanos against a micros file slides
-# every timestamp 1000x toward the epoch and silently wrecks windows.
-_TS_UNIT_CACHE: dict[str, str] = {}
+# (path, mtime_ns, size) -> parquet time unit of events.ts ('ns'|'us').
+# The driver has shipped BOTH encodings across rounds, so the unit is
+# probed from file metadata, never assumed — assuming nanos against a
+# micros file slides every timestamp 1000x toward the epoch and silently
+# wrecks windows. The cache key includes mtime+size so a file
+# regenerated in place with the other unit re-probes instead of reusing
+# a stale answer (the footer probe is a cheap metadata read anyway).
+_TS_UNIT_CACHE: dict[tuple[str, int, int], str] = {}
 
 
 def _events_ts_unit(sf_dir: str) -> str:
     """Physical time unit of ``events.ts`` in this directory's parquet."""
-    unit = _TS_UNIT_CACHE.get(sf_dir)
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    unit = _TS_UNIT_CACHE.get(key)
     if unit is None:
         import pyarrow.parquet as pq
 
-        typ = pq.ParquetFile(f"{sf_dir}/events.parquet").schema_arrow.field(
-            "ts"
-        ).type
+        typ = pq.ParquetFile(path).schema_arrow.field("ts").type
         unit = getattr(typ, "unit", "us")
-        _TS_UNIT_CACHE[sf_dir] = unit
+        _TS_UNIT_CACHE[key] = unit
     return unit
 
 
