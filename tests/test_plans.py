@@ -250,6 +250,16 @@ def test_round6_queries_plan_shapes(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_length_deciles_no_single_partition_window(spark):
+    """exact_ntile must not funnel the table through one task: no
+    global (unpartitioned) window and no ntile in the physical plan —
+    the broadcast-offset formulation only."""
+    plan = plan_of(CATALOG["llm_length_deciles"].build(spark, SF_SMOKE))
+    assert "Exchange SinglePartition" not in plan
+    assert "ntile" not in plan.lower()
+    assert "BroadcastHashJoin" in plan  # offsets join back broadcast
+
+
 def test_incremental_candidates_cross_side_only(spark):
     """The incremental LSH path must pair batch docs against corpus docs
     ONLY — near-identical corpus docs must not appear as pairs, and a

@@ -5,6 +5,7 @@ similarity.MAX_BROADCAST_ROWS)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from utn_dataengineering_stockmarketpipeline_spark.operators import windows
 
@@ -83,6 +84,50 @@ def test_funnel_ordering_discriminates(spark):
         out["users_total"], out["users_view"],
         out["users_click"], out["users_purchase"],
     ) == (5, 4, 3, 2)
+
+
+def test_exact_ntile_matches_global_ntile(spark):
+    """exact_ntile must reproduce NTILE(n) OVER (ORDER BY v, id) bit
+    for bit — including heavy ties straddling bucket boundaries, N not
+    divisible by n, and N < n."""
+    from pyspark.sql import Window as W
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.windows import (
+        exact_ntile,
+    )
+
+    cases = [
+        # (n_rows, n_buckets, value_fn) — ties via mod
+        (97, 10, lambda i: i % 7),
+        (100, 10, lambda i: i % 3),
+        (5, 10, lambda i: 42),   # N < n: rank IS bucket
+        (1, 4, lambda i: 0),
+    ]
+    for n_rows, n_buckets, vf in cases:
+        df = spark.createDataFrame(
+            [(i, vf(i)) for i in range(n_rows)], "id int, v int"
+        )
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(n_buckets).over(W.orderBy("v", "id"))
+            ).collect()
+        }
+        got = {
+            r["id"]: r["bucket"]
+            for r in exact_ntile(df, "v", "id", n_buckets).collect()
+        }
+        assert got == want, f"n_rows={n_rows} n_buckets={n_buckets}"
+
+
+def test_exact_ntile_distinct_bound_enforced(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.windows import (
+        exact_ntile,
+    )
+
+    df = spark.createDataFrame([(i, i) for i in range(20)], "id int, v int")
+    with pytest.raises(ValueError, match="distinct values"):
+        exact_ntile(df, "v", "id", 4, max_distinct_values=10)
 
 
 def test_ema_chunked_matches_sequential(spark):

@@ -47,6 +47,94 @@ def latest_per_entity(
     )
 
 
+#: Bound on DISTINCT values of the binning column in exact_ntile: the
+#: per-value counts are collected to the driver to compute cumulative
+#: rank offsets. Token/length histograms have at most ~max-doc-length
+#: distinct values, so 10^7 is generous; past it the collect would be
+#: the bottleneck and the operator refuses instead of OOMing.
+MAX_DISTINCT_BIN_VALUES = 10_000_000
+
+
+def exact_ntile(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int,
+    out_col: str = "bucket",
+    max_distinct_values: int = MAX_DISTINCT_BIN_VALUES,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (ORDER BY value, tiebreak)`` without the
+    single-partition global sort — the 100 TB form of quantile binning.
+
+    A global NTILE funnels every row through ONE task. But the bucket
+    of a row depends only on its global rank, and rank decomposes:
+
+    1. per-value counts — one partial-aggregated shuffle on
+       ``value_col``, output cardinality = distinct values (bounded,
+       enforced: ``max_distinct_values``);
+    2. driver folds the sorted counts into cumulative offsets and the
+       total N — O(distinct) work on tiny data;
+    3. offsets broadcast-join back on ``value_col``; within each value
+       group ``row_number() over (partition by value order by
+       tiebreak)`` runs in parallel — rank = offset + row_number;
+    4. the NTILE bucket is a closed-form map-side expression of rank:
+       with q, r = divmod(N, n), the first r buckets take q+1 rows.
+
+    Exactly reproduces NTILE's deterministic tie handling when
+    (value, tiebreak) is unique. Nulls in ``value_col`` sort FIRST
+    (Spark ascending semantics; DuckDB defaults NULLS LAST — align the
+    oracle with NULLS FIRST if nulls are possible).
+    """
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rows = counts.limit(max_distinct_values + 1).collect()
+    if len(rows) > max_distinct_values:
+        raise ValueError(
+            f"exact_ntile: > {max_distinct_values} distinct values of "
+            f"{value_col!r}; the offset collect would not be small. "
+            f"Pre-bucket the value (e.g. clip outliers) or raise "
+            f"max_distinct_values."
+        )
+    rows.sort(key=lambda r: (r[value_col] is not None, r[value_col]))
+    total = 0
+    offsets = []
+    for r in rows:
+        offsets.append((r[value_col], total))
+        total += r["__cnt"]
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, df.select(value_col).schema.add("__offset", "long")
+    ).withColumnRenamed(value_col, "__off_key")
+
+    q, rem = divmod(total, n_buckets)
+    boundary = rem * (q + 1)  # ranks 1..boundary land in buckets 1..rem
+    w = Window.partitionBy(value_col).orderBy(tiebreak_col)
+    ranked = (
+        df.join(
+            F.broadcast(off_df),
+            F.col(value_col).eqNullSafe(F.col("__off_key")),
+        )
+        .drop("__off_key")
+        .withColumn("__rank", F.col("__offset") + F.row_number().over(w))
+    )
+    if q == 0:
+        bucket = F.col("__rank")  # fewer rows than buckets: rank IS bucket
+    else:
+        # integer div, not `/`: float division truncated by a cast can
+        # flip at 2^53-scale ranks
+        bucket = F.when(
+            F.col("__rank") <= F.lit(boundary),
+            F.expr(f"(__rank - 1) div {q + 1}"),
+        ).otherwise(
+            F.expr(f"{rem} + (__rank - 1 - {boundary}) div {q}")
+        ) + F.lit(1)
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "__offset", "__rank"
+    )
+
+
 #: Per-key row bound for the ordered-recurrence operators (ema): each
 #: group materializes as ONE Arrow batch in ONE task, so a group must fit
 #: a task's memory. 10^7 rows ≈ hundreds of MB as Arrow — the practical

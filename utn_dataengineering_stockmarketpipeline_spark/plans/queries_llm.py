@@ -1440,21 +1440,24 @@ SELECT doc_id, n_tokens,
        CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS INT) AS decile
 FROM tok
 """,
-    doc="token-length deciles (NTILE over a deterministic total order — "
-        "ties broken by doc_id so both engines assign identical "
-        "buckets): the binning used for length-balanced batch "
-        "construction and length-stratified eval draws. The global "
-        "NTILE is single-partition by definition; at 100 TB replace "
-        "with approx-quantile cut points broadcast to a map-side "
-        "bucketer — same output contract, no global sort",
+    doc="token-length deciles (exact NTILE parity over a deterministic "
+        "total order — ties broken by doc_id so both engines assign "
+        "identical buckets): the binning used for length-balanced "
+        "batch construction and length-stratified eval draws. Built "
+        "with operators/windows.exact_ntile — per-length counts fold "
+        "into broadcast rank offsets, row_number runs PARTITIONED by "
+        "length, and the bucket is a closed-form map-side expression. "
+        "No single-partition window anywhere in the plan "
+        "(tests/test_plans.py pins it); the oracle keeps DuckDB's "
+        "global NTILE as the independent formulation",
     tags=("llm", "binning", "window"),
 )
 def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
+    from ..operators.windows import exact_ntile
 
     docs = load_table(spark, sf_dir, "documents")
     tok = text_ops.token_stats(docs, "text").select(
         "doc_id", F.col("ws_tokens").cast("int").alias("n_tokens")
     )
-    w = Window.orderBy("n_tokens", "doc_id")
-    return tok.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return exact_ntile(tok, "n_tokens", "doc_id", 10, out_col="decile")
