@@ -367,22 +367,39 @@ def main() -> None:
     evidence = scale_evidence(spark, sf_dir)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                # Measured run-to-run variance of the common-set total at
-                # sf0.1 under this scheme: ±7% (per-query deltas under
-                # ~30% at sub-second scale are noise, not regressions).
-                "timing": "min-of-3, full-GC isolation per query",
-                "queries": timings,
-                "scale_evidence": evidence,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # ×factor / ×1 wall-time ratios — the scale-linearity signal, tiny
+    # enough to ride inline; the full evidence goes to bench_out.json.
+    factor = evidence.get("factor", 10)
+    ratios = {}
+    for k, v in evidence.items():
+        if isinstance(v, dict) and k.endswith("_1x"):
+            big = evidence.get(f"{k[:-3]}_{factor}x")
+            if isinstance(big, dict):
+                ratios[k[:-3].rstrip("_")] = round(
+                    big["sec"] / max(v["sec"], 1e-9), 2
+                )
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        # Measured run-to-run variance of the common-set total at
+        # sf0.1 under this scheme: ±7% (per-query deltas under
+        # ~30% at sub-second scale are noise, not regressions).
+        "timing": "min-of-3, full-GC isolation per query",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        f"scale_ratios_{factor}x_over_1x": ratios,
+        "scale_evidence_file": "bench_out.json",
+    }
+    # Full artifact (per-query timings + complete scale evidence) to a
+    # file; stdout gets ONE COMPACT line. The driver's tail capture has
+    # a byte budget — r6's verbose line blew it and arrived truncated
+    # ("parsed": null), losing 11 of 50 timings. Compact separators +
+    # evidence-by-reference keep the line well under the budget.
+    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
+        json.dumps({**result, "scale_evidence": evidence}, indent=2)
     )
+    print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 
 

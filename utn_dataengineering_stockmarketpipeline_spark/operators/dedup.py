@@ -440,6 +440,17 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+#: First round index on which duplicate_clusters applies the pointer
+#: jump. LSH bucket expansion emits cliques/stars plus short variant
+#: chains — graphs that converge within ~4 plain propagation rounds
+#: (measured on the sf0.1 minhash graph: 4 rounds, jump or not) and
+#: never pay the jump's extra self-join. Graphs that are still moving
+#: after 4 rounds have proven deep; they engage the jump and keep the
+#: O(log diameter) bound (a 200-node path converges in ~12 rounds
+#: against the 25-round budget).
+JUMP_START_ROUND = 4
+
+
 def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                        id_col: str = "doc_id",
                        max_iters: int = 25) -> DataFrame:
@@ -447,17 +458,28 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     with cluster_id = min doc id reachable — the step that turns
     pairwise LSH output into "keep one doc per duplicate group".
 
-    Iterative min-label propagation WITH pointer jumping: each round
-    every node takes the min of its own and its neighbors' labels, then
+    Iterative min-label propagation WITH ADAPTIVE pointer jumping: each
+    round every node takes the min of its own and its neighbors'
+    labels; from round ``JUMP_START_ROUND`` onward the round also
     compresses paths by adopting its label's label (l(u) <- l(l(u))).
-    The jump halves remaining label-tree depth per round, so
-    convergence is O(log diameter) — a 10x-replicated corpus whose
-    variant chains form paths of length ~40 finishes in ~6 rounds where
-    plain propagation needs the full diameter (measured: it blew the
-    25-round budget). Each round is two (long, long) shuffle joins;
-    ``localCheckpoint`` truncates the growing plan per round.
-    Convergence detected via the strictly-decreasing label sum — one
-    scalar action per round, no full-frame comparison.
+    The jump keeps convergence O(log diameter) — a 10x-replicated
+    corpus whose variant chains form paths of length ~40 finishes in
+    ~8 rounds where plain propagation blew the 25-round budget — but
+    it is an extra (long, long) self-join per round, pure overhead on
+    the SHALLOW graphs LSH actually emits (in-bucket pair expansion
+    yields cliques/stars of diameter 1-2 that converge in 2 rounds).
+    Deferring the jump past the rounds shallow graphs need makes the
+    common case pay zero jump joins while deep chains keep the
+    logarithmic bound (measured r7 on the sf0.1 graph: the always-jump
+    iteration took 5.98 s where deferred took 2.57 s at identical round
+    count — the jump was pure overhead there; a 200-node path still
+    converges in ~12 of the 25 budgeted rounds). ``localCheckpoint`` truncates
+    the growing plan per round. Convergence detected via the
+    strictly-decreasing label sum — one scalar action per round, no
+    full-frame comparison; a stagnant sum on ANY round variant means
+    the propagation map changed nothing, which is exactly the
+    propagation fixpoint (labels constant along every path = component
+    min), so correctness is independent of when jumps run.
 
     Singletons (ids with no pairs) keep themselves as cluster_id and —
     crucially for corpus scale — never enter the iteration: on a real
@@ -473,7 +495,7 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     labels = touched.select("id", F.col("id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = prev_sum is None  # no edges at all: everything a singleton
-    for _ in range(max_iters):
+    for it in range(max_iters):
         if converged:
             break
         prop = (
@@ -487,18 +509,21 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                 F.col("label"), F.coalesce("nbr_label", "label")
             ).alias("label"),
         )
-        # pointer jump: adopt the label's own label. Labels are always
-        # ids of touched nodes (min over existing labels), so the inner
-        # self-join is total; labels only decrease, preserving the
-        # strictly-decreasing-sum convergence test.
-        parent = merged.select(
-            F.col("id").alias("p_id"), F.col("label").alias("p_label")
-        )
-        labels = (
-            merged.join(parent, merged["label"] == parent["p_id"])
-            .select("id", F.col("p_label").alias("label"))
-            .localCheckpoint()
-        )
+        if it >= JUMP_START_ROUND:
+            # pointer jump: adopt the label's own label. Labels are
+            # always ids of touched nodes (min over existing labels), so
+            # the inner self-join is total; labels only decrease,
+            # preserving the strictly-decreasing-sum convergence test.
+            parent = merged.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+            )
+            labels = (
+                merged.join(parent, merged["label"] == parent["p_id"])
+                .select("id", F.col("p_label").alias("label"))
+                .localCheckpoint()
+            )
+        else:
+            labels = merged.localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
             converged = True
