@@ -56,25 +56,105 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-6 rotation:
-#   1. the four streaming drains that FAILED the r5 driver check (the
-#      driver regenerated events.parquet with TIMESTAMP(MICROS); the
-#      readers assumed NANOS — fixed in queries_streaming._events_stream,
-#      and these four must produce fresh green rows proving it),
-#   2. ana_lapsed_customers — registered late in r3, landed at position
-#      50 of a 50-query window, never driver-checked,
-#   3. the 45 long-stable queries whose last driver row is r2 (three
-#      rounds stale),
-#   4. tail: the r4+r5 double-green set (46 queries, freshest evidence).
-# Queries registered after this pin (new in round 6) slot in at the
-# window boundary right after block 2 — inside the window, displacing
-# tail entries of block 3 (which keep their r2 rows + local coverage).
+# Round-7 rotation:
+#   1. the 14 queries whose ONLY driver row is r2 (four rounds stale —
+#      all green in every local oracle run since, but the driver row is
+#      the hard signal),
+#   2. the queries whose BEHAVIOR changed this round and need fresh
+#      rows proving the change: ref_ema20_chunked (new registration,
+#      segmented-scan EMA), llm_length_deciles (single-partition NTILE
+#      replaced by broadcast-offset exact_ntile), the three
+#      connected-components dependents (adaptive pointer jumping), and
+#      the two LSH rows converted from rows-only to oracle-backed,
+#   3. (pin) new round-7 registrations slot in here,
+#   4. the r5-green set — fresher first out, so the window tail
+#      re-proves as many r5 rows as fit after blocks 1-3,
+#   5. tail: the r6-green set (freshest evidence, safely outside).
 _DRIVER_ORDER: tuple[str, ...] = (
+    # -- block 1: r2-stale --
+    "ana_approx_sketches",
+    "ana_cube_returns",
+    "ana_market_share",
+    "ana_nation_flow",
+    "ana_pivot_status",
+    "ana_priority_late_orders",
+    "ana_quantity_percentiles",
+    "llm_dedup_exact",
+    "llm_minhash_signatures",
+    "llm_ngram_jaccard_pairs",
+    "llm_simhash",
+    "llm_simhash_near_pairs",
+    "llm_text_quality",
+    "llm_token_stats",
+    # -- block 2: round-7 behavior changes --
+    "ref_ema20_chunked",
+    "llm_length_deciles",
+    "llm_dup_clusters",
+    "llm_dedup_keep_one",
+    "llm_curation_pipeline",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    # -- block 4: r5-green (window tail refreshes what fits) --
+    "ref_ema20",
+    "ref_scd2_markets",
+    "ref_scd1_markets",
+    "ref_bollinger_bands",
+    "ref_unpivot_ohlc",
+    "llm_minhash_lsh_pairs",
+    "llm_contamination",
+    "llm_containment_pairs",
+    "llm_boilerplate_ngrams",
+    "llm_doc_chunks",
+    "llm_stratified_sample",
+    "llm_sample_k_per_stratum",
+    "llm_source_mix",
+    "llm_embedding_quantize",
+    "llm_cosine_topk",
+    "llm_embedding_norms",
+    "llm_embedding_near_dup",
+    "llm_ann_ivf_topk",
+    "llm_pii_scrub",
+    "llm_tfidf_top_terms",
+    "llm_repetition_ratio",
+    "llm_doc_profile",
+    "llm_lang_id",
+    "llm_doc_fingerprint",
+    "llm_winnowing_fingerprints",
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "llm_multimodal_features",
+    "join_asof_price_at_ship",
+    "join_range_price_bands",
+    "join_asof_next_price",
+    "join_interval_promo_overlap",
+    "join_ffill_calendar",
+    "stream_stateful_totals",
+    "stream_dedup_events",
+    "ana_funnel_conversion",
+    "ana_retention_cohorts",
+    "ana_min_cost_supplier",
+    "ana_sole_late_supplier",
+    "ana_important_parts",
+    "ana_big_orders",
+    # -- block 5: r6-green tail --
     "stream_events_hourly",
     "stream_purchase_error_join",
     "stream_user_sessions",
     "stream_sliding_counts",
     "ana_lapsed_customers",
+    "ref_zscore_anomalies",
+    "ana_price_histogram",
+    "ana_data_profile",
+    "ana_pareto_parts",
+    "ana_first_touch",
+    "llm_fuzzy_name_pairs",
+    "llm_incremental_dedup",
+    "llm_sequence_packing",
+    "llm_mix_temperature",
+    "llm_minhash_calibration",
+    "stream_hourly_topk",
+    "join_interp_calendar",
+    "join_asof_nearest_price",
     "ref_get_last_price",
     "ref_latest_per_ticker",
     "ref_rolling_30day_mean",
@@ -106,72 +186,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_events_hourly",
     "ana_distinct_users_salted",
     "ana_user_sessions",
-    "ana_cube_returns",
-    "ana_pivot_status",
-    "ana_quantity_percentiles",
-    "ana_nation_flow",
-    "ana_market_share",
-    "ana_priority_late_orders",
-    "ana_approx_sketches",
-    "llm_dedup_exact",
-    "llm_minhash_signatures",
-    "llm_ngram_jaccard_pairs",
-    "llm_simhash",
-    "llm_simhash_near_pairs",
-    "llm_token_stats",
-    "llm_text_quality",
-    "join_asof_price_at_ship",
-    "join_range_price_bands",
-    "stream_stateful_totals",
-    "stream_dedup_events",
-    "llm_pii_scrub",
-    "llm_tfidf_top_terms",
-    "llm_repetition_ratio",
-    "llm_doc_profile",
-    "llm_resize_plan",
-    "llm_frame_sample_plan",
-    "llm_multimodal_features",
-    "llm_lang_id",
-    "llm_doc_fingerprint",
-    "llm_winnowing_fingerprints",
-    "llm_cosine_topk",
-    "llm_embedding_norms",
-    "llm_embedding_near_dup",
-    "llm_embedding_near_dup_lsh",
-    "llm_ann_lsh_topk",
-    "llm_ann_ivf_topk",
-    "ref_unpivot_ohlc",
-    "ana_funnel_conversion",
-    "ana_retention_cohorts",
-    "ana_min_cost_supplier",
-    "ana_sole_late_supplier",
-    "ana_important_parts",
-    "llm_dedup_keep_one",
-    "llm_doc_chunks",
-    "llm_boilerplate_ngrams",
-    "llm_contamination",
-    "llm_sample_k_per_stratum",
-    "llm_containment_pairs",
-    "llm_curation_pipeline",
-    "llm_stratified_sample",
-    "llm_source_mix",
-    "llm_embedding_quantize",
-    "join_asof_next_price",
-    "join_interval_promo_overlap",
-    "join_ffill_calendar",
-    "ref_bollinger_bands",
-    "ref_scd2_markets",
-    "ref_ema20",
-    "llm_minhash_lsh_pairs",
-    "llm_dup_clusters",
-    "ref_scd1_markets",
-    "ana_big_orders",
 )
 
 
-# New (unlisted) queries slot in after the must-verify head: the four
-# repaired streaming drains + the one never-checked query.
-_WINDOW_PIN = 5
+# New (unlisted) queries slot in after the must-verify head: the
+# r2-stale block + this round's behavior changes.
+_WINDOW_PIN = 21
 
 
 def _apply_driver_order() -> None:
