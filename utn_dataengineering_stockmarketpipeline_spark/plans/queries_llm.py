@@ -528,26 +528,100 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planes_values_cte(dim: int, n_planes: int) -> str:
+    """DuckDB VALUES CTE of the deterministic MD5 hyperplane family —
+    the planes are pure functions of (plane, dim), so both engines can
+    materialize IDENTICAL constants and the LSH bucket ids become an
+    exact cross-engine identity, not an approximation to tolerate."""
+    from ..operators.similarity import _hyperplane
+
+    rows = []
+    for p in range(n_planes):
+        arr = "[" + ",".join(repr(v) for v in _hyperplane(dim, p)) + "]"
+        rows.append(f"({p},{arr}::DOUBLE[])")
+    return "planes(plane, w) AS (VALUES " + ",".join(rows) + ")"
+
+
+# Shared bucket pipeline: 8 tables x 4 planes over dim-64 embeddings —
+# bit p of table t = sign of the dot with plane t*4+p, exactly
+# similarity.table_buckets_blas's layout.
+_LSH_BUCKETS_CTES = f"""
+{_planes_values_cte(64, 32)},
+dots AS (
+  SELECT e.vec_id, p.plane,
+         CAST(list_sum(list_transform(list_zip(e.embedding, p.w),
+              z -> z[1]::DOUBLE * z[2]::DOUBLE)) AS DOUBLE) AS dot
+  FROM embeddings e CROSS JOIN planes p),
+buckets AS (
+  SELECT vec_id, plane // 4 AS tbl,
+         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (plane % 4)
+                       ELSE 0 END) AS INT) AS bucket
+  FROM dots GROUP BY vec_id, plane // 4)
+"""
+
+
 @register(
     "llm_embedding_near_dup_lsh",
-    None,  # approximate by construction: recall vs the exact variant is
-    # the pytest check (tests/test_similarity.py)
+    f"""
+WITH {_LSH_BUCKETS_CTES.strip()},
+sized AS (
+  SELECT tbl, bucket, COUNT(*) AS sz FROM buckets GROUP BY tbl, bucket),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN sized s ON s.tbl = a.tbl AND s.bucket = a.bucket
+              AND s.sz <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+         {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b)
+WHERE cosine >= 0.4
+""",
     doc="banded sign-LSH embedding near-dup (scale path): 8 tables x 4 "
-        "deterministic hyperplanes, any-table collision -> exact verify",
+        "deterministic hyperplanes, any-table collision -> exact "
+        "verify, skew cap mirrored in the oracle. planes_per_table "
+        "PINNED to 4 here so the MD5 plane family is a static "
+        "cross-engine constant (the operator default auto-tunes "
+        "2^planes ~ n/64 — same value at the driver SFs; the bench "
+        "scale-evidence path exercises the auto rule)",
     tags=("llm", "dedup", "similarity", "lsh"),
 )
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4,
+        planes_per_table=4,
     )
 
 
 @register(
     "llm_ann_lsh_topk",
-    None,  # approximate by construction: recall vs brute force is the
-    # pytest check (tests/test_similarity.py), not a SQL identity
+    f"""
+WITH {_LSH_BUCKETS_CTES.strip()},
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q
+  JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand cd
+  JOIN embeddings ea ON ea.vec_id = cd.query_id
+  JOIN embeddings eb ON eb.vec_id = cd.neighbor_id)
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) WHERE rk <= 5
+""",
     doc="sign-LSH bucketed ANN (scale path): deterministic MD5-derived "
-        "hyperplanes, bucket equi-join, exact in-bucket re-rank",
+        "hyperplanes, bucket equi-join, exact in-bucket re-rank — the "
+        "bucket ids are cross-engine constants, so the whole candidate "
+        "set (not just recall) is oracle-verified",
     tags=("llm", "similarity", "ann", "lsh"),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
