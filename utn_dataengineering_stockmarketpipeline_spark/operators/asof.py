@@ -33,6 +33,7 @@ def asof_join(
     value_cols: list[str],
     strict: bool = False,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join. ``direction="backward"`` (default): for every left
     row, the latest right row with ``right_time <= left_time`` (``<``
@@ -53,9 +54,19 @@ def asof_join(
     same matched right row — a NULL inside the matched row stays NULL
     (per-column carries would backfill it from an older row, mixing
     columns of different right rows and diverging from DuckDB ASOF).
+
+    ``tolerance_seconds`` bounds the staleness of the match (pandas
+    ``merge_asof(tolerance=...)``): a carried row farther than the
+    bound from the left time nulls out. Zero extra cost — the matched
+    right time already rides in the carried struct, so the bound is a
+    map-side expression after the same one-shuffle plan (the as-of
+    match is by definition the CLOSEST eligible row, so nulling it is
+    exactly "no match within tolerance").
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if "__rt" in value_cols:
+        raise ValueError("value_cols may not contain the reserved name '__rt'")
     fwd = direction == "forward"
     # side marker orders equal timestamps so a left row sees a right row
     # at the *same* instant (inclusive) or not (strict); the forward
@@ -73,7 +84,7 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(
                 f"{f.name}:{f.dataType.simpleString()}" for f in r_struct_type
-            ) + ">"
+            ) + ",__rt:timestamp>"
         ).alias("__rrow"),
     )
     r_tagged = right.select(
@@ -81,7 +92,10 @@ def asof_join(
         F.col(right_time).cast("timestamp").alias("__t"),
         F.lit(r_mark).alias("__side"),
         F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        F.struct(*[F.col(c) for c in value_cols]).alias("__rrow"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_time).cast("timestamp").alias("__rt"),
+        ).alias("__rrow"),
     )
     base = Window.partitionBy("__k").orderBy("__t", "__side")
     if fwd:
@@ -92,12 +106,21 @@ def asof_join(
         carry = F.last("__rrow", ignorenulls=True).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         "__side",
+        "__t",
         "__lrow",
         carry.alias("__rrow"),
     )
+    rrow = F.col("__rrow")
+    if tolerance_seconds is not None:
+        lag = (
+            F.col("__rrow.__rt").cast("double") - F.col("__t").cast("double")
+            if fwd
+            else F.col("__t").cast("double") - F.col("__rrow.__rt").cast("double")
+        )
+        rrow = F.when(lag <= F.lit(float(tolerance_seconds)), rrow)
     return carried.filter(F.col("__side") == l_mark).select(
         "__lrow.*",
-        *[F.col(f"__rrow.{c}").alias(c) for c in value_cols],
+        *[rrow[c].alias(c) for c in value_cols],
     )
 
 

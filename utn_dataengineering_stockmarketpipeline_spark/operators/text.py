@@ -313,6 +313,111 @@ def ngram_doc_frequency(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     )
 
 
+def train_val_test_split(df: DataFrame, id_col: str = "doc_id",
+                         val_permille: int = 100,
+                         test_permille: int = 100) -> DataFrame:
+    """Deterministic 3-way split assignment: ``split`` ∈ {train, val,
+    test} from the md5 of the id — the dataset-versioning primitive of
+    a training pipeline. Hash-based (not row_number-based) so the
+    assignment is STABLE under corpus growth: a document keeps its
+    split forever no matter what is added or removed around it, which
+    is what prevents silent eval-set contamination across dataset
+    releases.
+
+    The first 8 md5 hex digits (uniform on [0, 2^32)) map to permille
+    thresholds: [0, test) → test, [test, test+val) → val, rest →
+    train. Zero shuffle — a pure map expression fused with the scan;
+    engine-agnostic (md5 hex is identical everywhere).
+    """
+    if val_permille + test_permille >= 1000:
+        raise ValueError("val + test must leave room for train")
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    # pure integer compare (u*1000 < permille*2^32): no float boundary
+    scaled = u * F.lit(1000)
+    split = (
+        F.when(scaled < F.lit(test_permille * (1 << 32)), F.lit("test"))
+        .when(
+            scaled < F.lit((test_permille + val_permille) * (1 << 32)),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def vocabulary(df: DataFrame, text_col: str = "text",
+               min_count: int = 1) -> DataFrame:
+    """Frequency-ranked term vocabulary: ``(term, term_id, count)``
+    with ``term_id = row_number() over (order by count desc, term)`` —
+    the tokenizer-building / embedding-table-indexing step of a
+    training pipeline, where ids must be dense, deterministic, and
+    frequency-ordered.
+
+    The term-count aggregation is one partial-aggregated shuffle over
+    the exploded tokens. The RANKING is the part that naively needs a
+    global sort of the vocabulary; windows.exact_row_number does it
+    with broadcast count-offsets + a per-count partitioned window
+    instead, so no single-partition stage exists even when the
+    vocabulary itself is hundreds of millions of terms (distinct
+    COUNT VALUES stay small — Zipf — which is what the offset collect
+    scales with).
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    from .windows import exact_row_number
+
+    return exact_row_number(
+        counts, "count", "term", out_col="term_id", descending=True
+    ).select("term", "term_id", "count")
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    round_to: int = 6) -> DataFrame:
+    """Unigram language-model scoring: per-document mean negative log
+    probability of its tokens under the CORPUS unigram distribution —
+    the model-based quality filter class (CCNet/KenLM-style perplexity
+    filtering, here with the simplest possible LM so the whole thing
+    stays in exact SQL-expressible arithmetic).
+
+    p(t) = count(t) / total_tokens over the corpus itself, so every
+    token has nonzero probability (no smoothing needed). Returns
+    ``(id, n_tokens, avg_neg_logprob)`` — high values = documents
+    dominated by corpus-rare tokens (gibberish, OCR noise, wrong
+    language); low = stopword-heavy boilerplate.
+
+    Plan: one shuffle to build the unigram table, one token-key
+    shuffle to join token occurrences to their counts (at 100 TB the
+    unigram table is Zipf-small after min-count pruning and usually
+    broadcastable; here it joins by key), one doc-key shuffle to
+    average. Sum order differs across engines in final ulps, so the
+    mean rounds to ``round_to``.
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__nlp", -F.log(F.col("__cnt") / F.col("__total")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("__nlp"), round_to).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def sample_k_per_stratum(df: DataFrame, k: int, stratum_col: str = "lang",
                          id_col: str = "doc_id") -> DataFrame:
     """Deterministic EXACT-k sample per stratum: rank rows inside each

@@ -55,6 +55,94 @@ def latest_per_entity(
 MAX_DISTINCT_BIN_VALUES = 10_000_000
 
 
+def _offset_ranked(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    op_name: str,
+    max_distinct_values: int,
+    descending: bool = False,
+) -> tuple[DataFrame | None, int]:
+    """(df + ``__rank``, total rows) where __rank is the exact global
+    ``row_number() over (order by value [desc], tiebreak)`` — computed
+    WITHOUT a single-partition sort:
+
+    1. per-value counts — one partial-aggregated shuffle on
+       ``value_col``, output cardinality = distinct values (bounded,
+       enforced: ``max_distinct_values``);
+    2. driver folds the sorted counts into cumulative offsets and the
+       total N — O(distinct) work on tiny data;
+    3. offsets broadcast-join back on ``value_col``; within each value
+       group ``row_number() over (partition by value order by
+       tiebreak)`` runs in parallel — rank = offset + row_number.
+
+    Nulls in ``value_col`` sort FIRST ascending / LAST descending
+    (Spark semantics; DuckDB defaults NULLS LAST — align oracles when
+    nulls are possible). Returns (None, 0) on an empty input.
+    """
+    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    rows = counts.limit(max_distinct_values + 1).collect()
+    if len(rows) > max_distinct_values:
+        raise ValueError(
+            f"{op_name}: > {max_distinct_values} distinct values of "
+            f"{value_col!r}; the offset collect would not be small. "
+            f"Pre-bucket the value (e.g. clip outliers) or raise "
+            f"max_distinct_values."
+        )
+    rows.sort(
+        key=lambda r: (r[value_col] is not None, r[value_col]),
+        reverse=descending,
+    )
+    total = 0
+    offsets = []
+    for r in rows:
+        offsets.append((r[value_col], total))
+        total += r["__cnt"]
+    if total == 0:
+        return None, 0
+
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, df.select(value_col).schema.add("__offset", "long")
+    ).withColumnRenamed(value_col, "__off_key")
+
+    order = F.col(tiebreak_col)
+    w = Window.partitionBy(value_col).orderBy(order)
+    ranked = (
+        df.join(
+            F.broadcast(off_df),
+            F.col(value_col).eqNullSafe(F.col("__off_key")),
+        )
+        .drop("__off_key")
+        .withColumn("__rank", F.col("__offset") + F.row_number().over(w))
+        .drop("__offset")
+    )
+    return ranked, total
+
+
+def exact_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "rn",
+    descending: bool = False,
+    max_distinct_values: int = MAX_DISTINCT_BIN_VALUES,
+) -> DataFrame:
+    """Exact global ``row_number() over (order by value [desc],
+    tiebreak)`` without a single-partition sort (see
+    :func:`_offset_ranked`) — e.g. frequency-ranked vocabulary ids,
+    leaderboard positions. The tiebreak orders ASCENDING within equal
+    values in both modes, matching ``ORDER BY value DESC, tiebreak``.
+    """
+    ranked, _ = _offset_ranked(
+        df, value_col, tiebreak_col, "exact_row_number",
+        max_distinct_values, descending=descending,
+    )
+    if ranked is None:
+        return df.withColumn(out_col, F.lit(None).cast("long"))
+    return ranked.withColumnRenamed("__rank", out_col)
+
+
 def exact_ntile(
     df: DataFrame,
     value_col: str,
@@ -66,59 +154,23 @@ def exact_ntile(
     """Exact ``NTILE(n) OVER (ORDER BY value, tiebreak)`` without the
     single-partition global sort — the 100 TB form of quantile binning.
 
-    A global NTILE funnels every row through ONE task. But the bucket
-    of a row depends only on its global rank, and rank decomposes:
-
-    1. per-value counts — one partial-aggregated shuffle on
-       ``value_col``, output cardinality = distinct values (bounded,
-       enforced: ``max_distinct_values``);
-    2. driver folds the sorted counts into cumulative offsets and the
-       total N — O(distinct) work on tiny data;
-    3. offsets broadcast-join back on ``value_col``; within each value
-       group ``row_number() over (partition by value order by
-       tiebreak)`` runs in parallel — rank = offset + row_number;
-    4. the NTILE bucket is a closed-form map-side expression of rank:
-       with q, r = divmod(N, n), the first r buckets take q+1 rows.
+    A global NTILE funnels every row through ONE task; but the bucket
+    of a row depends only on its global rank, which
+    :func:`_offset_ranked` computes distributively. The NTILE bucket
+    is then a closed-form map-side expression of rank: with q, r =
+    divmod(N, n), the first r buckets take q+1 rows.
 
     Exactly reproduces NTILE's deterministic tie handling when
-    (value, tiebreak) is unique. Nulls in ``value_col`` sort FIRST
-    (Spark ascending semantics; DuckDB defaults NULLS LAST — align the
-    oracle with NULLS FIRST if nulls are possible).
+    (value, tiebreak) is unique.
     """
-    counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    rows = counts.limit(max_distinct_values + 1).collect()
-    if len(rows) > max_distinct_values:
-        raise ValueError(
-            f"exact_ntile: > {max_distinct_values} distinct values of "
-            f"{value_col!r}; the offset collect would not be small. "
-            f"Pre-bucket the value (e.g. clip outliers) or raise "
-            f"max_distinct_values."
-        )
-    rows.sort(key=lambda r: (r[value_col] is not None, r[value_col]))
-    total = 0
-    offsets = []
-    for r in rows:
-        offsets.append((r[value_col], total))
-        total += r["__cnt"]
-    if total == 0:
+    ranked, total = _offset_ranked(
+        df, value_col, tiebreak_col, "exact_ntile", max_distinct_values
+    )
+    if ranked is None:
         return df.withColumn(out_col, F.lit(None).cast("int"))
-
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        offsets, df.select(value_col).schema.add("__offset", "long")
-    ).withColumnRenamed(value_col, "__off_key")
 
     q, rem = divmod(total, n_buckets)
     boundary = rem * (q + 1)  # ranks 1..boundary land in buckets 1..rem
-    w = Window.partitionBy(value_col).orderBy(tiebreak_col)
-    ranked = (
-        df.join(
-            F.broadcast(off_df),
-            F.col(value_col).eqNullSafe(F.col("__off_key")),
-        )
-        .drop("__off_key")
-        .withColumn("__rank", F.col("__offset") + F.row_number().over(w))
-    )
     if q == 0:
         bucket = F.col("__rank")  # fewer rows than buckets: rank IS bucket
     else:
@@ -130,9 +182,7 @@ def exact_ntile(
         ).otherwise(
             F.expr(f"{rem} + (__rank - 1 - {boundary}) div {q}")
         ) + F.lit(1)
-    return ranked.withColumn(out_col, bucket.cast("int")).drop(
-        "__offset", "__rank"
-    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__rank")
 
 
 #: Per-key row bound for the ordered-recurrence operators (ema): each

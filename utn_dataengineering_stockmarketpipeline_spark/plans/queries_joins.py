@@ -24,6 +24,65 @@ from .reference_tables import (
 
 
 @register(
+    "join_asof_tolerance_price",
+    f"""
+WITH {STOCK_PRICES_CTE.strip()},
+li AS (
+  SELECT l_orderkey, l_linenumber,
+         {ticker_sql('l_suppkey')} AS stock_ticker,
+         CAST(l_shipdate AS DATE) AS ship_date
+  FROM lineitem),
+matched AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.stock_ticker, li.ship_date,
+         sp.stock_date, sp.stock_close
+  FROM li ASOF LEFT JOIN stock_prices sp
+    ON li.stock_ticker = sp.stock_ticker AND li.ship_date >= sp.stock_date)
+SELECT l_orderkey, l_linenumber, stock_ticker, ship_date,
+       CASE WHEN datediff('day', stock_date, ship_date) <= 3
+            THEN stock_date END AS px_date,
+       CASE WHEN datediff('day', stock_date, ship_date) <= 3
+            THEN stock_close END AS px_close
+FROM matched
+""",
+    doc="as-of join with a STALENESS BOUND (pandas merge_asof "
+        "tolerance): prevailing bar per ship date, but only if at most "
+        "3 days old — stale quotes null out instead of silently "
+        "backfilling across a halt/delisting gap. The matched right "
+        "time rides in the carried struct, so the bound is a map-side "
+        "expression on the same one-shuffle union-window plan; DuckDB "
+        "mirrors with ASOF LEFT JOIN + a datediff gate (the as-of "
+        "match is the closest eligible row, so nulling it IS 'no "
+        "match within tolerance')",
+    tags=("joins", "asof", "window", "tolerance"),
+)
+def q_asof_tolerance_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        _ticker_expr("l_suppkey").alias("stock_ticker"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    sp = stock_prices(spark, sf_dir)
+    joined = asof_join(
+        li,
+        sp,
+        on="stock_ticker",
+        left_time="ship_date",
+        right_time="stock_date",
+        value_cols=["stock_date", "stock_close"],
+        tolerance_seconds=3 * 86400,
+    )
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "stock_ticker",
+        "ship_date",
+        F.col("stock_date").alias("px_date"),
+        F.col("stock_close").alias("px_close"),
+    )
+
+
+@register(
     "join_asof_price_at_ship",
     f"""
 WITH {STOCK_PRICES_CTE.strip()},

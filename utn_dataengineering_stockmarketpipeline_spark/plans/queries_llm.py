@@ -1123,6 +1123,89 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_split_assignment",
+    f"""
+SELECT doc_id, lang, source,
+       CASE
+         WHEN u < {100 * (1 << 32)} THEN 'test'
+         WHEN u < {200 * (1 << 32)} THEN 'val'
+         ELSE 'train'
+       END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           * 1000 AS u
+  FROM documents)
+""",
+    doc="deterministic train/val/test split (10/10/80 permille bands of "
+        "the md5-uniform id hash): hash-based so a document keeps its "
+        "split across dataset releases — the property that prevents "
+        "silent eval contamination as the corpus grows. Map-only, zero "
+        "shuffle, exact integer band compare (operators/text."
+        "train_val_test_split)",
+    tags=("llm", "curation", "sampling"),
+)
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.train_val_test_split(docs).select(
+        "doc_id", "lang", "source", "split"
+    )
+
+
+@register(
+    "llm_vocabulary",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (
+  SELECT term, COUNT(*) AS count FROM tok WHERE term != '' GROUP BY term)
+SELECT term,
+       CAST(ROW_NUMBER() OVER (ORDER BY count DESC, term) AS BIGINT)
+         AS term_id,
+       count
+FROM counts
+""",
+    doc="frequency-ranked vocabulary (term, dense term_id, count) — "
+        "tokenizer/embedding-table construction. The ranking runs via "
+        "windows.exact_row_number: broadcast count-offsets + a window "
+        "PARTITIONED by count, so no single-partition sort even at a "
+        "hundreds-of-millions-term vocabulary (the offset collect "
+        "scales with distinct COUNT VALUES — Zipf-small); the oracle "
+        "keeps DuckDB's global ROW_NUMBER as the independent form",
+    tags=("llm", "text", "vocabulary"),
+)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_unigram_logprob",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+tot AS (SELECT COUNT(*) AS total FROM tok2)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
+FROM tok2 JOIN counts USING (term) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    doc="unigram-LM document scoring (mean negative log probability of "
+        "each token under the corpus unigram distribution) — the "
+        "model-based quality-filter class (CCNet/KenLM perplexity "
+        "filtering with the simplest exact LM). High = corpus-rare "
+        "gibberish, low = boilerplate. Three shuffles: unigram table, "
+        "token->count join, per-doc average; at 100 TB the pruned "
+        "unigram table is Zipf-small and broadcastable "
+        "(operators/text.unigram_logprob)",
+    tags=("llm", "text", "quality", "lm"),
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "llm_source_mix",
     """
 WITH m AS (SELECT source, lang, COUNT(*) AS n_docs,

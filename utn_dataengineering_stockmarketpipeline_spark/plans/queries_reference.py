@@ -984,6 +984,73 @@ def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_stochastic_14",
+    with_reference_ctes("""
+, base AS (
+  SELECT stock_ticker, stock_date,
+         ROUND(100 * (stock_close - MIN(stock_low) OVER w14)
+               / NULLIF(MAX(stock_high) OVER w14
+                        - MIN(stock_low) OVER w14, 0), 6) AS pct_k,
+         ROW_NUMBER() OVER wseq AS rn
+  FROM stock_prices
+  WINDOW w14 AS (PARTITION BY stock_ticker ORDER BY stock_date
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+         wseq AS (PARTITION BY stock_ticker ORDER BY stock_date)),
+k AS (SELECT * FROM base WHERE rn >= 14)
+SELECT stock_ticker, stock_date, pct_k,
+       CASE WHEN COUNT(*) OVER w3 >= 3
+            THEN ROUND(AVG(pct_k) OVER w3, 6) END AS pct_d
+FROM k
+WINDOW w3 AS (PARTITION BY stock_ticker ORDER BY stock_date
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""),
+    doc="14-bar stochastic oscillator (%K = position of the close in "
+        "the 14-bar high-low range, %D = 3-bar SMA of %K) — the "
+        "min/max-frame indicator class complementing the "
+        "sum-frame (Bollinger) and recurrence (EMA/RSI) classes. "
+        "MIN/MAX window picks are EXACT (no accumulation-order float "
+        "hazard), so plain double arithmetic matches across engines; "
+        "%K rounds to 6 before the %D average so both engines average "
+        "identical inputs. Incomplete 14-bar frames drop (rn >= 14); "
+        "%D nulls until 3 %K bars exist; a flat 14-bar range nulls %K "
+        "(NULLIF guard). Both windows share one ticker shuffle.",
+    tags=("reference", "indicator", "window"),
+)
+def q_stochastic_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w14 = (
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(-13, 0)
+    )
+    wseq = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    rng = F.max("stock_high").over(w14) - F.min("stock_low").over(w14)
+    pct_k = F.round(
+        100
+        * (F.col("stock_close") - F.min("stock_low").over(w14))
+        / F.when(rng != 0, rng),
+        6,
+    )
+    base = sp.select(
+        "stock_ticker",
+        "stock_date",
+        pct_k.alias("pct_k"),
+        F.row_number().over(wseq).alias("rn"),
+    ).filter(F.col("rn") >= 14)
+    w3 = (
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(-2, 0)
+    )
+    pct_d = F.when(
+        F.count(F.lit(1)).over(w3) >= 3, F.round(F.avg("pct_k").over(w3), 6)
+    )
+    return base.select(
+        "stock_ticker", "stock_date", "pct_k", pct_d.alias("pct_d")
+    )
+
+
+@register(
     "ref_ema20_chunked",
     with_reference_ctes("""
 , b AS (
