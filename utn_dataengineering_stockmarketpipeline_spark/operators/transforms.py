@@ -94,3 +94,55 @@ def add_rolling_mean(
         mean.alias("stock_30daymean"),
         (F.col("stock_close") - mean).alias("stock_dif_mean"),
     )
+
+
+# -- incremental aggregation state (algebraic monoid merge) ------------------
+
+#: Grouping keys of the monthly OHLC rollup state.
+OHLC_KEYS = ("stock_ticker", "stock_year", "stock_month")
+
+
+def ohlc_state(bars: DataFrame) -> DataFrame:
+    """Monthly OHLC rollup as MERGEABLE STATE — the partial-aggregate
+    form incremental view maintenance needs: every column is an
+    algebraic (commutative-monoid) statistic, so two states built from
+    disjoint bar sets merge into exactly the state of their union
+    (:func:`ohlc_merge`), without rescanning history.
+
+    open/close are NOT plain firsts: they carry their anchor dates
+    (``first_date``/``last_date``) so a merge can decide which side's
+    open/close survives — the trick that makes the non-commutative
+    "first/last by time" reductions mergeable (min_by/max_by over the
+    carried anchor). One partial-aggregated shuffle; same plan shape as
+    the plain monthly rollup.
+    """
+    return bars.groupBy(*OHLC_KEYS).agg(
+        F.min("stock_date").alias("first_date"),
+        F.min_by("stock_open", "stock_date").alias("month_open"),
+        F.max("stock_high").alias("month_high"),
+        F.min("stock_low").alias("month_low"),
+        F.max("stock_date").alias("last_date"),
+        F.max_by("stock_close", "stock_date").alias("month_close"),
+        F.sum("stock_volume").alias("month_volume"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+def ohlc_merge(state_a: DataFrame, state_b: DataFrame) -> DataFrame:
+    """Merge two OHLC states over DISJOINT bar sets (the nightly
+    incremental load: yesterday's materialized state + today's batch
+    state). Pure monoid algebra — min/max/sum combine directly,
+    open/close resolve by their carried anchor dates — so the merge
+    cost scales with |touched months|, never with history length.
+    """
+    both = state_a.unionByName(state_b)
+    return both.groupBy(*OHLC_KEYS).agg(
+        F.min("first_date").alias("first_date"),
+        F.min_by("month_open", "first_date").alias("month_open"),
+        F.max("month_high").alias("month_high"),
+        F.min("month_low").alias("month_low"),
+        F.max("last_date").alias("last_date"),
+        F.max_by("month_close", "last_date").alias("month_close"),
+        F.sum("month_volume").alias("month_volume"),
+        F.sum("n_days").alias("n_days"),
+    )

@@ -433,6 +433,45 @@ def q_ohlc_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_ohlc_incremental",
+    with_reference_ctes("""
+SELECT stock_ticker,
+       stock_year,
+       stock_month,
+       MIN(stock_date)                  AS first_date,
+       arg_min(stock_open, stock_date)  AS month_open,
+       MAX(stock_high)                  AS month_high,
+       MIN(stock_low)                   AS month_low,
+       MAX(stock_date)                  AS last_date,
+       arg_max(stock_close, stock_date) AS month_close,
+       CAST(SUM(stock_volume) AS BIGINT) AS month_volume,
+       COUNT(*)                         AS n_days
+FROM stock_prices
+GROUP BY stock_ticker, stock_year, stock_month
+"""),
+    doc="INCREMENTAL monthly OHLC via mergeable aggregate state "
+        "(operators/transforms.ohlc_state/ohlc_merge): the engine "
+        "builds state from the even-day bars, a 'nightly batch' state "
+        "from the odd-day bars, and MERGES the two — open/close "
+        "resolve by carried anchor dates (min_by/max_by), making the "
+        "non-commutative first/last-by-time reductions monoid-"
+        "mergeable. The oracle aggregates ALL bars directly, so a "
+        "green row proves merge(state(A), state(B)) == state(A ∪ B) — "
+        "the identity incremental view maintenance rests on. At 100 TB "
+        "the nightly merge touches |updated months| rows, never "
+        "history",
+    tags=("reference", "aggregate", "incremental", "state"),
+)
+def q_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.transforms import ohlc_merge, ohlc_state
+
+    sp = stock_prices(spark, sf_dir)
+    even = sp.filter(F.dayofmonth("stock_date") % 2 == 0)
+    odd = sp.filter(F.dayofmonth("stock_date") % 2 == 1)
+    return ohlc_merge(ohlc_state(even), ohlc_state(odd))
+
+
+@register(
     "ref_vwap_monthly",
     with_reference_ctes("""
 SELECT stock_ticker,
@@ -981,6 +1020,87 @@ def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sp = stock_prices(spark, sf_dir)
     return ema(sp, "stock_ticker", "stock_date", "stock_close", span=20)
+
+
+@register(
+    "ref_macd",
+    with_reference_ctes("""
+, b AS MATERIALIZED (
+  SELECT stock_ticker, stock_date, stock_close,
+         ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                            ORDER BY stock_date) AS rn
+  FROM stock_prices),
+m AS MATERIALIZED (
+  SELECT e12.stock_ticker, e12.rn, e12.stock_date, e12.e - e26.e AS macd
+  FROM (
+    WITH RECURSIVE r(stock_ticker, rn, stock_date, e) AS (
+      SELECT stock_ticker, rn, stock_date, stock_close FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.stock_ticker, b.rn, b.stock_date,
+             (2.0 / 13.0) * b.stock_close + (1.0 - 2.0 / 13.0) * r.e
+      FROM b JOIN r ON b.stock_ticker = r.stock_ticker AND b.rn = r.rn + 1)
+    SELECT * FROM r) e12
+  JOIN (
+    WITH RECURSIVE r(stock_ticker, rn, stock_date, e) AS (
+      SELECT stock_ticker, rn, stock_date, stock_close FROM b WHERE rn = 1
+      UNION ALL
+      SELECT b.stock_ticker, b.rn, b.stock_date,
+             (2.0 / 27.0) * b.stock_close + (1.0 - 2.0 / 27.0) * r.e
+      FROM b JOIN r ON b.stock_ticker = r.stock_ticker AND b.rn = r.rn + 1)
+    SELECT * FROM r) e26
+    ON e12.stock_ticker = e26.stock_ticker AND e12.rn = e26.rn)
+SELECT stock_ticker, stock_date, macd, s AS signal, macd - s AS histogram
+FROM (
+  WITH RECURSIVE sr(stock_ticker, rn, stock_date, macd, s) AS (
+    SELECT stock_ticker, rn, stock_date, macd, macd FROM m WHERE rn = 1
+    UNION ALL
+    SELECT m.stock_ticker, m.rn, m.stock_date, m.macd,
+           (2.0 / 10.0) * m.macd + (1.0 - 2.0 / 10.0) * sr.s
+    FROM m JOIN sr ON m.stock_ticker = sr.stock_ticker
+                  AND m.rn = sr.rn + 1)
+  SELECT * FROM sr)
+"""),
+    doc="MACD(12,26,9): COMPOSED ordered recurrences — two EMAs of the "
+        "close, their difference, then an EMA of that derived series "
+        "(the signal), histogram = macd - signal. Exercises the "
+        "recurrence operator as a composable building block: the "
+        "signal EMA consumes an engine-computed series, not a stored "
+        "column. Every stage is the exact (mul, mul, add) float op "
+        "order on both engines (ema() and the three recursive CTEs), "
+        "so values match bit-for-bit with no rounding. Three key "
+        "shuffles + two (ticker, date) joins — all on the same key, so "
+        "AQE coalesces the exchange reuse. Oracle CTEs are MATERIALIZED "
+        "— without the hint DuckDB re-evaluates the nested EMA "
+        "recursions on every signal-recursion step (O(n^2) blowup)",
+    tags=("reference", "indicator", "stateful", "applyInPandas"),
+)
+def q_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import ema
+
+    sp = stock_prices(spark, sf_dir)
+    e12 = ema(
+        sp, "stock_ticker", "stock_date", "stock_close", span=12,
+        out_col="e12",
+    ).select("stock_ticker", "stock_date", "e12")
+    e26 = ema(
+        sp, "stock_ticker", "stock_date", "stock_close", span=26,
+        out_col="e26",
+    ).select("stock_ticker", "stock_date", "e26")
+    m = e12.join(e26, ["stock_ticker", "stock_date"]).select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("e12") - F.col("e26")).alias("macd"),
+    )
+    sig = ema(
+        m, "stock_ticker", "stock_date", "macd", span=9, out_col="signal"
+    ).select("stock_ticker", "stock_date", "signal")
+    return m.join(sig, ["stock_ticker", "stock_date"]).select(
+        "stock_ticker",
+        "stock_date",
+        "macd",
+        "signal",
+        (F.col("macd") - F.col("signal")).alias("histogram"),
+    )
 
 
 @register(
