@@ -78,6 +78,18 @@ BENCH_QUERIES = (
     "llm_length_deciles",
     "join_interp_calendar",
     "join_asof_nearest_price",
+    # round-7 additions: segmented-scan EMA, composed recurrences,
+    # min/max-frame indicator, incremental state merge, staleness-bound
+    # as-of, split assignment, distributed vocabulary ranking, unigram
+    # LM scoring
+    "ref_ema20_chunked",
+    "ref_macd",
+    "ref_stochastic_14",
+    "ref_ohlc_incremental",
+    "join_asof_tolerance_price",
+    "llm_split_assignment",
+    "llm_vocabulary",
+    "llm_unigram_logprob",
 )
 
 
@@ -286,7 +298,54 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     _scd2_scale(spark, factor, out)
     _streaming_scale(spark, sf_dir, factor, out)
     _interval_scale(spark, sf_dir, factor, out)
+    _skew_join_scale(spark, factor, out)
     return out
+
+
+def _skew_join_scale(spark, factor: int, out: dict,
+                     base_rows: int = 1_000_000) -> None:
+    """Hot-key join at ×factor volume, plain vs salted: the big side
+    puts 30% of all rows on ONE key (the hot-ticker / boilerplate-
+    bucket shape). Broadcast is disabled for the measurement — at
+    100 TB the dimension can exceed the broadcast threshold, and a
+    broadcast join would sidestep the skew being demonstrated. The
+    salted plan splits the hot key across n_salts tasks
+    (operators/skew.salted_join); AQE's own skew splitting is active
+    in both runs, so the delta shows what explicit salting adds on
+    top of AQE. Measured honestly: AQE's sort-merge skew split covers
+    this join shape on its own (salting costs ~25% extra) — the
+    salted operators earn their keep on the shapes AQE cannot split:
+    skewed AGGREGATIONS (salted_distinct_count, exercised by
+    ana_distinct_users_salted) and non-SMJ join paths."""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import salted_join
+
+    n = base_rows * factor
+    big = spark.range(n).select(
+        F.when(F.col("id") % 10 < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        .alias("k"),
+        F.col("id").alias("v"),
+    ).persist()
+    small = spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+    ).persist()
+    big.count(), small.count()
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, joined in (
+            (f"skew_join_plain_{factor}x", big.join(small, "k")),
+            (f"skew_join_salted_{factor}x", salted_join(big, small, "k")),
+        ):
+            t0 = time.perf_counter()
+            rows = joined.agg(F.count(F.lit(1))).first()[0]
+            out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                          "rows": rows}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        big.unpersist(), small.unpersist()
 
 
 def _interval_scale(spark, sf_dir: str, factor: int, out: dict) -> None:

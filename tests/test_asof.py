@@ -179,3 +179,45 @@ def test_interval_overlap_join_dedup_and_bounds(spark):
         interval_overlap_join(
             left, left, "llo", "lhi", "llo", "lhi", bucket_width=8
         )
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """tolerance_seconds bounds match staleness: exactly-at-bound
+    matches survive, beyond-bound matches null out (BOTH value columns
+    together — partial survival would mix right rows), and rows are
+    never dropped."""
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", value_cols=["v"],
+        tolerance_seconds=2 * 86400,
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    # row 2: same-day bar (lag 0) ok; row 3: 01-05 bar is 2 days old —
+    # exactly at the bound, kept; row 4: B's bar is 3 days old → null
+    assert got == {1: None, 2: 20.0, 3: 20.0, 4: None, 5: None}
+    assert out.count() == left.count()
+
+
+def test_asof_tolerance_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right.withColumnRenamed("t", "rt"),
+        on="k", left_time="t", right_time="rt", value_cols=["v"],
+        direction="forward", tolerance_seconds=1 * 86400,
+    )
+    got = {r["row_id"]: r["v"] for r in out.collect()}
+    # forward: row 1 (01-01) → next bar 01-02, 1 day ahead, kept;
+    # row 3 (01-07) → next bar 01-09 is 2 days ahead → null
+    assert got == {1: 10.0, 2: 20.0, 3: None, 4: None, 5: None}
+
+
+def test_asof_reserved_rt_name_raises(spark):
+    import pytest
+
+    left, right = _frames(spark)
+    with pytest.raises(ValueError, match="__rt"):
+        asof_join(
+            left, right.withColumnRenamed("v", "__rt"),
+            on="k", left_time="t", right_time="t", value_cols=["__rt"],
+        )

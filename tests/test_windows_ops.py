@@ -190,3 +190,71 @@ def test_ema_chunked_nonstring_and_null_keys(spark):
     want = {(r.k, r.t): r.ema for r in ema(df, "k", "t", "v", span=4).collect()}
     for r in got:
         assert r.ema == pytest.approx(want[(r.k, r.t)], rel=1e-12)
+
+
+def test_ohlc_merge_equals_direct_state(spark):
+    """merge(state(A), state(B)) must equal state(A ∪ B) for disjoint
+    bar sets — including a month present on only one side and open/
+    close resolution across the split boundary."""
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.transforms import (
+        ohlc_merge,
+        ohlc_state,
+    )
+
+    rows = []
+    for day, (o, h, l, c, v) in {
+        1: (10.0, 12.0, 9.0, 11.0, 100),
+        2: (11.0, 15.0, 10.0, 14.0, 200),
+        15: (14.0, 14.5, 13.0, 13.5, 50),
+        28: (13.5, 16.0, 13.0, 15.5, 300),
+    }.items():
+        rows.append(("T", 2024, 1, dt.date(2024, 1, day), o, h, l, c, v))
+    # February bars land entirely in one split half
+    rows.append(("T", 2024, 2, dt.date(2024, 2, 2), 15.0, 15.2, 14.8, 15.1, 70))
+    df = spark.createDataFrame(
+        rows,
+        "stock_ticker string, stock_year int, stock_month int, "
+        "stock_date date, stock_open double, stock_high double, "
+        "stock_low double, stock_close double, stock_volume long",
+    )
+    import pyspark.sql.functions as SF
+
+    a = df.filter(SF.dayofmonth("stock_date") <= 14)
+    b = df.filter(SF.dayofmonth("stock_date") > 14)
+    merged = {
+        tuple(r[k] for k in ("stock_ticker", "stock_year", "stock_month")): r
+        for r in ohlc_merge(ohlc_state(a), ohlc_state(b)).collect()
+    }
+    direct = {
+        tuple(r[k] for k in ("stock_ticker", "stock_year", "stock_month")): r
+        for r in ohlc_state(df).collect()
+    }
+    assert set(merged) == set(direct)
+    for k in direct:
+        assert merged[k].asDict() == direct[k].asDict(), k
+
+
+def test_train_val_test_split_stable_and_complete(spark):
+    """Split assignment is a pure function of the id: the same id gets
+    the same split in any corpus subset, every row gets exactly one
+    split, and all three splits are nonempty at n=2000."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        train_val_test_split,
+    )
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    full = {r["doc_id"]: r["split"]
+            for r in train_val_test_split(df, "doc_id").collect()}
+    half = {r["doc_id"]: r["split"]
+            for r in train_val_test_split(
+                df.filter(F.col("doc_id") % 2 == 0), "doc_id").collect()}
+    assert all(full[k] == v for k, v in half.items())
+    from collections import Counter
+
+    c = Counter(full.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] > 0 and c["test"] > 0
+    # ~80/10/10 within loose tolerance
+    assert 0.7 < c["train"] / 2000 < 0.9
