@@ -64,8 +64,9 @@ def _load_all() -> None:
 #      rows proving the change: ref_ema20_chunked (new registration,
 #      segmented-scan EMA), llm_length_deciles (single-partition NTILE
 #      replaced by broadcast-offset exact_ntile), the three
-#      connected-components dependents (adaptive pointer jumping), and
-#      the two LSH rows converted from rows-only to oracle-backed,
+#      connected-components dependents (adaptive pointer jumping), the
+#      two LSH rows and the three multimodal plans converted from
+#      rows-only to oracle-backed,
 #   3. (pin) new round-7 registrations slot in here,
 #   4. the r5-green set — fresher first out, so the window tail
 #      re-proves as many r5 rows as fit after blocks 1-3,
@@ -94,6 +95,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_curation_pipeline",
     "llm_embedding_near_dup_lsh",
     "llm_ann_lsh_topk",
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "llm_multimodal_features",
     # -- block 4: r5-green (window tail refreshes what fits) --
     "ref_ema20",
     "ref_scd2_markets",
@@ -120,9 +124,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_lang_id",
     "llm_doc_fingerprint",
     "llm_winnowing_fingerprints",
-    "llm_resize_plan",
-    "llm_frame_sample_plan",
-    "llm_multimodal_features",
     "join_asof_price_at_ship",
     "join_range_price_bands",
     "join_asof_next_price",
@@ -191,7 +192,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
 
 # New (unlisted) queries slot in after the must-verify head: the
 # r2-stale block + this round's behavior changes.
-_WINDOW_PIN = 21
+_WINDOW_PIN = 24
 
 
 def _apply_driver_order() -> None:

@@ -651,9 +651,25 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_multimodal_features",
-    None,  # mapInPandas (Arrow-batched Python) — not SQL-expressible
+    """
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       substr(sha256(text), 1, 12) AS sha_prefix,
+       """ + ",\n       ".join(
+        f"CAST(('0x' || substr(md5(text), {8 * i + 1}, 8))::BIGINT AS DOUBLE)"
+        f" / 4294967296.0 AS feat_{i}"
+        for i in range(4)
+    ) + """
+FROM documents
+""",
     doc="multimodal plumbing: binary payload column → Arrow-batched "
-        "feature extraction (decode step stubbed; schema/batching real)",
+        "feature extraction (decode step stubbed as deterministic "
+        "MD5-derived features; schema/batching real). Oracle replays "
+        "the whole Python path in SQL — the payload IS the UTF-8 text "
+        "bytes, so md5/sha256 over the VARCHAR hash identical bytes, "
+        "and the feature ints divide by 2^32 exactly in double",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,10 +682,16 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_frame_sample_plan",
-    None,  # depends on the synthetic MULTIMODAL derivation; JVM-side but
-    # kept rows-only with the multimodal family
+    """
+SELECT doc_id AS asset_id,
+       unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000))
+         AS frame_ts_ms
+FROM documents WHERE doc_id % 3 = 2
+""",
     doc="video frame-sampling plan: metadata-only sequence+explode, no "
-        "payload decode, zero shuffle",
+        "payload decode, zero shuffle — oracle replays the synthetic "
+        "duration derivation (duration_ms = n_chars*10) and the "
+        "inclusive frame series in SQL",
     tags=("llm", "multimodal"),
 )
 def q_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,12 +929,24 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_resize_plan",
-    None,  # depends on the synthetic MULTIMODAL derivation; rows-only
-    # with the multimodal family (decode stays stubbed, geometry is real)
+    """
+SELECT doc_id AS asset_id,
+       CAST(round((n_chars % 640) * scale) AS INT) AS target_width,
+       CAST(round((n_chars % 480) * scale) AS INT) AS target_height,
+       scale < 1.0 AS needs_resize
+FROM (
+  SELECT doc_id, n_chars,
+         least(224.0 / (n_chars % 640), 224.0 / (n_chars % 480), 1.0)
+           AS scale
+  FROM documents WHERE doc_id % 3 = 0)
+""",
     doc="image resize planning: target geometry is pure JVM metadata "
         "math (aspect-preserving least-scale), only rows that actually "
         "shrink proceed to the decode stage — payload bytes never "
-        "materialize for skipped rows (operators/multimodal.resize_plan)",
+        "materialize for skipped rows (operators/multimodal.resize_plan). "
+        "Oracle replays the synthetic-asset derivation in SQL; the "
+        "degenerate zero-dimension arm is inert on both engines because "
+        "least() skips its null/inf and the 1.0 cap bounds scale",
     tags=("llm", "multimodal"),
 )
 def q_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
