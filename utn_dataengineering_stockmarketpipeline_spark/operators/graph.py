@@ -1,0 +1,95 @@
+"""Iterative graph analytics (PageRank) — the fixed-point iteration
+class beyond connected components (dedup.duplicate_clusters).
+
+PageRank here is the Pregel shape expressed in DataFrames: one shuffle
+per iteration (contributions grouped by destination), the rank vector
+joined back to the edge list. Spark's native GraphX/Pregel is
+JVM-Scala-only; the DataFrame formulation keeps the plan visible to
+Catalyst/AQE and scales the same way (edges partitioned by src, ranks
+by node).
+
+Determinism contract: a FIXED iteration count, no convergence RNG, so
+any engine that runs the same algebra reproduces the values up to float
+summation order (the catalog oracle unrolls the same 10 iterations in
+SQL and compares after a ROUND).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Iteration bound: PageRank error contracts by the damping factor per
+#: round, so 10 rounds ≈ 0.85^10 ≈ 0.2 residual of the start gap —
+#: plenty for ranking/curation uses; raise for scientific use.
+DEFAULT_ITERS = 10
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = DEFAULT_ITERS,
+             damping: float = 0.85,
+             checkpoint_every: int = 5) -> DataFrame:
+    """PageRank over a directed edge list → (node, rank).
+
+    Simple-leak variant: dangling nodes (no out-edges) absorb rank
+    without redistributing it — the common simplification when ranks
+    are used ordinally (dedup survivor choice, crawl prioritization).
+
+    Plan per iteration: edges ⋈ ranks on src (one hash shuffle —
+    edges re-shuffle each round; at 100 TB pre-partition the edge list
+    by src ONCE and the join reuses that layout), contributions
+    partial-aggregate by dst, a left join pulls isolated/no-inbound
+    nodes back in at the teleport floor.
+
+    Unlike duplicate_clusters (whose CONVERGENCE TEST needs an action
+    per round), the iteration count here is fixed — so rounds chain
+    lazily into ONE job and Catalyst plans the whole 10-round DAG
+    at once. ``localCheckpoint`` fires only every
+    ``checkpoint_every`` rounds to bound plan depth/compile time
+    (measured r7 at sf0.1: every-round checkpointing 17.9 s → 10.4 s
+    warm with checkpoint_every=5; the remaining cost is ~30
+    fixed-overhead stages, inherent to 10 chained shuffle rounds on a
+    16k-node graph — at real scale per-stage work dominates that
+    overhead).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(None).cast("double"))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # weighted edges: contribution fraction per edge is rank-independent
+    we = e.join(outdeg, "src").persist()
+    we.count()
+
+    teleport = (1.0 - damping) / n
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for it in range(iters):
+        contrib = (
+            we.join(ranks, we["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    # eager final checkpoint so the persisted inputs can release NOW —
+    # returning a lazy tail over unpersisted inputs would recompute them
+    ranks = ranks.localCheckpoint()
+    nodes.unpersist()
+    we.unpersist()
+    return ranks

@@ -1229,3 +1229,73 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("purchase_id"), "user_id", "touch_type"
         )
     )
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    """Unrolled 10-iteration PageRank in DuckDB SQL — recursive CTEs
+    cannot aggregate in the recursive term, so the fixed iteration
+    count unrolls into chained CTEs (generated, not hand-written).
+    Float parity: (1.0 - 0.85) is written as the expression, not the
+    0.15 literal (they are DIFFERENT doubles), matching the Python
+    teleport computation; summation-order drift stays ~1e-17 absolute,
+    vastly inside the ROUND 9."""
+    ctes = ["""edges AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS MATERIALIZED (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+  SELECT n2.node,
+         (1.0 - 0.85) / nn.n + 0.85 * COALESCE(c.inflow, 0.0) AS rank
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst, SUM(r.rank / o.outdeg) AS inflow
+    FROM edges e
+    JOIN r{k - 1} r ON e.src = r.node
+    JOIN outdeg o ON o.src = e.src
+    GROUP BY e.dst) c ON c.dst = n2.node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(rank, 9) AS rank FROM r{iters}"
+    )
+
+
+@register(
+    "ana_pagerank_suppliers",
+    _pagerank_oracle(10),
+    doc="PageRank over the customer->supplier order graph (who supplies "
+        "the best-connected buyers) — the ITERATIVE FIXED-POINT class "
+        "beyond connected components: 10 Pregel-style rounds, one "
+        "contribution shuffle per round, teleport floor pulls in "
+        "no-inbound nodes (operators/graph.pagerank). Oracle unrolls "
+        "the identical 10 iterations as chained SQL CTEs (DuckDB's "
+        "recursive terms cannot aggregate); both engines ROUND to 9 "
+        "after the final round",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=10)
+    return pr.select("node", F.round("rank", 9).alias("rank"))
