@@ -418,6 +418,55 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75,
+                round_to: int = 6) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the retrieval-scoring step of a search/RAG pipeline.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
+    always positive). Returns ``(id, score)`` for documents matching
+    at least one query term.
+
+    Plan: doc lengths are a map-side projection; the token explode
+    FILTERS to the query terms before any shuffle (the term list is a
+    literal IN — the scan output is |matches|, not |tokens|); df per
+    term and the corpus (N, avgdl) aggregates are tiny and broadcast
+    back; one (id, term) shuffle for tf and one (id) shuffle for the
+    final sum. Scale: everything after the filter is proportional to
+    documents CONTAINING query terms.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col), F.explode(toks).alias("term"),
+        F.size(toks).alias("dl"),
+    ).filter(F.col("term").isin(*query_terms))
+    corpus = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    tf = base.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    part = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(F.col(id_col), part.alias("part"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("part"), round_to).alias("score"))
+    )
+
+
 def sample_k_per_stratum(df: DataFrame, k: int, stratum_col: str = "lang",
                          id_col: str = "doc_id") -> DataFrame:
     """Deterministic EXACT-k sample per stratum: rank rows inside each

@@ -1240,6 +1240,45 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_bm25_scores",
+    """
+WITH base AS (
+  SELECT doc_id, t.term, len(string_split(text, ' ')) AS dl
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term IN ('window', 'merge', 'spark')),
+corpus AS (
+  SELECT COUNT(*) AS n_docs,
+         AVG(len(string_split(text, ' '))) AS avgdl
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM base GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+SELECT doc_id,
+       round(SUM(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * (1.2 + 1.0))
+           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+       ), 6) AS score
+FROM tf JOIN dfreq USING (term) CROSS JOIN corpus
+GROUP BY doc_id
+""",
+    doc="Okapi BM25 relevance against a fixed query term set (Lucene "
+        "idf form) — the retrieval-scoring step of a search/RAG "
+        "pipeline (operators/text.bm25_scores). The token explode "
+        "filters to query terms BEFORE any shuffle, so post-filter "
+        "work scales with matching documents, not corpus tokens; df "
+        "and corpus stats broadcast back",
+    tags=("llm", "text", "retrieval"),
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_scores(
+        load_table(spark, sf_dir, "documents"),
+        ["window", "merge", "spark"],
+    )
+
+
+@register(
     "llm_source_mix",
     """
 WITH m AS (SELECT source, lang, COUNT(*) AS n_docs,

@@ -260,6 +260,49 @@ def q_stream_purchase_error_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_enrich",
+    """
+SELECT n.n_name AS nation, e.event_type, COUNT(*) AS n_events
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name, e.event_type
+""",
+    doc="STREAM-STATIC join drain (the third Structured Streaming join "
+        "shape next to stream-stream and stateful): the event stream "
+        "enriches against a static dimension loaded per micro-batch — "
+        "Spark broadcasts the dim side, so the stream never shuffles "
+        "for the join; counts then aggregate in complete mode. Must "
+        "equal the batch join+aggregate, which is the oracle",
+    tags=("streaming", "join", "static"),
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.parquet import load_table
+
+    name = "stream_enrich_" + uuid.uuid4().hex[:12]
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    with _streaming_events_conf(spark):
+        raw = _events_stream(spark, sf_dir)
+        enriched = raw.withColumn(
+            "n_nationkey", (F.col("user_id") % 25).cast("long")
+        ).join(F.broadcast(nation), "n_nationkey")
+        agg = enriched.groupBy("nation", "event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+        out.count()
+    return out
+
+
+@register(
     "stream_stateful_totals",
     """
 SELECT CAST(user_id % 8 AS VARCHAR) AS group_key,
