@@ -260,6 +260,33 @@ def test_length_deciles_no_single_partition_window(spark):
     assert "BroadcastHashJoin" in plan  # offsets join back broadcast
 
 
+def test_round7_queries_plan_shapes(spark):
+    """Round-7 additions keep the 100 TB posture: BM25 filters tokens
+    before any shuffle, the new analytics lower to equi-joins (no
+    nested loops), and the as-of tolerance variant stays the
+    join-free union-window plan."""
+    for name in (
+        "llm_vocabulary",
+        "ref_ohlc_incremental",
+        "ref_stochastic_14",
+        "llm_split_assignment",
+    ):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # bm25/unigram join a BROADCAST 1-row stats aggregate (the allowed
+    # scalar cross-join pattern); an unbroadcast CartesianProduct would
+    # still be a regression
+    for name in ("llm_bm25_scores", "llm_unigram_logprob"):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+
+    plan = plan_of(CATALOG["join_asof_tolerance_price"].build(spark, SF_SMOKE))
+    assert "Join" not in plan  # union-window form, not a join operator
+    assert plan.count("Window") >= 1
+
+
 def test_incremental_candidates_cross_side_only(spark):
     """The incremental LSH path must pair batch docs against corpus docs
     ONLY — near-identical corpus docs must not appear as pairs, and a
