@@ -66,3 +66,34 @@ def test_stream_drain_matches_batch_for_both_units(spark, nanos_dir):
         ).collect()
     )
     assert us_rows == batch
+
+
+def test_ts_unit_cache_invalidates_on_regeneration(tmp_path):
+    """The unit cache keys on (path, mtime, size): regenerating
+    events.parquet in place with the OTHER timestamp unit must re-probe
+    instead of serving the stale unit (r7 ADVICE) — a stale 'ns' answer
+    against a micros file shifts every streamed timestamp 1000x."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from utn_dataengineering_stockmarketpipeline_spark.plans.queries_streaming import (
+        _events_ts_unit,
+    )
+
+    path = tmp_path / "events.parquet"
+
+    def write(unit):
+        t = pa.table({"ts": pa.array([1_700_000_000_000], pa.timestamp(unit))})
+        pq.write_table(t, path, coerce_timestamps=None,
+                       version="2.6", store_schema=True)
+
+    write("us")
+    assert _events_ts_unit(str(tmp_path)) == "us"
+    # ensure a distinct mtime even on coarse-resolution filesystems
+    time.sleep(0.01)
+    write("ns")
+    os.utime(path)
+    assert _events_ts_unit(str(tmp_path)) == "ns"
