@@ -486,48 +486,76 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     corpus the overwhelming majority of documents have no near-dup
     edge, so the per-round join runs over only the edge-touched minority
     and the singleton majority unions in once at the end.
+
+    The iteration's shuffle width is scoped to the touched-node count
+    (~50k labels/partition, capped at the session setting): the rounds
+    move only a (long, long) label vector, and running them at a full
+    session partition count makes empty-task overhead the dominant
+    cost on small graphs. Upstream pair generation materializes before
+    the scope, so LSH banding keeps the session's parallelism.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     touched = edges.select(F.col("src").alias("id")).distinct()
+    # labels materialize HERE — upstream pair generation (LSH etc.) runs
+    # at the session's partitioning; only the iteration below is scoped.
     labels = touched.select("id", F.col("id").alias("label")).localCheckpoint()
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = prev_sum is None  # no edges at all: everything a singleton
-    for it in range(max_iters):
-        if converged:
-            break
-        prop = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        merged = labels.join(prop, labels["id"] == prop["src"], "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", "label")
-            ).alias("label"),
-        )
-        if it >= JUMP_START_ROUND:
-            # pointer jump: adopt the label's own label. Labels are
-            # always ids of touched nodes (min over existing labels), so
-            # the inner self-join is total; labels only decrease,
-            # preserving the strictly-decreasing-sum convergence test.
-            parent = merged.select(
-                F.col("id").alias("p_id"), F.col("label").alias("p_label")
+
+    # The per-round joins move only the (long, long) label vector; at
+    # the session's partition count most tasks are empty and per-round
+    # fixed overhead dominates (this is the cost the r6 verdict saw).
+    # Scope the iteration's shuffle width to the touched-node count
+    # (~50k labels/partition), never above the session setting — at
+    # real scale the need exceeds the session value and this is a no-op.
+    spark = pairs.sparkSession
+    part_key = "spark.sql.shuffle.partitions"
+    session_parts = int(spark.conf.get(part_key))
+    n_touched = labels.count()
+    loop_parts = max(4, min(session_parts, -(-n_touched // 50_000)))
+    spark.conf.set(part_key, str(loop_parts))
+    try:
+        for it in range(max_iters):
+            if converged:
+                break
+            prop = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-            labels = (
-                merged.join(parent, merged["label"] == parent["p_id"])
-                .select("id", F.col("p_label").alias("label"))
-                .localCheckpoint()
+            merged = labels.join(
+                prop, labels["id"] == prop["src"], "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
             )
-        else:
-            labels = merged.localCheckpoint()
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:  # labels only decrease; fixpoint reached
-            converged = True
-        prev_sum = cur_sum
+            if it >= JUMP_START_ROUND:
+                # pointer jump: adopt the label's own label. Labels are
+                # always ids of touched nodes (min over existing
+                # labels), so the inner self-join is total; labels only
+                # decrease, preserving the strictly-decreasing-sum
+                # convergence test.
+                parent = merged.select(
+                    F.col("id").alias("p_id"), F.col("label").alias("p_label")
+                )
+                labels = (
+                    merged.join(parent, merged["label"] == parent["p_id"])
+                    .select("id", F.col("p_label").alias("label"))
+                    .localCheckpoint()
+                )
+            else:
+                labels = merged.localCheckpoint()
+            cur_sum = labels.agg(F.sum("label")).first()[0]
+            if cur_sum == prev_sum:  # labels only decrease; fixpoint
+                converged = True
+            prev_sum = cur_sum
+    finally:
+        spark.conf.set(part_key, str(session_parts))
     edges.unpersist()
     if not converged:
         # Truncated propagation would silently hand downstream "keep one
