@@ -301,3 +301,50 @@ def test_interval_overlap_matches_bruteforce(spark, lspans, rspans, width):
         if llo <= rlo + rn and rlo <= llo + ln
     )
     assert got == want
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=6),
+                  min_size=1, max_size=60),
+    n_buckets=st.integers(min_value=1, max_value=12),
+)
+@SLOW
+def test_exact_ntile_and_rank_match_bruteforce(spark, vals, n_buckets):
+    """The offset-rank machinery vs a pure-Python recompute: exact_ntile
+    equals the NTILE closed form over the sorted order, exact_row_number
+    equals the sorted position — ascending and descending, under heavy
+    ties."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.windows import (
+        exact_ntile,
+        exact_row_number,
+    )
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id int, v int")
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(order)
+    q, r = divmod(n, n_buckets)
+    want_bucket = {}
+    for rank0, (i, _) in enumerate(order):
+        if q == 0:
+            want_bucket[i] = rank0 + 1
+        elif rank0 < r * (q + 1):
+            want_bucket[i] = rank0 // (q + 1) + 1
+        else:
+            want_bucket[i] = r + (rank0 - r * (q + 1)) // q + 1
+    got = {
+        row["id"]: row["bucket"]
+        for row in exact_ntile(df, "v", "id", n_buckets).collect()
+    }
+    assert got == want_bucket
+
+    desc = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want_rn = {i: k + 1 for k, (i, _) in enumerate(desc)}
+    got_rn = {
+        row["id"]: row["rn"]
+        for row in exact_row_number(
+            df, "v", "id", descending=True
+        ).collect()
+    }
+    assert got_rn == want_rn

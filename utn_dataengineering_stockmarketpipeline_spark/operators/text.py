@@ -418,6 +418,54 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   round_to: int = 6) -> DataFrame:
+    """Bigram (first-order Markov) language-model scoring: per-document
+    mean negative log of p(t_i | t_{i-1}) under the corpus bigram
+    distribution — one modeling step past :func:`unigram_logprob`,
+    sensitive to WORD ORDER (scrambled text scores poorly even when
+    its unigram mix is normal, which is exactly what the unigram
+    filter cannot see).
+
+    p(t | prev) = c(prev, t) / c(prev, ·) with counts from the corpus
+    itself, so every observed bigram has nonzero probability. Returns
+    ``(id, n_bigrams, avg_neg_logprob)`` for documents with >= 2
+    tokens.
+
+    Plan: bigrams form with ``lag`` over one (doc)-partitioned window;
+    the pair-count and context-count tables aggregate with map-side
+    partials; two key joins (pair, context) and a per-doc average.
+    At 100 TB the pruned bigram table is the big join side — it
+    shuffles by pair key, never the corpus by anything but doc id.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = (
+        df.select(F.col(id_col), F.posexplode(tokens(text_col)))
+        .withColumnRenamed("col", "term")
+        .filter(F.col("term") != "")
+    )
+    bigrams = (
+        toks.withColumn("prev", F.lag("term").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(id_col, "prev", "term")
+    )
+    c2 = bigrams.groupBy("prev", "term").agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    c1 = c2.groupBy("prev").agg(F.sum("__c2").alias("__c1"))
+    return (
+        bigrams.join(c2, ["prev", "term"])
+        .join(c1, "prev")
+        .withColumn("__nlp", -F.log(F.col("__c2") / F.col("__c1")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("__nlp"), round_to).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def bm25_scores(df: DataFrame, query_terms: list[str],
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75,

@@ -1240,6 +1240,42 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_bigram_logprob",
+    """
+WITH pos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS term,
+           unnest(generate_series(1, len(string_split(text, ' ')))) AS pos
+    FROM documents)
+  WHERE term != ''),
+bg AS (
+  SELECT doc_id, prev, term FROM (
+    SELECT doc_id, term, pos,
+           LAG(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM pos)
+  WHERE prev IS NOT NULL),
+c2 AS (SELECT prev, term, COUNT(*) AS c2 FROM bg GROUP BY prev, term),
+c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY prev)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln(CAST(c2 AS DOUBLE) / c1)), 6) AS avg_neg_logprob
+FROM bg JOIN c2 USING (prev, term) JOIN c1 USING (prev)
+GROUP BY doc_id
+""",
+    doc="bigram (first-order Markov) LM scoring: per-doc mean -ln "
+        "p(t_i | t_{i-1}) under the corpus bigram distribution "
+        "(operators/text.bigram_logprob) — one modeling step past the "
+        "unigram filter and sensitive to WORD ORDER (scrambled text "
+        "scores poorly even with a normal unigram mix). Bigrams via "
+        "one doc-partitioned lag window; pair/context count joins "
+        "shuffle the pruned bigram table, never the corpus",
+    tags=("llm", "text", "quality", "lm"),
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "llm_bm25_scores",
     """
 WITH base AS (
