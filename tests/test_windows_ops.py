@@ -258,3 +258,59 @@ def test_train_val_test_split_stable_and_complete(spark):
     assert c["train"] > c["val"] > 0 and c["test"] > 0
     # ~80/10/10 within loose tolerance
     assert 0.7 < c["train"] / 2000 < 0.9
+
+
+def test_ohlc_merge_associative(spark):
+    """Monoid sanity: merging in any grouping yields the direct state —
+    merge(merge(A,B),C) == state(A ∪ B ∪ C)."""
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.transforms import (
+        ohlc_merge,
+        ohlc_state,
+    )
+
+    rows = [
+        ("T", 2024, 1, dt.date(2024, 1, d), 10.0 + d, 20.0 + d, 5.0 + d,
+         15.0 + d, 10 * d)
+        for d in range(1, 10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "stock_ticker string, stock_year int, stock_month int, "
+        "stock_date date, stock_open double, stock_high double, "
+        "stock_low double, stock_close double, stock_volume long",
+    )
+    import pyspark.sql.functions as SF
+
+    a = df.filter(SF.dayofmonth("stock_date") % 3 == 0)
+    b = df.filter(SF.dayofmonth("stock_date") % 3 == 1)
+    c = df.filter(SF.dayofmonth("stock_date") % 3 == 2)
+    chained = ohlc_merge(ohlc_merge(ohlc_state(a), ohlc_state(b)), ohlc_state(c))
+    direct = ohlc_state(df)
+    assert [r.asDict() for r in chained.collect()] == [
+        r.asDict() for r in direct.collect()
+    ]
+
+
+def test_bm25_ignores_absent_terms(spark):
+    """A query term absent from the corpus contributes nothing — scores
+    equal the query without it, and docs matching no term drop out."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark window merge"), (2, "window window join"), (3, "other")],
+        "doc_id long, text string",
+    )
+    with_ghost = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, ["window", "zzz_absent"]).collect()
+    }
+    without = {
+        r["doc_id"]: r["score"] for r in bm25_scores(df, ["window"]).collect()
+    }
+    assert with_ghost == without
+    assert set(without) == {1, 2}
+    assert without[2] > without[1]  # higher tf, same dl-ish -> higher score

@@ -1312,3 +1312,32 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(key, prev)
     return pr.select("node", F.round("rank", 9).alias("rank"))
+
+
+@register(
+    "ana_grouping_sets",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+    doc="explicit GROUPING SETS (priority totals, status totals, grand "
+        "total — the hand-picked subset ROLLUP/CUBE can't express "
+        "without emitting unwanted combinations): one Expand + one "
+        "aggregation shuffle; DECIMAL-exact sums",
+    tags=("analytics", "grouping-sets"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_price
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """)
