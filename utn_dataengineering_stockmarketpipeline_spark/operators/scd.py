@@ -179,3 +179,51 @@ def merge_append(incoming: DataFrame, target_path: str, key: str,
     finally:
         fresh.unpersist()
     return n
+
+
+def table_diff(old: DataFrame, new: DataFrame, key: str,
+               compare: list[str]) -> DataFrame:
+    """Snapshot diff report — the CDC primitive under every SCD policy:
+    classify each key as ``added`` / ``removed`` / ``changed`` (keys
+    identical on all ``compare`` columns are dropped; a diff report
+    lists differences, not the table).
+
+    Same scale shape as scd2_apply: the comparison rides an MD5 of the
+    compare columns, so the full-outer join carries (key, hash) — two
+    narrow columns — however wide the table is. Null-safe: a NULL↔''
+    flip counts as a change (sentinel-coalesced hash), and the
+    null-key row, if present, diffs like any other key.
+    """
+    from pyspark.sql import functions as F
+
+    def h(df: DataFrame) -> DataFrame:
+        att = F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL\x00"))
+                    for c in compare
+                ],
+            )
+        )
+        return df.select(F.col(key), att.alias("__h"))
+
+    o = h(old).withColumnRenamed("__h", "__h_old").withColumnRenamed(
+        key, "__k_old"
+    )
+    n = h(new).withColumnRenamed("__h", "__h_new").withColumnRenamed(
+        key, "__k_new"
+    )
+    joined = o.join(n, o["__k_old"].eqNullSafe(n["__k_new"]), "full_outer")
+    change = (
+        F.when(F.col("__k_old").isNull(), F.lit("added"))
+        .when(F.col("__k_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce("__k_new", "__k_old").alias(key), "change_type"
+        )
+    )

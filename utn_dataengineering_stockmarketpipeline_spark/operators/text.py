@@ -533,3 +533,33 @@ def sample_k_per_stratum(df: DataFrame, k: int, stratum_col: str = "lang",
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  round_to: int = 6) -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats):
+    H = ln(n) − Σ c·ln(c) / n — the vocabulary-diversity quality
+    signal (near-zero = one token repeated; high = diverse text).
+    Complements the repetition ratio: entropy sees SKEW in the
+    distribution, not just duplicate existence.
+
+    Two chained aggregations that share the doc-id shuffle: per-(doc,
+    term) counts, then per-doc sums — both with map-side partials. The
+    closed form avoids dividing before the sum, so the only float
+    reduction is Σ c·ln(c), rounded at the end.
+    """
+    counts = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return counts.groupBy(id_col).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.round(
+            F.log(F.sum("__c").cast("double"))
+            - F.sum(F.col("__c") * F.log("__c")) / F.sum("__c"),
+            round_to,
+        ).alias("token_entropy"),
+    )

@@ -1341,3 +1341,52 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
     """)
+
+
+@register(
+    "ana_chi_square_lang_source",
+    """
+WITH cells AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY lang),
+ct AS (SELECT source, SUM(o) AS c FROM cells GROUP BY source),
+tot AS (SELECT SUM(o) AS n FROM cells)
+SELECT round(SUM(
+         (o - CAST(r AS DOUBLE) * c / n)
+         * (o - CAST(r AS DOUBLE) * c / n)
+         / (CAST(r AS DOUBLE) * c / n)), 6) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1)
+            * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       CAST(MIN(n) AS BIGINT) AS n_docs
+FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+""",
+    doc="chi-square test of independence between two categorical "
+        "columns (lang x source) — the dataset-balance diagnostic "
+        "('is source mix confounded with language?'). One cell "
+        "aggregation with map-side partials; the marginals re-aggregate "
+        "the TINY cell table, never the corpus, and broadcast back. "
+        "Observed counts are exact integers; the single float "
+        "reduction (the chi2 sum over cells) rounds at the end",
+    tags=("analytics", "statistics"),
+)
+def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    return (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6)
+            .alias("chi2"),
+            (
+                (F.countDistinct("lang") - 1)
+                * (F.countDistinct("source") - 1)
+            ).cast("bigint").alias("dof"),
+            F.min("n").cast("bigint").alias("n_docs"),
+        )
+    )

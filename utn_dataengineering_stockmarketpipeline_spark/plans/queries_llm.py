@@ -1727,3 +1727,26 @@ def q_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("ws_tokens").cast("int").alias("n_tokens")
     )
     return exact_ntile(tok, "n_tokens", "doc_id", 10, out_col="decile")
+
+
+@register(
+    "llm_token_entropy",
+    """
+WITH c AS (
+  SELECT doc_id, term, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term != '' GROUP BY doc_id, term)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(c * ln(c)) / SUM(c), 6) AS token_entropy
+FROM c GROUP BY doc_id
+""",
+    doc="per-document Shannon entropy of the token distribution "
+        "(operators/text.token_entropy) — the vocabulary-diversity "
+        "quality signal; sees distribution SKEW where the repetition "
+        "ratio only sees duplicate existence. Closed form ln(n) - "
+        "sum(c ln c)/n keeps the single float reduction at the end",
+    tags=("llm", "text", "quality"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_entropy(load_table(spark, sf_dir, "documents"))

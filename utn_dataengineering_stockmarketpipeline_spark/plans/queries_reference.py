@@ -1023,6 +1023,64 @@ def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_table_diff",
+    with_reference_ctes("""
+, old_snap AS (
+  SELECT market_stockid,
+         CASE WHEN market_exchange = 'NASDAQ'
+              THEN market_companyname || ' (legacy)'
+              ELSE market_companyname END AS market_companyname
+  FROM markets WHERE market_stockid != 'AAPL'
+  UNION ALL SELECT 'DLST', 'Delisted Holdings'),
+new_snap AS (SELECT market_stockid, market_companyname FROM markets)
+SELECT COALESCE(n.market_stockid, o.market_stockid) AS market_stockid,
+       change_type
+FROM old_snap o FULL OUTER JOIN new_snap n
+  ON o.market_stockid = n.market_stockid
+CROSS JOIN LATERAL (SELECT CASE
+    WHEN o.market_stockid IS NULL THEN 'added'
+    WHEN n.market_stockid IS NULL THEN 'removed'
+    WHEN o.market_companyname IS DISTINCT FROM n.market_companyname
+      THEN 'changed' END AS change_type)
+WHERE change_type IS NOT NULL
+"""),
+    doc="snapshot diff report (operators/scd.table_diff) — the CDC "
+        "primitive under every SCD policy: added / removed / changed "
+        "per key, unchanged keys dropped. The comparison rides an MD5 "
+        "of the compare columns so the full-outer join carries "
+        "(key, hash) however wide the table is; null-safe on both the "
+        "key and the attributes. Fixture: the scd1 stale snapshot "
+        "(legacy NASDAQ names, AAPL missing, DLST extra) diffed "
+        "against the fresh markets table — AAPL added, DLST removed, "
+        "NASDAQ rows changed. The oracle classifies by direct "
+        "attribute comparison (IS DISTINCT FROM), an independent "
+        "formulation of the same semantics",
+    tags=("reference", "cdc", "diff", "warehouse"),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import table_diff
+
+    mk = markets(spark, sf_dir)
+    stale_name = F.when(
+        F.col("market_exchange") == "NASDAQ",
+        F.concat(F.col("market_companyname"), F.lit(" (legacy)")),
+    ).otherwise(F.col("market_companyname"))
+    old = (
+        mk.filter(F.col("market_stockid") != "AAPL")
+        .select("market_stockid", stale_name.alias("market_companyname"))
+        .unionByName(
+            spark.range(1).select(
+                F.lit("DLST").alias("market_stockid"),
+                F.lit("Delisted Holdings").alias("market_companyname"),
+            )
+        )
+    )
+    new = mk.select("market_stockid", "market_companyname")
+    return table_diff(old, new, key="market_stockid",
+                      compare=["market_companyname"])
+
+
+@register(
     "ref_macd",
     with_reference_ctes("""
 , b AS MATERIALIZED (
