@@ -90,6 +90,14 @@ BENCH_QUERIES = (
     "llm_split_assignment",
     "llm_vocabulary",
     "llm_unigram_logprob",
+    "llm_bigram_logprob",
+    "llm_bm25_scores",
+    "llm_token_entropy",
+    "ana_chi_square_lang_source",
+    "ana_grouping_sets",
+    "ref_table_diff",
+    "stream_static_enrich",
+    "ana_referential_orphans",
 )
 
 

@@ -1390,3 +1390,52 @@ def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n").cast("bigint").alias("n_docs"),
         )
     )
+
+
+@register(
+    "ana_referential_orphans",
+    """
+SELECT 'orders.o_custkey' AS fk, COUNT(*) AS n_orphans
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_orderkey', COUNT(*)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderkey IS NULL
+UNION ALL
+SELECT 'lineitem.l_suppkey', COUNT(*)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+WHERE s_suppkey IS NULL
+UNION ALL
+SELECT 'customer.c_nationkey', COUNT(*)
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+WHERE n_nationkey IS NULL
+""",
+    doc="referential-integrity audit across the star schema (the "
+        "dbt-test / data-contract class): orphan count per FK edge via "
+        "LEFT ANTI joins — dimension sides broadcast, so each check is "
+        "a map-side probe of the fact; counts should be zero on "
+        "consistent data and the query IS the alerting contract",
+    tags=("analytics", "data-quality", "anti-join"),
+)
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(fact, fkey, dim, dkey, label):
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(dkey)
+        return (
+            f.select(F.col(fkey))
+            .join(F.broadcast(d), f[fkey] == d[dkey], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "orders.o_custkey")
+        .unionByName(orphans("lineitem", "l_orderkey", "orders",
+                             "o_orderkey", "lineitem.l_orderkey"))
+        .unionByName(orphans("lineitem", "l_suppkey", "supplier",
+                             "s_suppkey", "lineitem.l_suppkey"))
+        .unionByName(orphans("customer", "c_nationkey", "nation",
+                             "n_nationkey", "customer.c_nationkey"))
+    )
