@@ -98,6 +98,7 @@ BENCH_QUERIES = (
     "ref_table_diff",
     "stream_static_enrich",
     "ana_referential_orphans",
+    "ref_rolling_beta",
 )
 
 

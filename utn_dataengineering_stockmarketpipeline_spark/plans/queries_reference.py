@@ -1023,6 +1023,97 @@ def q_ema20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_rolling_beta",
+    with_reference_ctes("""
+, rets AS (
+  SELECT stock_ticker, stock_date,
+         stock_close / LAG(stock_close) OVER
+             (PARTITION BY stock_ticker ORDER BY stock_date) - 1 AS r
+  FROM stock_prices),
+rr AS (SELECT * FROM rets WHERE r IS NOT NULL),
+mkt AS (
+  SELECT stock_date,
+         CAST(SUM(CAST(ROUND(r * 10000) AS BIGINT)) AS DOUBLE)
+           / COUNT(*) AS rm_q
+  FROM rr GROUP BY stock_date),
+pairs AS (
+  SELECT stock_ticker, stock_date,
+         CAST(ROUND(rr.r * 10000) AS BIGINT) AS y,
+         CAST(ROUND(mkt.rm_q) AS BIGINT) AS x
+  FROM rr JOIN mkt USING (stock_date)),
+wsum AS (
+  SELECT stock_ticker, stock_date,
+         COUNT(*) OVER w60 AS n,
+         CAST(SUM(x) OVER w60 AS DOUBLE) AS sx,
+         CAST(SUM(y) OVER w60 AS DOUBLE) AS sy,
+         CAST(SUM(x * y) OVER w60 AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) OVER w60 AS DOUBLE) AS sxx,
+         ROW_NUMBER() OVER wseq AS rn
+  FROM pairs
+  WINDOW w60 AS (PARTITION BY stock_ticker ORDER BY stock_date
+                 ROWS BETWEEN 59 PRECEDING AND CURRENT ROW),
+         wseq AS (PARTITION BY stock_ticker ORDER BY stock_date))
+SELECT stock_ticker, stock_date,
+       (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS beta60
+FROM wsum WHERE rn >= 60
+"""),
+    doc="ROLLING 60-bar beta vs the equal-weight market — the pairwise "
+        "rolling-regression class (two series combine per date, then "
+        "window sums per ticker): extends ref_ticker_beta's one-pass "
+        "exact-int64 regression to a sliding frame. Same quantization "
+        "discipline (round(r*1e4), every window sum < 2^53, identical "
+        "scalar double math both engines); incomplete 60-bar frames "
+        "drop; a zero-variance market window nulls (NULLIF, both "
+        "engines). One date-key shuffle for the market join, one "
+        "ticker shuffle shared by both windows",
+    tags=("reference", "indicator", "window", "regression"),
+)
+def q_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    wlag = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    rr = sp.select(
+        "stock_ticker",
+        "stock_date",
+        (
+            F.col("stock_close") / F.lag("stock_close").over(wlag) - 1
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    mkt = rr.groupBy("stock_date").agg(
+        (
+            F.sum(F.round(F.col("r") * 10000).cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("rm_q")
+    )
+    pairs = rr.join(mkt, "stock_date").select(
+        "stock_ticker",
+        "stock_date",
+        F.round(F.col("r") * 10000).cast("bigint").alias("y"),
+        F.round(F.col("rm_q")).cast("bigint").alias("x"),
+    )
+    w60 = (
+        Window.partitionBy("stock_ticker")
+        .orderBy("stock_date")
+        .rowsBetween(-59, 0)
+    )
+    wseq = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    ws = pairs.select(
+        "stock_ticker",
+        "stock_date",
+        F.count(F.lit(1)).over(w60).alias("n"),
+        F.sum("x").over(w60).cast("double").alias("sx"),
+        F.sum("y").over(w60).cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w60).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w60).cast("double").alias("sxx"),
+        F.row_number().over(wseq).alias("rn"),
+    ).filter(F.col("rn") >= 60)
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.when(
+        denom != 0, denom
+    )
+    return ws.select("stock_ticker", "stock_date", beta.alias("beta60"))
+
+
+@register(
     "ref_table_diff",
     with_reference_ctes("""
 , old_snap AS (
