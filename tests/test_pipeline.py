@@ -302,3 +302,38 @@ def test_scd2_null_transitions_are_versioned(spark):
     # idempotent on the null-bearing snapshot: nothing changes on re-apply
     again = scd2_apply(snap, out, "k", ["c1", "c2"], "2024-07-01")
     assert again.exceptAll(out).count() == 0
+
+
+def test_table_diff_null_key_classified_by_hash_presence(spark):
+    """A matched NULL-key pair must classify like any other key
+    (unchanged -> dropped, attribute flip -> 'changed'), and a NULL key
+    present on only one side must be 'added'/'removed' — presence is
+    tested on the hash columns, not the nullable key (ADVICE r7)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.scd import (
+        table_diff,
+    )
+
+    schema = "k string, v string"
+
+    # identical null-key rows: must NOT appear in the diff
+    old = spark.createDataFrame([(None, "same"), ("A", "x")], schema)
+    new = spark.createDataFrame([(None, "same"), ("A", "x")], schema)
+    assert table_diff(old, new, "k", ["v"]).count() == 0
+
+    # null-key attribute flip: 'changed', not 'added'
+    new2 = spark.createDataFrame([(None, "flip"), ("A", "x")], schema)
+    rows = {r["k"]: r["change_type"]
+            for r in table_diff(old, new2, "k", ["v"]).collect()}
+    assert rows == {None: "changed"}
+
+    # null key only in old: 'removed' must be reachable
+    new3 = spark.createDataFrame([("A", "x")], schema)
+    rows = {r["k"]: r["change_type"]
+            for r in table_diff(old, new3, "k", ["v"]).collect()}
+    assert rows == {None: "removed"}
+
+    # null key only in new: 'added'
+    old2 = spark.createDataFrame([("A", "x")], schema)
+    rows = {r["k"]: r["change_type"]
+            for r in table_diff(old2, old, "k", ["v"]).collect()}
+    assert rows == {None: "added"}

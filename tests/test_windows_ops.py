@@ -314,3 +314,49 @@ def test_bm25_ignores_absent_terms(spark):
     assert with_ghost == without
     assert set(without) == {1, 2}
     assert without[2] > without[1]  # higher tf, same dl-ish -> higher score
+
+
+def test_bm25_query_term_multiplicity_weights_partials(spark):
+    """Bag-of-words query semantics: a term listed twice contributes its
+    partial score twice (Lucene sums per query occurrence) — doubled
+    query term == doubled single-term score (ADVICE r7)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        bm25_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark window merge"), (2, "window window join"), (3, "other")],
+        "doc_id long, text string",
+    )
+    single = {
+        r["doc_id"]: r["score"] for r in bm25_scores(df, ["window"]).collect()
+    }
+    doubled = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(df, ["window", "window"]).collect()
+    }
+    assert set(doubled) == set(single)
+    # scores are rounded to 6 dp after summation, so compare at the
+    # rounding granularity (round(2x) vs 2*round(x))
+    for d, s in single.items():
+        assert doubled[d] == pytest.approx(2.0 * s, abs=2e-6)
+
+
+def test_exact_rank_rejects_nan_and_reserved_columns(spark):
+    """_offset_ranked guards: NaN in the value column raises (Python
+    ordering diverges from Spark's NaN-greatest), and input columns
+    colliding with internal names raise instead of corrupting
+    (ADVICE r7)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.windows import (
+        exact_row_number,
+    )
+
+    nan_df = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan")), (3, 2.0)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="NaN"):
+        exact_row_number(nan_df, "v", "id")
+
+    clash_df = spark.createDataFrame([(1, 5, 9)], "id long, v long, __rank long")
+    with pytest.raises(ValueError, match="__rank"):
+        exact_row_number(clash_df, "v", "id")

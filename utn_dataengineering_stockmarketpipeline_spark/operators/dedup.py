@@ -491,14 +491,20 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     (~50k labels/partition, capped at the session setting): the rounds
     move only a (long, long) label vector, and running them at a full
     session partition count makes empty-task overhead the dominant
-    cost on small graphs. Upstream pair generation materializes before
-    the scope, so LSH banding keeps the session's parallelism.
+    cost on small graphs. Width is pinned PER PLAN — explicit
+    ``repartition(loop_parts, key)`` at each loop shuffle boundary,
+    never by mutating the session-global ``spark.sql.shuffle.partitions``
+    (a session conf scope leaks to concurrent queries on the same
+    SparkSession and races on restore). Upstream pair generation
+    materializes before the scope, so LSH banding keeps the session's
+    parallelism. The edge list is repartitioned by ``dst`` ONCE and
+    persisted, so no round re-shuffles it.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = e.unionAll(
+    edges_raw = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    touched = edges.select(F.col("src").alias("id")).distinct()
+    )
+    touched = edges_raw.select(F.col("src").alias("id")).distinct()
     # labels materialize HERE — upstream pair generation (LSH etc.) runs
     # at the session's partitioning; only the iteration below is scoped.
     labels = touched.select("id", F.col("id").alias("label")).localCheckpoint()
@@ -508,54 +514,62 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     # The per-round joins move only the (long, long) label vector; at
     # the session's partition count most tasks are empty and per-round
     # fixed overhead dominates (this is the cost the r6 verdict saw).
-    # Scope the iteration's shuffle width to the touched-node count
+    # Scope the loop's shuffle width to the touched-node count
     # (~50k labels/partition), never above the session setting — at
     # real scale the need exceeds the session value and this is a no-op.
     spark = pairs.sparkSession
-    part_key = "spark.sql.shuffle.partitions"
-    session_parts = int(spark.conf.get(part_key))
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_touched = labels.count()
     loop_parts = max(4, min(session_parts, -(-n_touched // 50_000)))
-    spark.conf.set(part_key, str(loop_parts))
-    try:
-        for it in range(max_iters):
-            if converged:
-                break
-            prop = (
-                edges.join(labels, edges["dst"] == labels["id"])
-                .groupBy("src")
-                .agg(F.min("label").alias("nbr_label"))
+    # one-time layout: edges by dst, labels by id, both at loop width —
+    # the per-round join is then co-partitioned with NO new exchange
+    edges = edges_raw.repartition(loop_parts, "dst").persist()
+    labels = labels.repartition(loop_parts, "id")
+    for it in range(max_iters):
+        if converged:
+            break
+        prop = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select("src", "label")
+            .repartition(loop_parts, "src")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # labels (hash id @ loop_parts) ⋈ prop (hash src @ loop_parts):
+        # co-partitioned, no exchange; output stays partitioned by id
+        merged = labels.join(
+            prop, labels["id"] == prop["src"], "left"
+        ).select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        if it >= JUMP_START_ROUND:
+            # pointer jump: adopt the label's own label. Labels are
+            # always ids of touched nodes (min over existing
+            # labels), so the inner self-join is total; labels only
+            # decrease, preserving the strictly-decreasing-sum
+            # convergence test.
+            parent = merged.select(
+                F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
-            merged = labels.join(
-                prop, labels["id"] == prop["src"], "left"
-            ).select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
+            labels = (
+                merged.repartition(loop_parts, "label")
+                .join(
+                    parent.repartition(loop_parts, "p_id"),
+                    F.col("label") == F.col("p_id"),
+                )
+                .select("id", F.col("p_label").alias("label"))
+                .repartition(loop_parts, "id")
+                .localCheckpoint()
             )
-            if it >= JUMP_START_ROUND:
-                # pointer jump: adopt the label's own label. Labels are
-                # always ids of touched nodes (min over existing
-                # labels), so the inner self-join is total; labels only
-                # decrease, preserving the strictly-decreasing-sum
-                # convergence test.
-                parent = merged.select(
-                    F.col("id").alias("p_id"), F.col("label").alias("p_label")
-                )
-                labels = (
-                    merged.join(parent, merged["label"] == parent["p_id"])
-                    .select("id", F.col("p_label").alias("label"))
-                    .localCheckpoint()
-                )
-            else:
-                labels = merged.localCheckpoint()
-            cur_sum = labels.agg(F.sum("label")).first()[0]
-            if cur_sum == prev_sum:  # labels only decrease; fixpoint
-                converged = True
-            prev_sum = cur_sum
-    finally:
-        spark.conf.set(part_key, str(session_parts))
+        else:
+            labels = merged.localCheckpoint()
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:  # labels only decrease; fixpoint
+            converged = True
+        prev_sum = cur_sum
     edges.unpersist()
     if not converged:
         # Truncated propagation would silently hand downstream "keep one

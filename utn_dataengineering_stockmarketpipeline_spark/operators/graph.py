@@ -28,7 +28,8 @@ DEFAULT_ITERS = 10
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = DEFAULT_ITERS,
              damping: float = 0.85,
-             checkpoint_every: int = 5) -> DataFrame:
+             checkpoint_every: int = 5,
+             loop_parts: int | None = None) -> DataFrame:
     """PageRank over a directed edge list → (node, rank).
 
     Simple-leak variant: dangling nodes (no out-edges) absorb rank
@@ -53,18 +54,32 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     overhead).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    nodes = (
+    nodes_raw = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
-    n = nodes.count()
+    n = nodes_raw.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(None).cast("double"))
+        return nodes_raw.withColumn("rank", F.lit(None).cast("double"))
+    # Loop shuffle width is pinned PER PLAN with explicit repartition —
+    # not by mutating the session-global spark.sql.shuffle.partitions
+    # (which leaks to concurrent queries and races on restore). Default:
+    # ~50k nodes/partition, capped at the session setting — at real
+    # graph scale the session width wins and the scoping is a no-op.
+    spark = edges.sparkSession
+    if loop_parts is None:
+        session_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        loop_parts = max(4, min(session_parts, -(-n // 50_000)))
+    nodes = nodes_raw.repartition(loop_parts, "node").persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # weighted edges: contribution fraction per edge is rank-independent
-    we = e.join(outdeg, "src").persist()
+    # weighted edges: contribution fraction per edge is rank-independent.
+    # Partitioned by src ONCE — every round's rank join is then
+    # co-partitioned against the rank vector with no edge re-shuffle.
+    we = e.join(outdeg, "src").repartition(loop_parts, "src").persist()
     we.count()
 
     teleport = (1.0 - damping) / n
@@ -73,9 +88,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         contrib = (
             we.join(ranks, we["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .repartition(loop_parts, "dst")
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
+        # nodes (hash node @ loop_parts) ⋈ contrib (hash dst @
+        # loop_parts): co-partitioned, no exchange; the new rank
+        # vector stays partitioned by node for the next round's join
         ranks = nodes.join(
             contrib, nodes["node"] == contrib["dst"], "left"
         ).select(
@@ -90,6 +109,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # eager final checkpoint so the persisted inputs can release NOW —
     # returning a lazy tail over unpersisted inputs would recompute them
     ranks = ranks.localCheckpoint()
+    nodes_raw.unpersist()
     nodes.unpersist()
     we.unpersist()
     return ranks

@@ -215,9 +215,14 @@ def table_diff(old: DataFrame, new: DataFrame, key: str,
         key, "__k_new"
     )
     joined = o.join(n, o["__k_old"].eqNullSafe(n["__k_new"]), "full_outer")
+    # Presence is tested on the HASH columns, not the key columns: __h_*
+    # is non-null whenever that side's row exists (md5 of a non-null
+    # concat_ws string), while __k_* is legitimately NULL for the
+    # null-key row — testing the key would misreport a matched null-key
+    # pair as 'added' and make 'removed' unreachable for null keys.
     change = (
-        F.when(F.col("__k_old").isNull(), F.lit("added"))
-        .when(F.col("__k_new").isNull(), F.lit("removed"))
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
     )
     return (

@@ -150,7 +150,15 @@ def lsh_bucket(vec_col, dim: int, n_planes: int = 8, plane_offset: int = 0):
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(0)
+        # Sign decision on the QUANTIZED dot: the bucket id is a
+        # cross-engine identity (mirrored in the DuckDB oracles), and a
+        # raw `dot >= 0` rests on no dot landing within float-summation-
+        # order drift (~1e-13) of zero — BLAS here vs list_sum there can
+        # then flip a bit nondeterministically. Rounding to 6 dp first
+        # makes the decision stable for any |dot| drift < 5e-7.
+        bucket = bucket + F.when(
+            F.round(dot, 6) >= 0, F.lit(1 << p)
+        ).otherwise(0)
     return bucket
 
 
@@ -203,7 +211,9 @@ def table_buckets_blas(vec_col, dim: int, n_tables: int,
         if len(v) == 0:
             return pd.Series([], dtype="object")
         m = np.stack(v.to_numpy()).astype(np.float64)
-        bits = (m @ planes.T >= 0.0).astype(np.int64)
+        # quantized sign decision — same 6-dp rounding as lsh_bucket and
+        # the DuckDB oracles, so summation-order drift can't flip a bit
+        bits = (np.round(m @ planes.T, 6) >= 0.0).astype(np.int64)
         ids = (
             bits.reshape(len(m), n_tables, planes_per_table) * weights
         ).sum(axis=2)

@@ -476,7 +476,10 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene form —
     always positive). Returns ``(id, score)`` for documents matching
-    at least one query term.
+    at least one query term. Bag-of-words query semantics: a term
+    listed twice in ``query_terms`` contributes its partial score
+    twice (Lucene sums per query occurrence), so multiplicity weights
+    the sum rather than being silently deduplicated.
 
     Plan: doc lengths are a map-side projection; the token explode
     FILTERS to the query terms before any shuffle (the term list is a
@@ -486,11 +489,14 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     final sum. Scale: everything after the filter is proportional to
     documents CONTAINING query terms.
     """
+    from collections import Counter
+
+    qweights = Counter(query_terms)
     toks = tokens(text_col)
     base = df.select(
         F.col(id_col), F.explode(toks).alias("term"),
         F.size(toks).alias("dl"),
-    ).filter(F.col("term").isin(*query_terms))
+    ).filter(F.col("term").isin(*qweights))
     corpus = df.select(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.size(toks)).alias("avgdl"),
@@ -502,7 +508,12 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
-    part = idf * (
+    # query-term multiplicity as a literal broadcast map — a repeated
+    # query term scales its partial, exactly one map-side multiply
+    wmap = F.create_map(
+        *[F.lit(x) for t, m in qweights.items() for x in (t, float(m))]
+    )
+    part = wmap[F.col("term")] * idf * (
         F.col("tf") * (k1 + 1.0)
         / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     )

@@ -80,8 +80,29 @@ def _offset_ranked(
     (Spark semantics; DuckDB defaults NULLS LAST — align oracles when
     nulls are possible). Returns (None, 0) on an empty input.
     """
+    reserved = {"__cnt", "__offset", "__rank", "__off_key"}
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"{op_name}: input columns {sorted(clash)} collide with "
+            f"internal names; rename them first (same guard as "
+            f"asof_join's __rt check)."
+        )
     counts = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     rows = counts.limit(max_distinct_values + 1).collect()
+    # NaN is unordered under Python comparison but GREATEST (and
+    # self-equal) under Spark's sort — a driver-side sort containing NaN
+    # would silently produce offsets that disagree with the executor-side
+    # row_number partitioning. Reject rather than diverge.
+    if any(
+        isinstance(r[value_col], float) and r[value_col] != r[value_col]
+        for r in rows
+    ):
+        raise ValueError(
+            f"{op_name}: NaN in {value_col!r} — Python ordering diverges "
+            f"from Spark's (NaN sorts greatest, NaN==NaN). Filter NaN out "
+            f"or bin values before ranking."
+        )
     if len(rows) > max_distinct_values:
         raise ValueError(
             f"{op_name}: > {max_distinct_values} distinct values of "

@@ -1299,18 +1299,11 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 30 chained stages over a small rank vector: a vanilla session's
     # 200 shuffle partitions turn that into thousands of near-empty
-    # tasks (~4 s/iteration measured). Scope the partition count to the
-    # build — pagerank() ends with an EAGER checkpoint, so the returned
-    # frame no longer depends on the conf when it restores. At real
-    # graph scale the session's partitioning is the right default;
-    # this pin is sized to |nodes| here.
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key)
-    try:
-        spark.conf.set(key, "16")
-        pr = pagerank(edges, iters=10)
-    finally:
-        spark.conf.set(key, prev)
+    # tasks (~4 s/iteration measured). pagerank() scopes its own loop
+    # shuffle width per plan (explicit repartition sized to |nodes|,
+    # capped at the session setting) — no session conf mutation, safe
+    # under concurrent queries on the same SparkSession.
+    pr = pagerank(edges, iters=10)
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 

@@ -553,8 +553,10 @@ dots AS (
               z -> z[1]::DOUBLE * z[2]::DOUBLE)) AS DOUBLE) AS dot
   FROM embeddings e CROSS JOIN planes p),
 buckets AS (
+  -- sign of the QUANTIZED dot (6 dp), matching the Spark side: raw
+  -- sign would rest on no dot landing within summation-order drift of 0
   SELECT vec_id, plane // 4 AS tbl,
-         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (plane % 4)
+         CAST(SUM(CASE WHEN round(dot, 6) >= 0 THEN 1 << (plane % 4)
                        ELSE 0 END) AS INT) AS bucket
   FROM dots GROUP BY vec_id, plane // 4)
 """
