@@ -41,3 +41,20 @@ def test_sketches_deterministic_across_runs(spark):
     a = sorted(map(str, CATALOG["ana_approx_sketches"].build(spark, SF_SMOKE).collect()))
     b = sorted(map(str, CATALOG["ana_approx_sketches"].build(spark, SF_SMOKE).collect()))
     assert a == b  # register-max merges are order-insensitive
+
+
+def test_sketches_self_audit_columns_within_bounds(spark):
+    """r8: the error contract lives IN the query output — every group
+    must report users_within_bounds and quantiles_within_bounds true,
+    and the exact companions must agree with ana_sketches_exact."""
+    rows = CATALOG["ana_approx_sketches"].build(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["users_within_bounds"] is True, r
+        assert r["quantiles_within_bounds"] is True, r
+        assert r["users_rel_err"] <= 0.06
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in CATALOG["ana_sketches_exact"].build(spark, SF_SMOKE).collect()
+    }
+    assert {r["event_type"]: r["exact_users"] for r in rows} == exact

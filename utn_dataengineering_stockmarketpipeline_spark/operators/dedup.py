@@ -453,7 +453,8 @@ JUMP_START_ROUND = 4
 
 def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                        id_col: str = "doc_id",
-                       max_iters: int = 25) -> DataFrame:
+                       max_iters: int = 25,
+                       stats: dict | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, cluster_id)
     with cluster_id = min doc id reachable — the step that turns
     pairwise LSH output into "keep one doc per duplicate group".
@@ -525,9 +526,11 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     # the per-round join is then co-partitioned with NO new exchange
     edges = edges_raw.repartition(loop_parts, "dst").persist()
     labels = labels.repartition(loop_parts, "id")
+    rounds_run = 0
     for it in range(max_iters):
         if converged:
             break
+        rounds_run += 1
         prop = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select("src", "label")
@@ -571,6 +574,12 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             converged = True
         prev_sum = cur_sum
     edges.unpersist()
+    if stats is not None:
+        # observability out-param (bench scale evidence): how many
+        # propagation rounds ran and at what scoped width
+        stats.update(
+            rounds=rounds_run, n_touched=n_touched, loop_parts=loop_parts,
+        )
     if not converged:
         # Truncated propagation would silently hand downstream "keep one
         # per cluster" logic WRONG cluster ids (a path graph of diameter

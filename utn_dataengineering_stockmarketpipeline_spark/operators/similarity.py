@@ -297,15 +297,32 @@ def lsh_topk(
     )
 
 
+#: Quantization for the IVF k-means' cross-engine identity: normalized
+#: vectors round to 7 dp, per-iteration similarities and centroids to
+#: 6 dp. Every value that feeds a comparison or is carried across an
+#: iteration is quantized, so float summation-order drift between BLAS
+#: here and list_sum in the DuckDB oracle (~1e-13) cannot flip an
+#: assignment — the same discipline that made the sign-LSH bucket ids
+#: an exact identity.
+IVF_ROUND_VEC = 7
+IVF_ROUND_SIM = 6
+
+
 def _kmeans_centroids(mat, n_centroids: int, iters: int = 5):
-    """Deterministic Lloyd's k-means on a (normalized) matrix: init =
-    first n rows in id order, fixed iteration count, no RNG — every
-    run/cluster computes identical centroids."""
+    """Deterministic Lloyd's k-means on a (normalized, quantized)
+    matrix: init = first n rows in id order, fixed iteration count, no
+    RNG, argmax ties break to the lowest centroid index, and every
+    similarity/centroid is rounded (IVF_ROUND_SIM) — every run, every
+    cluster, and the SQL oracle compute identical centroids."""
     import numpy as np
 
     cent = mat[:n_centroids].copy()
     for _ in range(iters):
-        sims = mat @ cent.T                      # cosine (rows normalized)
+        # cosine (rows normalized); round before argmax so the winning
+        # centroid is drift-stable; np.argmax takes the FIRST max =
+        # lowest centroid index on ties (ROW_NUMBER ... ORDER BY sim
+        # DESC, c in the oracle)
+        sims = np.round(mat @ cent.T, IVF_ROUND_SIM)
         assign = np.argmax(sims, axis=1)
         for c in range(n_centroids):
             members = mat[assign == c]
@@ -313,7 +330,7 @@ def _kmeans_centroids(mat, n_centroids: int, iters: int = 5):
                 m = members.sum(axis=0)
                 norm = np.linalg.norm(m)
                 if norm > 0:
-                    cent[c] = m / norm
+                    cent[c] = np.round(m / norm, IVF_ROUND_SIM)
     return cent
 
 
@@ -362,6 +379,9 @@ def ivf_topk(
     rows = sorted(train.collect(), key=lambda r: r[0])
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # quantize the normalized train matrix (see IVF_ROUND_VEC): the
+    # k-means below is then an exact cross-engine identity
+    mat = np.round(mat, IVF_ROUND_VEC)
     cent = _kmeans_centroids(mat, n_centroids)
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
 
@@ -373,8 +393,12 @@ def ivf_topk(
                     continue
                 a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 a /= np.linalg.norm(a, axis=1, keepdims=True)
-                sims = a @ c.T
-                order = np.argsort(-sims, axis=1)[:, :top_n]
+                # same quantization as the train matrix; stable sort on
+                # the rounded sims so probe order ties break to the
+                # lowest centroid index — both mirrored in the oracle
+                a = np.round(a, IVF_ROUND_VEC)
+                sims = np.round(a @ c.T, IVF_ROUND_SIM)
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
                 out = pd.DataFrame(
                     {
                         id_col: pdf[id_col].to_numpy().repeat(top_n),

@@ -277,6 +277,47 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def chunk_documents_udtf(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", size: int = 120,
+                         stride: int = 80) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) variant of
+    :func:`chunk_documents` — identical output contract, oracle-equal
+    (registered as ``llm_doc_chunks_udtf`` against the same DuckDB
+    SQL as the explode formulation).
+
+    This is the one sanctioned Python execution shape the engine's UDF
+    surface (§2.10) didn't otherwise demonstrate: a row→set expansion
+    where each input row yields a variable number of output rows from
+    imperative Python. For fixed-size character windows the codegen'd
+    sequence/explode plan (:func:`chunk_documents`) is strictly faster
+    — keep using it; THIS form is the template for chunkers that
+    genuinely need Python (sentence segmentation, tokenizer-aware
+    packing, markup-aware splitting) where no Spark expression exists.
+    Plan shape: the UDTF runs as a LATERAL join fused with the scan —
+    still zero-shuffle, output partitioning == input partitioning; the
+    cost is the Python-worker row hop, not the topology.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_ix bigint, chunk_start bigint, chunk_text string")
+    class _Chunker:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF contract
+            if not text:
+                return
+            for ix, start in enumerate(range(0, len(text), stride)):
+                yield ix, start, text[start:start + size]
+
+    spark = df.sparkSession
+    spark.udtf.register("__chunk_docs_udtf", _Chunker)
+    df.select(id_col, text_col).createOrReplaceTempView("__chunk_docs_in")
+    return spark.sql(
+        f"SELECT v.{id_col}, c.chunk_ix, c.chunk_start, c.chunk_text "
+        f"FROM __chunk_docs_in v, LATERAL __chunk_docs_udtf(v.{text_col}) c"
+    )
+
+
 def ngram_doc_frequency(df: DataFrame, n: int = 3, id_col: str = "doc_id",
                         text_col: str = "text",
                         min_docs: int = 2) -> DataFrame:

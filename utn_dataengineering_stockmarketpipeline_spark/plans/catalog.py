@@ -56,143 +56,160 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-7 rotation:
-#   1. the 14 queries whose ONLY driver row is r2 (four rounds stale —
-#      all green in every local oracle run since, but the driver row is
-#      the hard signal),
+# Round-8 rotation:
+#   1. the 29 queries whose freshest driver row is r5 (three rounds
+#      stale after r8 — all green in every local oracle run since, but
+#      the driver row is the hard signal). Includes llm_ann_ivf_topk,
+#      converted rows-only -> exact oracle this round.
 #   2. the queries whose BEHAVIOR changed this round and need fresh
-#      rows proving the change: ref_ema20_chunked (new registration,
-#      segmented-scan EMA), llm_length_deciles (single-partition NTILE
-#      replaced by broadcast-offset exact_ntile), the three
-#      connected-components dependents (adaptive pointer jumping), the
-#      two LSH rows and the three multimodal plans converted from
-#      rows-only to oracle-backed,
-#   3. (pin) new round-7 registrations slot in here,
-#   4. the r5-green set — fresher first out, so the window tail
-#      re-proves as many r5 rows as fit after blocks 1-3,
-#   5. tail: the r6-green set (freshest evidence, safely outside).
+#      rows proving the change: ref_table_diff (null-key classification
+#      by hash presence), llm_bm25_scores (query-term multiplicity),
+#      the two sign-LSH rows (quantized sign decision), the three
+#      CC dependents + pagerank (per-plan loop shuffle width),
+#   3. (pin) new round-8 registrations slot in here,
+#   4. r6-green fill — the window tail re-proves as many r6 rows as
+#      fit after blocks 1-3,
+#   5. tail: r6 remainder, then the r7-green set (freshest evidence).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 1: r2-stale --
+    # -- block 1: r5-stale (29 — the whole backlog; freshest driver row two rounds old) --
+    "ana_big_orders",
+    "ana_funnel_conversion",
+    "ana_important_parts",
+    "ana_min_cost_supplier",
+    "ana_retention_cohorts",
+    "ana_sole_late_supplier",
+    "join_asof_next_price",
+    "join_asof_price_at_ship",
+    "join_ffill_calendar",
+    "join_interval_promo_overlap",
+    "join_range_price_bands",
+    "llm_ann_ivf_topk",
+    "llm_cosine_topk",
+    "llm_doc_chunks",
+    "llm_doc_fingerprint",
+    "llm_doc_profile",
+    "llm_embedding_near_dup",
+    "llm_embedding_norms",
+    "llm_embedding_quantize",
+    "llm_lang_id",
+    "llm_pii_scrub",
+    "llm_repetition_ratio",
+    "llm_sample_k_per_stratum",
+    "llm_source_mix",
+    "llm_stratified_sample",
+    "llm_tfidf_top_terms",
+    "llm_winnowing_fingerprints",
+    "stream_dedup_events",
+    "stream_stateful_totals",
+    # -- block 2: round-8 behavior changes (table_diff hash-presence classification; bm25 multiplicity; quantized LSH sign; per-plan loop width in CC/pagerank dependents) --
+    "ref_table_diff",
+    "llm_bm25_scores",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_dup_clusters",
+    "llm_dedup_keep_one",
+    "llm_curation_pipeline",
+    "ana_pagerank_suppliers",
+    # -- block 3: r6-green fill — window tail refreshes what fits after new registrations slot in at the pin --
+    "ana_data_profile",
+    "ana_distinct_users_salted",
+    "ana_events_hourly",
+    "ana_first_touch",
+    "ana_lapsed_customers",
+    "ana_lead_lag",
+    "ana_order_priority",
+    "ana_pareto_parts",
+    "ana_price_histogram",
+    "ana_pricing_summary",
+    "ana_region_revenue",
+    # -- block 4: r6-green remainder (next rotation's fill) --
+    "ana_rollup_volume",
+    "ana_set_ops",
+    "ana_top_customers",
+    "ana_user_sessions",
+    "ana_window_rank",
+    "join_asof_nearest_price",
+    "join_interp_calendar",
+    "llm_fuzzy_name_pairs",
+    "llm_incremental_dedup",
+    "llm_minhash_calibration",
+    "llm_mix_temperature",
+    "llm_sequence_packing",
+    "ref_daily_returns",
+    "ref_drawdown",
+    "ref_get_last_price",
+    "ref_global_max_date",
+    "ref_latest_per_ticker",
+    "ref_markets_table",
+    "ref_normalize_market_payload",
+    "ref_normalize_stock_payload",
+    "ref_ohlc_monthly",
+    "ref_rolling_30day_mean",
+    "ref_rsi14",
+    "ref_scalar_functions",
+    "ref_scd0_new_markets",
+    "ref_scd0_new_stock_keys",
+    "ref_stock_prices_table",
+    "ref_ticker_beta",
+    "ref_ticker_correlation",
+    "ref_top_movers",
+    "ref_vwap_monthly",
+    "ref_watermarks",
+    "ref_zscore_anomalies",
+    "stream_events_hourly",
+    "stream_hourly_topk",
+    "stream_purchase_error_join",
+    "stream_sliding_counts",
+    "stream_user_sessions",
+    # -- block 5: r7-green tail (freshest evidence, safely outside) --
     "ana_approx_sketches",
+    "ana_chi_square_lang_source",
     "ana_cube_returns",
+    "ana_grouping_sets",
     "ana_market_share",
     "ana_nation_flow",
     "ana_pivot_status",
     "ana_priority_late_orders",
     "ana_quantity_percentiles",
+    "ana_referential_orphans",
+    "join_asof_tolerance_price",
+    "llm_bigram_logprob",
+    "llm_boilerplate_ngrams",
+    "llm_containment_pairs",
+    "llm_contamination",
     "llm_dedup_exact",
+    "llm_frame_sample_plan",
+    "llm_length_deciles",
+    "llm_minhash_lsh_pairs",
     "llm_minhash_signatures",
+    "llm_multimodal_features",
     "llm_ngram_jaccard_pairs",
+    "llm_resize_plan",
     "llm_simhash",
     "llm_simhash_near_pairs",
+    "llm_split_assignment",
     "llm_text_quality",
+    "llm_token_entropy",
     "llm_token_stats",
-    # -- block 2: round-7 behavior changes --
-    "ref_ema20_chunked",
-    "llm_length_deciles",
-    "llm_dup_clusters",
-    "llm_dedup_keep_one",
-    "llm_curation_pipeline",
-    "llm_embedding_near_dup_lsh",
-    "llm_ann_lsh_topk",
-    "llm_resize_plan",
-    "llm_frame_sample_plan",
-    "llm_multimodal_features",
-    # -- block 4: r5-green (window tail refreshes what fits) --
-    "ref_ema20",
-    "ref_scd2_markets",
-    "ref_scd1_markets",
+    "llm_unigram_logprob",
+    "llm_vocabulary",
     "ref_bollinger_bands",
+    "ref_ema20",
+    "ref_ema20_chunked",
+    "ref_macd",
+    "ref_ohlc_incremental",
+    "ref_rolling_beta",
+    "ref_scd1_markets",
+    "ref_scd2_markets",
+    "ref_stochastic_14",
     "ref_unpivot_ohlc",
-    "llm_minhash_lsh_pairs",
-    "llm_contamination",
-    "llm_containment_pairs",
-    "llm_boilerplate_ngrams",
-    "llm_doc_chunks",
-    "llm_stratified_sample",
-    "llm_sample_k_per_stratum",
-    "llm_source_mix",
-    "llm_embedding_quantize",
-    "llm_cosine_topk",
-    "llm_embedding_norms",
-    "llm_embedding_near_dup",
-    "llm_ann_ivf_topk",
-    "llm_pii_scrub",
-    "llm_tfidf_top_terms",
-    "llm_repetition_ratio",
-    "llm_doc_profile",
-    "llm_lang_id",
-    "llm_doc_fingerprint",
-    "llm_winnowing_fingerprints",
-    "join_asof_price_at_ship",
-    "join_range_price_bands",
-    "join_asof_next_price",
-    "join_interval_promo_overlap",
-    "join_ffill_calendar",
-    "stream_stateful_totals",
-    "stream_dedup_events",
-    "ana_funnel_conversion",
-    "ana_retention_cohorts",
-    "ana_min_cost_supplier",
-    "ana_sole_late_supplier",
-    "ana_important_parts",
-    "ana_big_orders",
-    # -- block 5: r6-green tail --
-    "stream_events_hourly",
-    "stream_purchase_error_join",
-    "stream_user_sessions",
-    "stream_sliding_counts",
-    "ana_lapsed_customers",
-    "ref_zscore_anomalies",
-    "ana_price_histogram",
-    "ana_data_profile",
-    "ana_pareto_parts",
-    "ana_first_touch",
-    "llm_fuzzy_name_pairs",
-    "llm_incremental_dedup",
-    "llm_sequence_packing",
-    "llm_mix_temperature",
-    "llm_minhash_calibration",
-    "stream_hourly_topk",
-    "join_interp_calendar",
-    "join_asof_nearest_price",
-    "ref_get_last_price",
-    "ref_latest_per_ticker",
-    "ref_rolling_30day_mean",
-    "ref_scd0_new_markets",
-    "ref_scd0_new_stock_keys",
-    "ref_watermarks",
-    "ref_global_max_date",
-    "ref_normalize_stock_payload",
-    "ref_normalize_market_payload",
-    "ref_scalar_functions",
-    "ref_stock_prices_table",
-    "ref_markets_table",
-    "ref_daily_returns",
-    "ref_top_movers",
-    "ref_ohlc_monthly",
-    "ref_vwap_monthly",
-    "ref_ticker_correlation",
-    "ref_rsi14",
-    "ref_drawdown",
-    "ref_ticker_beta",
-    "ana_pricing_summary",
-    "ana_top_customers",
-    "ana_region_revenue",
-    "ana_order_priority",
-    "ana_window_rank",
-    "ana_lead_lag",
-    "ana_rollup_volume",
-    "ana_set_ops",
-    "ana_events_hourly",
-    "ana_distinct_users_salted",
-    "ana_user_sessions",
+    "stream_static_enrich",
 )
 
 
 # New (unlisted) queries slot in after the must-verify head: the
 # r2-stale block + this round's behavior changes.
-_WINDOW_PIN = 24
+_WINDOW_PIN = 37
 
 
 def _apply_driver_order() -> None:

@@ -635,18 +635,25 @@ def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ana_approx_sketches",
     None,  # HLL/t-digest parameters differ per engine — no value oracle;
-    # relative-error bounds vs exact are pinned in tests/test_sketches.py
+    # the companion ana_sketches_exact carries the hash-green exact
+    # answers over the SAME grouping, and this query's within_bounds
+    # columns assert the error contract IN the output (the driver's
+    # rows-only check then pins cardinality + bound booleans);
+    # tests/test_sketches.py keeps the pytest-side gate too
     doc="sketch aggregates — the 100 TB cardinality/quantile path: "
         "approx_count_distinct (HyperLogLog++: fixed-size register "
         "merge, order-insensitive, no per-key value set) and "
         "approx_percentile (t-digest: partial-aggregable, no per-group "
         "sort). Exact COUNT(DISTINCT) over 10⁹ users is a shuffle of "
-        "every distinct value; the sketch is a few KB per group",
+        "every distinct value; the sketch is a few KB per group. "
+        "Output self-audits: exact companions + relative error + "
+        "within_bounds booleans (HLL rsd=0.02 gated at 6%; quantile "
+        "error gated at 10% of the p50-p95 spread)",
     tags=("analytics", "sketch", "approximate"),
 )
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    approx = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias(
             "value_quantiles"
@@ -657,6 +664,61 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_quantiles")[0].alias("p50"),
         F.col("value_quantiles")[1].alias("p95"),
         F.col("value_quantiles")[2].alias("p99"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+    )
+    spread = F.abs(F.col("exact_p95") - F.col("exact_p50")) + F.lit(1e-9)
+    rel_err = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.col("exact_users")
+    )
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "approx_users",
+        "p50",
+        "p95",
+        "p99",
+        "exact_users",
+        F.round(rel_err, 6).alias("users_rel_err"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(3.0), 0.06 * F.col("exact_users"))
+        ).alias("users_within_bounds"),
+        (
+            (F.abs(F.col("p50") - F.col("exact_p50")) <= 0.1 * spread)
+            & (F.abs(F.col("p95") - F.col("exact_p95")) <= 0.1 * spread)
+        ).alias("quantiles_within_bounds"),
+    )
+
+
+@register(
+    "ana_sketches_exact",
+    """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""",
+    doc="EXACT companion to ana_approx_sketches over the identical "
+        "grouping: COUNT(DISTINCT) + interpolated (continuous) "
+        "percentiles — the hash-green anchor the sketch query's "
+        "within_bounds columns are audited against. At 100 TB this is "
+        "the query whose distinct-shuffle cost motivates the sketch "
+        "path; at audit/test scale it is the ground truth",
+    tags=("analytics", "sketch", "exact"),
+)
+def q_sketches_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
 
 

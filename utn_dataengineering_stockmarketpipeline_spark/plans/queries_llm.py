@@ -633,13 +633,101 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
+                    n_probe: int = 4, k: int = 5, q_max: int = 10) -> str:
+    """DuckDB replay of similarity.ivf_topk — exact, not approximate-
+    tolerant, because the whole index is deterministic and quantized:
+
+    - train sample: at driver SFs the corpus (<= train_sample_rows)
+      IS the sample, so 'first 65,536 by hash order' reduces to 'all
+      rows'; k-means init = the n_centroids lowest vec_ids.
+    - every normalized vector rounds to IVF_ROUND_VEC dp, every
+      similarity/centroid to IVF_ROUND_SIM dp on BOTH engines, so
+      summation-order drift (BLAS vs list_sum) cannot flip an
+      assignment; argmax ties break to the lowest centroid index
+      (np.argmax first-max == ROW_NUMBER ORDER BY sim DESC, c).
+    - centroid update: normalized member mean, rounded; empty or
+      zero-norm clusters keep their previous centroid (LEFT JOIN +
+      COALESCE mirrors the numpy guard).
+    Final pair scoring reuses _cos_sql over the RAW embeddings, the
+    same identity the LSH oracles rely on.
+
+    Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and with
+    c{{t}} referenced twice per iteration the expression tree doubles
+    per unrolled round — 32 replays of the whole chain by iteration 5
+    (measured 32 s -> 0.4 s at sf0.01 with materialization).
+    """
+    from ..operators.similarity import IVF_ROUND_SIM, IVF_ROUND_VEC
+
+    dot_nc = ("list_sum(list_transform(list_zip(n.v, c.v), "
+              "z -> z[1]::DOUBLE * z[2]::DOUBLE))")
+    ctes = [f"""norm AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+         x -> round(x::DOUBLE / sqrt(list_sum(list_transform(embedding,
+              y -> y::DOUBLE * y::DOUBLE))), {IVF_ROUND_VEC})) AS v
+  FROM embeddings)""", f"""c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, v
+  FROM norm ORDER BY vec_id LIMIT {n_centroids})"""]
+    for t in range(iters):
+        ctes.append(f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, v, c FROM (
+    SELECT n.vec_id, n.v, c.c,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
+    FROM norm n CROSS JOIN c{t} c) WHERE rk = 1)""")
+        ctes.append(f"""s{t} AS MATERIALIZED (
+  SELECT c, i, SUM(v[i]) AS s
+  FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i) GROUP BY c, i)""")
+        ctes.append(f"""u{t} AS MATERIALIZED (
+  SELECT s.c, list(round(s.s / n.nrm, {IVF_ROUND_SIM}) ORDER BY s.i) AS v
+  FROM s{t} s JOIN (SELECT c, sqrt(SUM(s * s)) AS nrm
+                    FROM s{t} GROUP BY c) n USING (c)
+  WHERE n.nrm > 0 GROUP BY s.c)""")
+        ctes.append(f"""c{t + 1} AS MATERIALIZED (
+  SELECT co.c, COALESCE(u.v, co.v) AS v
+  FROM c{t} co LEFT JOIN u{t} u USING (c))""")
+    cf = f"c{iters}"
+    ctes.append(f"""ac AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, c FROM (
+    SELECT n.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
+    FROM norm n CROSS JOIN {cf} c) WHERE rk = 1)""")
+    ctes.append(f"""aq AS MATERIALIZED (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT n.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
+    FROM norm n CROSS JOIN {cf} c
+    WHERE n.vec_id < {q_max}) WHERE rk <= {n_probe})""")
+    ctes.append(f"""cand AS MATERIALIZED (
+  SELECT DISTINCT aq.query_id, ac.neighbor_id
+  FROM aq JOIN ac USING (c) WHERE aq.query_id != ac.neighbor_id)""")
+    ctes.append(f"""scored AS MATERIALIZED (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand cd
+  JOIN embeddings ea ON ea.vec_id = cd.query_id
+  JOIN embeddings eb ON eb.vec_id = cd.neighbor_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM scored) WHERE rk <= {k}""")
+
+
 @register(
     "llm_ann_ivf_topk",
-    None,  # approximate by construction: recall vs brute force is the
-    # pytest check (tests/test_similarity.py)
+    _ivf_oracle_sql(),
     doc="IVF ANN (Faiss-shaped scale path): deterministic k-means "
         "centroids, BLAS batch assignment, probe-4 inverted-list search "
-        "+ exact re-rank",
+        "+ exact re-rank. ORACLED since r8: the index is fully "
+        "deterministic (hash-order-statistic train sample = the whole "
+        "corpus at driver SFs, fixed-iteration Lloyd's with quantized "
+        "sims/centroids — similarity.IVF_ROUND_*), so the oracle "
+        "unrolls the identical 5 k-means iterations as chained SQL "
+        "CTEs and mirrors assign + n_probe rerank exactly, the same "
+        "conversion the sign-LSH oracles got in r7",
     tags=("llm", "similarity", "ann", "ivf"),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -783,6 +871,34 @@ FROM c
 )
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(
+        load_table(spark, sf_dir, "documents"), size=120, stride=80
+    )
+
+
+@register(
+    "llm_doc_chunks_udtf",
+    """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, length(text) - 1, 80)) AS chunk_start
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id,
+       chunk_start // 80 AS chunk_ix,
+       CAST(chunk_start AS BIGINT) AS chunk_start,
+       substring(text, CAST(chunk_start AS INT) + 1, 120) AS chunk_text
+FROM c
+""",
+    doc="Spark 4 Python UDTF chunker (operators/text.chunk_documents_"
+        "udtf): LATERAL table-function expansion, one input row -> "
+        "variable output rows from imperative Python — the §2.10 UDF "
+        "surface's row→set shape, oracle-equal to llm_doc_chunks "
+        "(same DuckDB SQL). The codegen'd explode plan remains the "
+        "production path; this is the template for chunkers that NEED "
+        "Python (sentence/tokenizer-aware splitting)",
+    tags=("llm", "text", "chunking", "udtf"),
+)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents_udtf(
         load_table(spark, sf_dir, "documents"), size=120, stride=80
     )
 
