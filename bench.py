@@ -99,6 +99,12 @@ BENCH_QUERIES = (
     "stream_static_enrich",
     "ana_referential_orphans",
     "ref_rolling_beta",
+    # round-8 additions: SemDeDup semantic dedup (k-means + in-cluster
+    # greedy drop), Python UDTF chunker (the honest Python-worker cost
+    # next to the codegen'd llm_doc_chunks), sketch self-audit pair
+    "llm_semantic_dedup",
+    "llm_doc_chunks_udtf",
+    "ana_sketches_exact",
 )
 
 

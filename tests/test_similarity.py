@@ -181,3 +181,48 @@ def test_quantize_int8_zero_vector_and_bounds(spark):
         assert all(-127 <= q <= 127 for q in r["q8"])
         # reconstruction error bounded by scale/2 (+ float read noise)
         assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+
+
+def test_semantic_dedup_greedy_keeps_lowest_id(spark):
+    """r8 SemDeDup contract: identical vectors land in one cluster and
+    only the lowest id survives; distinct far-apart vectors all
+    survive; every corpus id appears exactly once in the audit form."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 8
+    base = [0.0] * dim
+    def vec(i, val=1.0):
+        v = list(base); v[i] = val; return v
+
+    rows = [
+        (0, vec(0)), (1, vec(0)), (2, vec(0)),   # identical triple
+        (3, vec(1)), (4, vec(2)),                # orthogonal singletons
+        (5, [x * 0.5 for x in vec(0)]),          # same direction, scaled
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, dim=dim, threshold=0.9, n_centroids=4).collect()}
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    assert out[0]["is_kept"] is True          # lowest id of the dup group
+    assert out[1]["is_kept"] is False and out[2]["is_kept"] is False
+    assert out[3]["is_kept"] is True and out[4]["is_kept"] is True
+    # cosine is scale-invariant: the scaled copy drops too
+    assert out[5]["is_kept"] is False
+    # dup group shares one centroid
+    assert out[0]["centroid"] == out[1]["centroid"] == out[2]["centroid"]
+
+
+def test_semantic_dedup_cluster_cap_skips_pairing(spark):
+    """Over-cap clusters skip pairwise comparison (skew guard): with
+    max_cluster_size=1 nothing can drop."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rows = [(i, [1.0, 0.0]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(df, dim=2, threshold=0.5, n_centroids=2,
+                         max_cluster_size=1).collect()
+    assert all(r["is_kept"] for r in out)

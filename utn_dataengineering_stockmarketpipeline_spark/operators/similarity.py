@@ -334,6 +334,146 @@ def _kmeans_centroids(mat, n_centroids: int, iters: int = 5):
     return cent
 
 
+def train_centroids(corpus: DataFrame, n_centroids: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    train_sample_rows: int = 65_536):
+    """Deterministic k-means centroids over a bounded corpus sample —
+    the shared training step of :func:`ivf_topk` and
+    :func:`semantic_dedup`. Sample membership is the
+    ``train_sample_rows`` lowest rows by ``(xxhash64(id), id)`` — an
+    order-statistic on a content hash (pure function of row values,
+    partitioning-independent; Catalyst runs it as a distributed top-k,
+    so driver memory stays O(sample)); see :func:`_kmeans_centroids`
+    for the quantization that makes training a cross-engine identity.
+    Returns a (n_centroids, dim) float64 ndarray."""
+    import numpy as np
+
+    train = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(train_sample_rows)
+    )
+    rows = sorted(train.collect(), key=lambda r: r[0])
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    # quantize the normalized train matrix (see IVF_ROUND_VEC): the
+    # k-means below is then an exact cross-engine identity
+    mat = np.round(mat, IVF_ROUND_VEC)
+    return _kmeans_centroids(mat, n_centroids)
+
+
+def assign_centroids(df: DataFrame, cent, top_n: int = 1,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     out_col: str = "centroid") -> DataFrame:
+    """Nearest-centroid assignment (Arrow-batched BLAS, one pass):
+    each input row yields its ``top_n`` closest centroids by quantized
+    cosine — ``top_n=1`` builds the inverted index, ``top_n=n_probe``
+    expands queries. Ties break to the lowest centroid index (stable
+    sort on rounded sims), mirrored exactly by the SQL oracles."""
+    import numpy as np
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(cent)
+
+    def run(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            # same quantization as the train matrix; stable sort on
+            # the rounded sims so probe order ties break to the
+            # lowest centroid index — both mirrored in the oracle
+            a = np.round(a, IVF_ROUND_VEC)
+            sims = np.round(a @ c.T, IVF_ROUND_SIM)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy().repeat(top_n),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(top_n)],
+                    out_col: order.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, {vec_col} array<float>, {out_col} int"
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_rows: int = 65_536,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. '23,
+    arXiv:2303.09540): cluster the embedding space with the same
+    deterministic k-means as :func:`ivf_topk`, then WITHIN each cluster
+    greedily drop any vector whose cosine to a lower-id cluster member
+    reaches ``threshold`` — pairwise comparison cost falls from O(n²)
+    to Σ|cluster|², the paper's core trick for web-scale corpora.
+
+    Returns every corpus row as ``(id, centroid, is_kept)`` — the
+    curation report form (survivors = ``is_kept``; the flag layout
+    keeps the drop DECISION auditable, unlike a survivors-only set).
+    Greedy-by-id is the deterministic replacement for the paper's
+    random keeper choice: x drops iff SOME y < x in its cluster has
+    cos(x, y) >= threshold (no transitive chaining — matches greedy
+    scan order, exactly SQL-expressible, oracle-backed).
+
+    Scale plan: assignment is one Arrow-batched map pass; in-cluster
+    pairing is an equi-join on centroid over NARROW (id, centroid)
+    rows with the vectors joined back only for scoring, so no vector
+    payload rides the pair shuffle. ``max_cluster_size`` is the skew
+    guard (same discipline as the LSH bucket cap, mirrored in the
+    oracle): over-cap clusters skip pairing — at real scale raise
+    ``n_centroids`` ~ n/target instead (SemDeDup uses k ≈ √n).
+    """
+    cent = train_centroids(corpus, n_centroids, id_col, vec_col,
+                           train_sample_rows)
+    # deterministic, so recomputing the assignment on each branch is
+    # correct; a production pipeline would persist/checkpoint it
+    assigned = assign_centroids(corpus, cent, 1, id_col, vec_col)
+    narrow = assigned.select(F.col(id_col).alias("id"), "centroid")
+    sizes = narrow.groupBy("centroid").agg(F.count(F.lit(1)).alias("sz"))
+    if max_cluster_size is not None:
+        sizes = sizes.filter(F.col("sz") <= max_cluster_size)
+    cand = (
+        narrow.join(F.broadcast(sizes.select("centroid")), "centroid")
+        .alias("a")
+        .join(narrow.alias("b"),
+              (F.col("a.centroid") == F.col("b.centroid"))
+              & (F.col("b.id") < F.col("a.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).alias("vb"))
+    dropped = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(F.round(cosine_blas("va", "vb"), 6) >= threshold)
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.select(F.col(id_col), "centroid")
+        .join(dropped.withColumnRenamed("id", id_col)
+              .withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "centroid",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -368,60 +508,14 @@ def ivf_topk(
     search cost is ~n_probe/n_centroids of brute force, recall is
     pytest-checked against the exact baseline.
     """
-    import numpy as np
-    import pandas as pd
-
-    train = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(train_sample_rows)
-    )
-    rows = sorted(train.collect(), key=lambda r: r[0])
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    # quantize the normalized train matrix (see IVF_ROUND_VEC): the
-    # k-means below is then an exact cross-engine identity
-    mat = np.round(mat, IVF_ROUND_VEC)
-    cent = _kmeans_centroids(mat, n_centroids)
-    bc = corpus.sparkSession.sparkContext.broadcast(cent)
-
-    def assign(top_n: int, out_col: str):
-        def run(batches):
-            c = bc.value
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                a /= np.linalg.norm(a, axis=1, keepdims=True)
-                # same quantization as the train matrix; stable sort on
-                # the rounded sims so probe order ties break to the
-                # lowest centroid index — both mirrored in the oracle
-                a = np.round(a, IVF_ROUND_VEC)
-                sims = np.round(a @ c.T, IVF_ROUND_SIM)
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
-                out = pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].to_numpy().repeat(top_n),
-                        vec_col: [v for v in pdf[vec_col] for _ in range(top_n)],
-                        out_col: order.ravel(),
-                    }
-                )
-                yield out
-
-        return run
-
-    c_assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign(1, "centroid"),
-        f"{id_col} long, {vec_col} array<float>, centroid int",
-    ).select(
+    cent = train_centroids(corpus, n_centroids, id_col, vec_col,
+                           train_sample_rows)
+    c_assigned = assign_centroids(corpus, cent, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         "centroid",
     )
-    q_assigned = queries.select(id_col, vec_col).mapInPandas(
-        assign(n_probe, "centroid"),
-        f"{id_col} long, {vec_col} array<float>, centroid int",
-    ).select(
+    q_assigned = assign_centroids(queries, cent, n_probe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "centroid",

@@ -633,10 +633,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
-                    n_probe: int = 4, k: int = 5, q_max: int = 10) -> str:
-    """DuckDB replay of similarity.ivf_topk — exact, not approximate-
-    tolerant, because the whole index is deterministic and quantized:
+def _ivf_assign_ctes(dim: int = 64, n_centroids: int = 16,
+                     iters: int = 5) -> list:
+    """Shared CTE chain replaying similarity.train_centroids +
+    assign_centroids in DuckDB: normalize/quantize → unrolled k-means
+    → corpus assignment ``ac(neighbor_id, c)``. Both IVF-family
+    oracles (llm_ann_ivf_topk, llm_semantic_dedup) append their own
+    tail to this chain. Exact, not approximate-tolerant, because the
+    whole index is deterministic and quantized:
 
     - train sample: at driver SFs the corpus (<= train_sample_rows)
       IS the sample, so 'first 65,536 by hash order' reduces to 'all
@@ -693,12 +697,24 @@ def _ivf_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
            ROW_NUMBER() OVER (PARTITION BY n.vec_id
              ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
     FROM norm n CROSS JOIN {cf} c) WHERE rk = 1)""")
+    return ctes
+
+
+def _ivf_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
+                    n_probe: int = 4, k: int = 5, q_max: int = 10) -> str:
+    """llm_ann_ivf_topk oracle: the shared assignment chain plus query
+    n_probe expansion, candidate generation, and exact re-rank."""
+    from ..operators.similarity import IVF_ROUND_SIM
+
+    ctes = _ivf_assign_ctes(dim, n_centroids, iters)
+    dot_nc = ("list_sum(list_transform(list_zip(n.v, c.v), "
+              "z -> z[1]::DOUBLE * z[2]::DOUBLE))")
     ctes.append(f"""aq AS MATERIALIZED (
   SELECT vec_id AS query_id, c FROM (
     SELECT n.vec_id, c.c,
            ROW_NUMBER() OVER (PARTITION BY n.vec_id
              ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
-    FROM norm n CROSS JOIN {cf} c
+    FROM norm n CROSS JOIN c{iters} c
     WHERE n.vec_id < {q_max}) WHERE rk <= {n_probe})""")
     ctes.append(f"""cand AS MATERIALIZED (
   SELECT DISTINCT aq.query_id, ac.neighbor_id
@@ -734,6 +750,52 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
         corpus=emb, queries=emb.filter(F.col("vec_id") < 10), dim=64, k=5
+    )
+
+
+def _semantic_dedup_oracle_sql(dim: int = 64, n_centroids: int = 16,
+                               iters: int = 5, threshold: float = 0.4,
+                               max_cluster_size: int = 4096) -> str:
+    """llm_semantic_dedup oracle: the shared k-means assignment chain,
+    then the greedy-by-id drop rule — x drops iff SOME lower-id member
+    of its cluster has cosine >= threshold (clusters over the skew cap
+    skip pairing, mirroring the operator's guard)."""
+    ctes = _ivf_assign_ctes(dim, n_centroids, iters)
+    ctes.append(f"""sizes AS MATERIALIZED (
+  SELECT c FROM (SELECT c, COUNT(*) AS sz FROM ac GROUP BY c)
+  WHERE sz <= {max_cluster_size})""")
+    ctes.append(f"""drp AS MATERIALIZED (
+  SELECT DISTINCT a.neighbor_id AS vec_id
+  FROM ac a
+  JOIN sizes s ON s.c = a.c
+  JOIN ac b ON b.c = a.c AND b.neighbor_id < a.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {threshold})""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT ac.neighbor_id AS vec_id, CAST(ac.c AS INT) AS centroid,
+       (drp.vec_id IS NULL) AS is_kept
+FROM ac LEFT JOIN drp ON drp.vec_id = ac.neighbor_id""")
+
+
+@register(
+    "llm_semantic_dedup",
+    _semantic_dedup_oracle_sql(),
+    doc="SemDeDup-style semantic deduplication (Abbas et al. '23, "
+        "arXiv:2303.09540 — operators/similarity.semantic_dedup): "
+        "deterministic k-means clusters the embedding space, then each "
+        "cluster greedily drops members with cosine >= 0.4 to a "
+        "lower-id member — pairwise cost falls O(n²) -> Σ|cluster|², "
+        "the web-scale curation trick. Output is the full audit form "
+        "(id, centroid, is_kept). Narrow (id, centroid) rows ride the "
+        "pair shuffle, vectors join back only for scoring; cluster-"
+        "size skew cap mirrored in the oracle; oracle shares the "
+        "k-means CTE chain with llm_ann_ivf_topk",
+    tags=("llm", "dedup", "similarity", "semantic"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), dim=64, threshold=0.4
     )
 
 
