@@ -307,3 +307,24 @@ def test_incremental_candidates_cross_side_only(spark):
     assert all(p.corpus_id < 10 <= p.batch_id for p in pairs)
     assert any(p.batch_id == 10 for p in pairs), "batch near-dup missed"
     assert not any(p.batch_id == 11 for p in pairs)
+
+
+def test_round8_queries_plan_shapes(spark):
+    """r8 plan guards: semantic dedup must never degrade to a nested
+    loop (in-cluster pairing is an equi-join on centroid) and must not
+    shuffle vector payloads through the pair join; the UDTF chunker
+    runs as a Python table function fused after the scan (no shuffle);
+    the exact sketches companion keeps a two-column scan."""
+    plan = plan_of(CATALOG["llm_semantic_dedup"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    plan = plan_of(CATALOG["llm_doc_chunks_udtf"].build(spark, SF_SMOKE))
+    assert "PythonUDTF" in plan or "udtf" in plan.lower()
+    assert "Exchange" not in plan  # row->set expansion is a map stage
+
+    plan = plan_of(CATALOG["ana_sketches_exact"].build(spark, SF_SMOKE))
+    start = plan.index("ReadSchema")
+    schema_line = plan[start : plan.index("\n", start)]
+    assert "user_id" in schema_line and "value" in schema_line
+    assert "props" not in schema_line
