@@ -105,6 +105,8 @@ BENCH_QUERIES = (
     "llm_semantic_dedup",
     "llm_doc_chunks_udtf",
     "ana_sketches_exact",
+    "llm_dsir_weights",
+    "ref_calendar_gaps",
 )
 
 

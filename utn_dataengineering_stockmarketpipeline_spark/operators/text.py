@@ -277,6 +277,70 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dsir_weights(df: DataFrame, target_source: str,
+                 n_buckets: int = 64, id_col: str = "doc_id",
+                 text_col: str = "text", source_col: str = "source",
+                 round_to: int = 6) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. '23, arXiv:2302.03169
+    — Data Selection via Importance Resampling): score every document
+    by how much its HASHED-token distribution looks like a target
+    domain versus the whole corpus. Per doc,
+
+        log_weight = Σ_tokens ln( p_target(bucket) / p_corpus(bucket) )
+
+    with tokens hashed into ``n_buckets`` buckets (md5_prefix64 % n —
+    the engine's cross-engine hash identity) and add-1 smoothing over
+    the bucket vocabulary on both distributions. High-weight documents
+    are 'target-like'; resampling by these weights is the paper's
+    data-selection step (the resample itself is
+    :func:`stratified_sample`-shaped and intentionally separate).
+
+    Plan: one explode prunes to (id, bucket) rows; the two
+    distributions come from ONE bucket aggregation (count + conditional
+    count — n_buckets rows, broadcast back); per-doc bucket counts are
+    one (id, bucket) shuffle; totals ride a broadcast 1-row cross
+    join. Nothing scales beyond |tokens| map work + two narrow
+    shuffles. Returns (id, n_tokens, log_weight); docs with no tokens
+    emit nothing (no distribution evidence).
+    """
+    from ..functions.hashing import md5_prefix64
+
+    tb = df.select(
+        F.col(id_col), F.col(source_col),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term") != "").select(
+        id_col, source_col,
+        (md5_prefix64(F.col("term")) % F.lit(n_buckets)).alias("b"),
+    )
+    dist = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_all"),
+        F.sum(
+            F.when(F.col(source_col) == target_source, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    totals = dist.agg(
+        F.sum("c_all").alias("t_all"), F.sum("c_tgt").alias("t_tgt")
+    )
+    lr = dist.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_tgt") + 1.0) / (F.col("t_tgt") + float(n_buckets)))
+            - F.log((F.col("c_all") + 1.0) / (F.col("t_all") + float(n_buckets)))
+        ).alias("lr"),
+    )
+    doc = tb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        doc.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.round(F.sum(F.col("n") * F.col("lr")), round_to).alias(
+                "log_weight"
+            ),
+        )
+    )
+
+
 def chunk_documents_udtf(df: DataFrame, id_col: str = "doc_id",
                          text_col: str = "text", size: int = 120,
                          stride: int = 80) -> DataFrame:

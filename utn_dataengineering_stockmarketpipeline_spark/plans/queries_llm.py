@@ -799,6 +799,47 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_dsir_weights",
+    """
+WITH tb AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t.term), 1, 15))::BIGINT % 64 AS b
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term != ''),
+dist AS MATERIALIZED (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_all,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_tgt
+  FROM tb GROUP BY b),
+tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS t_all,
+               CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM dist),
+lr AS (SELECT b,
+              ln((c_tgt + 1.0) / (t_tgt + 64.0))
+              - ln((c_all + 1.0) / (t_all + 64.0)) AS lr
+       FROM dist CROSS JOIN tot),
+doc AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY doc_id, b)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+       round(SUM(n * lr), 6) AS log_weight
+FROM doc JOIN lr USING (b) GROUP BY doc_id
+""",
+    doc="DSIR-style importance weights (Xie et al. '23, "
+        "arXiv:2302.03169 — operators/text.dsir_weights): per-doc "
+        "log p_target/p_corpus ratio over md5-hashed token buckets "
+        "(add-1 smoothing, target = source 'src0') — the data-"
+        "selection score that upsamples target-domain-like documents. "
+        "One explode -> pruned (id, bucket) rows; BOTH distributions "
+        "from one 64-row aggregation broadcast back; totals ride a "
+        "broadcast 1-row cross join. CAST(SUM ...) guards DuckDB's "
+        "HUGEINT->DOUBLE ulp drift",
+    tags=("llm", "text", "selection", "dsir"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dsir_weights(
+        load_table(spark, sf_dir, "documents"), target_source="src0"
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 @register(

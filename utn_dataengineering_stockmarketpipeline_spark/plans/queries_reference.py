@@ -363,6 +363,44 @@ def q_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_calendar_gaps",
+    with_reference_ctes("""
+SELECT stock_ticker, prev_date, stock_date, CAST(gap_days AS INT) AS gap_days
+FROM (
+  SELECT stock_ticker, stock_date,
+         LAG(stock_date) OVER (PARTITION BY stock_ticker
+                               ORDER BY stock_date) AS prev_date,
+         datediff('day',
+                  LAG(stock_date) OVER (PARTITION BY stock_ticker
+                                        ORDER BY stock_date),
+                  stock_date) AS gap_days
+  FROM stock_prices)
+WHERE gap_days > 3
+"""),
+    doc="trading-calendar gap detection — the market-data QA pass a "
+        "feed operator runs nightly: per-ticker bar-to-bar date deltas "
+        "via one lag window, report gaps wider than a weekend+holiday "
+        "(> 3 days = missed sessions or a feed outage). Integer day "
+        "arithmetic, exact across engines; one ticker-partitioned "
+        "window shuffle, no self-join",
+    tags=("reference", "window", "data-quality"),
+)
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    prev = F.lag("stock_date").over(w)
+    return (
+        sp.select(
+            "stock_ticker",
+            prev.alias("prev_date"),
+            "stock_date",
+            F.datediff(F.col("stock_date"), prev).alias("gap_days"),
+        )
+        .filter(F.col("gap_days") > 3)
+    )
+
+
+@register(
     "ref_top_movers",
     with_reference_ctes("""
 SELECT stock_date, stock_ticker, ret,
