@@ -360,3 +360,33 @@ def test_exact_rank_rejects_nan_and_reserved_columns(spark):
     clash_df = spark.createDataFrame([(1, 5, 9)], "id long, v long, __rank long")
     with pytest.raises(ValueError, match="__rank"):
         exact_row_number(clash_df, "v", "id")
+
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    """r8 DSIR contract: a doc written in the target domain's vocabulary
+    scores a higher log-weight than one written in the other domain's;
+    token counts are exact; empty docs emit nothing."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        dsir_weights,
+    )
+
+    rows = [
+        # target domain (src0) speaks 'alpha beta', the rest 'gamma delta'
+        (0, "alpha beta alpha beta", "src0"),
+        (1, "alpha alpha beta beta", "src0"),
+        (2, "gamma delta gamma delta", "src1"),
+        (3, "gamma gamma delta delta", "src1"),
+        (4, "alpha beta alpha beta", "src1"),   # target-LIKE, other source
+        (5, "", "src1"),                        # empty: no evidence
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in
+           dsir_weights(df, target_source="src0").collect()}
+    assert 5 not in out and set(out) == {0, 1, 2, 3, 4}
+    assert all(out[i]["n_tokens"] == 4 for i in out)
+    # target-vocabulary docs outrank other-domain docs regardless of source
+    assert out[4]["log_weight"] > out[2]["log_weight"]
+    assert out[0]["log_weight"] > out[2]["log_weight"]
+    # same bag of words -> identical weight (order-insensitive)
+    assert out[0]["log_weight"] == out[1]["log_weight"] == out[4]["log_weight"]
+    assert out[2]["log_weight"] == out[3]["log_weight"]
