@@ -107,6 +107,7 @@ BENCH_QUERIES = (
     "ana_sketches_exact",
     "llm_dsir_weights",
     "ref_calendar_gaps",
+    "llm_curation_embedding",
 )
 
 

@@ -840,6 +840,94 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_embedding_oracle_sql() -> str:
+    """Embedding-side curation composition: the semantic-dedup chain
+    (shared k-means CTEs + greedy drop) ∧ the DSIR chain, joined back
+    to documents — survivors are semantic-dedup keepers with >= 30
+    tokens scoring at or above the corpus MEDIAN importance weight
+    (median-relative, so the gate stays meaningful at every SF; the
+    median interpolates identically on both engines over the rounded
+    weights)."""
+    ctes = _ivf_assign_ctes()
+    ctes.append("""sizes AS MATERIALIZED (
+  SELECT c FROM (SELECT c, COUNT(*) AS sz FROM ac GROUP BY c)
+  WHERE sz <= 4096)""")
+    ctes.append(f"""drp AS MATERIALIZED (
+  SELECT DISTINCT a.neighbor_id AS vec_id
+  FROM ac a
+  JOIN sizes s ON s.c = a.c
+  JOIN ac b ON b.c = a.c AND b.neighbor_id < a.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= 0.4)""")
+    ctes.append("""tb2 AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(t.term), 1, 15))::BIGINT % 64 AS b
+  FROM documents, unnest(string_split(text, ' ')) AS t(term)
+  WHERE t.term != '')""")
+    ctes.append("""dist2 AS MATERIALIZED (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS c_all,
+         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+              AS BIGINT) AS c_tgt
+  FROM tb2 GROUP BY b)""")
+    ctes.append("""tot2 AS (SELECT CAST(SUM(c_all) AS BIGINT) AS t_all,
+               CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM dist2)""")
+    ctes.append("""lr2 AS (SELECT b,
+              ln((c_tgt + 1.0) / (t_tgt + 64.0))
+              - ln((c_all + 1.0) / (t_all + 64.0)) AS lr
+       FROM dist2 CROSS JOIN tot2)""")
+    ctes.append("""wts AS MATERIALIZED (
+  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         round(SUM(n * lr), 6) AS log_weight
+  FROM (SELECT doc_id, b, COUNT(*) AS n FROM tb2 GROUP BY doc_id, b)
+  JOIN lr2 USING (b) GROUP BY doc_id)""")
+    ctes.append("""med AS (SELECT quantile_cont(log_weight, 0.5) AS m
+                           FROM wts)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT d.doc_id, d.source, d.lang,
+       CAST(ac.c AS INT) AS centroid, w.log_weight
+FROM documents d
+JOIN ac ON ac.neighbor_id = d.doc_id
+JOIN wts w ON w.doc_id = d.doc_id
+LEFT JOIN drp ON drp.vec_id = d.doc_id
+CROSS JOIN med
+WHERE drp.vec_id IS NULL AND w.n_tokens >= 30 AND w.log_weight >= med.m""")
+
+
+@register(
+    "llm_curation_embedding",
+    _curation_embedding_oracle_sql(),
+    doc="embedding-side curation composition, one DAG: SemDeDup "
+        "semantic-dedup survivors (k-means clusters + greedy in-"
+        "cluster drop) ∧ DSIR importance gate at the corpus MEDIAN "
+        "weight ∧ >= 30 tokens — the 'dedup then select toward the "
+        "target domain' pass a pre-training corpus runs after the "
+        "text-side gates (llm_curation_pipeline). The median rides a "
+        "broadcast 1-row cross join; the doc<->embedding link is a "
+        "same-id equi-join; oracle composes the shared k-means chain "
+        "with the DSIR chain verbatim",
+    tags=("llm", "curation", "dedup", "selection", "semantic"),
+)
+def q_curation_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = similarity.semantic_dedup(emb, dim=64, threshold=0.4)
+    wts = text.dsir_weights(docs, target_source="src0")
+    med = wts.agg(F.expr("percentile(log_weight, 0.5)").alias("m"))
+    return (
+        docs.select("doc_id", "source", "lang")
+        .join(sem.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+        .join(wts, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .filter(
+            F.col("is_kept")
+            & (F.col("n_tokens") >= 30)
+            & (F.col("log_weight") >= F.col("m"))
+        )
+        .select("doc_id", "source", "lang", "centroid", "log_weight")
+    )
+
+
 # --- multimodal -------------------------------------------------------------
 
 @register(
