@@ -108,6 +108,7 @@ BENCH_QUERIES = (
     "llm_dsir_weights",
     "ref_calendar_gaps",
     "llm_curation_embedding",
+    "stream_incremental_dedup",
 )
 
 

@@ -574,3 +574,91 @@ def q_stream_hourly_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.count()
     return out
+
+
+_DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _incremental_dedup_oracle() -> str:
+    """Identical SQL to llm_incremental_dedup's oracle: a correct
+    streaming drain must CONVERGE to the batch answer (the same
+    contract stream_events_hourly has with ana_events_hourly)."""
+    from .catalog import CATALOG
+
+    return CATALOG["llm_incremental_dedup"].oracle
+
+
+@register(
+    "stream_incremental_dedup",
+    _incremental_dedup_oracle(),
+    doc="STREAMING corpus-ingest dedup — the nightly shape run "
+        "continuously: new documents arrive as a file stream, each "
+        "micro-batch is MinHash-LSH screened against the standing "
+        "corpus via foreachBatch + dedup.incremental_candidates (cross-"
+        "side pairing only — the corpus never re-pairs with itself), "
+        "per-doc verdicts accumulate across batches. Must converge to "
+        "the batch llm_incremental_dedup answer (same oracle SQL "
+        "verbatim). At 100 TB the corpus side's banded signatures are "
+        "a precomputed table and foreachBatch APPENDS verdicts to a "
+        "sink table instead of collecting; per-doc verdicts are "
+        "micro-batch-independent, so any availableNow split yields "
+        "the same union",
+    tags=("streaming", "dedup", "incremental", "minhash"),
+)
+def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+    from ..sources.parquet import load_table
+    from .queries_llm import _BANDS, _NUM_PERMS
+
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 != 0)
+        .select("doc_id", "text")
+    )
+    collected: list = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        pairs = dd.incremental_candidates(
+            corpus, b, num_perms=_NUM_PERMS, bands=_BANDS
+        )
+        hits = pairs.groupBy("batch_id").agg(
+            F.min("corpus_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_corpus_hits"),
+        )
+        out = (
+            b.select("doc_id")
+            .join(hits, F.col("doc_id") == F.col("batch_id"), "left")
+            .select(
+                "doc_id",
+                "dup_of",
+                F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
+                F.col("dup_of").isNotNull().alias("is_dup"),
+            )
+        )
+        collected.extend(out.collect())
+
+    with _capped_state_partitions(spark, 8):
+        stream = (
+            spark.readStream.schema(_DOCUMENTS_SCHEMA)
+            .option("pathGlobFilter", "documents.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        collected,
+        "doc_id long, dup_of long, n_corpus_hits long, is_dup boolean",
+    )
