@@ -312,3 +312,70 @@ def test_stream_stream_interval_join_matches_batch(spark, events_split, tmp_path
     want = {(r["user_id"], r["p_id"], r["e_id"]) for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_incremental_dedup_multibatch_converges(spark, tmp_path):
+    """r8: the per-doc verdicts must be micro-batch-independent — a
+    2-file source drained with maxFilesPerTrigger=1 (two micro-batches)
+    yields exactly the batch answer over the union. Pins the docstring
+    claim that any availableNow split converges."""
+    import pyspark.sql.functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+    from utn_dataengineering_stockmarketpipeline_spark.plans.queries_llm import (
+        _BANDS,
+        _NUM_PERMS,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.plans.queries_streaming import (
+        _DOCUMENTS_SCHEMA,
+    )
+
+    # tiny corpus: ids %5==0 stream in; 10 and 15 duplicate corpus text
+    rows = [
+        (i, t, "en", "s", len(t))
+        for i, t in [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "completely different corpus text with many words here"),
+            (3, "a third corpus document that matches nothing else at all"),
+            (5, "stream doc one with its own unique and novel wording"),
+            (10, "the quick brown fox jumps over the lazy dog again"),
+            (15, "completely different corpus text with many words here"),
+        ]
+    ]
+    df = spark.createDataFrame(rows, _DOCUMENTS_SCHEMA)
+    src = str(tmp_path / "docs")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    df.filter(F.col("doc_id") <= 3).coalesce(1).write.parquet(src)
+    df.filter(F.col("doc_id") > 3).coalesce(1).write.mode("append").parquet(src)
+
+    corpus = df.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    collected = []
+
+    def handle(batch_df, batch_id):
+        b = batch_df.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+        pairs = dedup.incremental_candidates(
+            corpus, b, num_perms=_NUM_PERMS, bands=_BANDS
+        )
+        hits = pairs.groupBy("batch_id").agg(
+            F.min("corpus_id").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        out = b.select("doc_id").join(
+            hits, F.col("doc_id") == F.col("batch_id"), "left"
+        ).select("doc_id", "dup_of")
+        collected.extend((r["doc_id"], r["dup_of"]) for r in out.collect())
+
+    q = (
+        spark.readStream.schema(_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = dict(collected)
+    assert len(collected) == len(got) == 3  # every stream doc exactly once
+    assert got[10] == 1 and got[15] == 2   # duplicates found across batches
+    assert got[5] is None                  # unique stream doc: no corpus hit
