@@ -328,3 +328,49 @@ def test_round8_queries_plan_shapes(spark):
     schema_line = plan[start : plan.index("\n", start)]
     assert "user_id" in schema_line and "value" in schema_line
     assert "props" not in schema_line
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB scan-pruning lever: a selective dimension filter must be
+    able to inject a runtime Bloom filter (`might_contain`) onto the
+    FACT side of a shuffle join, so the big scan drops non-joining rows
+    before the exchange. Spark's defaults gate this on scan size
+    (applicationSideScanSizeThreshold=10GB — correct at cluster scale,
+    never met by sf-scale test files), so the thresholds are scoped
+    down here to pin the capability and the conf names."""
+    import contextlib
+    import io
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        o = load_table(spark, SF_SMOKE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "l_quantity"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan          # fact-side probe injected
+        assert "bloom_filter_agg" in plan       # dim-side build aggregate
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
