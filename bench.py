@@ -109,6 +109,8 @@ BENCH_QUERIES = (
     "ref_calendar_gaps",
     "llm_curation_embedding",
     "stream_incremental_dedup",
+    "llm_semantic_clusters",
+    "ana_bloom_pruned_join",
 )
 
 

@@ -435,6 +435,38 @@ def semantic_dedup(
     oracle): over-cap clusters skip pairing — at real scale raise
     ``n_centroids`` ~ n/target instead (SemDeDup uses k ≈ √n).
     """
+    assigned, pairs = _semantic_assign_and_pairs(
+        corpus, threshold, n_centroids, id_col, vec_col,
+        train_sample_rows, max_cluster_size,
+    )
+    # greedy-by-id: a pair always has id_a < id_b, so the DROPPED side
+    # is the higher id — exactly 'some lower-id neighbor exists'
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (
+        assigned.select(F.col(id_col), "centroid")
+        .join(dropped.withColumn("__drop", F.lit(True)), id_col, "left")
+        .select(
+            id_col, "centroid",
+            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def _semantic_assign_and_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+    train_sample_rows: int,
+    max_cluster_size: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared by :func:`semantic_dedup` (greedy drop) and
+    :func:`semantic_near_dup_pairs` (pair report / transitive
+    clustering): deterministic k-means assignment plus the in-cluster
+    near-dup pairs ``(id_a < id_b, cosine)`` — narrow id rows ride the
+    pair shuffle, vectors join back only for scoring; over-cap clusters
+    skip pairing (skew guard)."""
     cent = train_centroids(corpus, n_centroids, id_col, vec_col,
                            train_sample_rows)
     # deterministic, so recomputing the assignment on each branch is
@@ -449,29 +481,45 @@ def semantic_dedup(
         .alias("a")
         .join(narrow.alias("b"),
               (F.col("a.centroid") == F.col("b.centroid"))
-              & (F.col("b.id") < F.col("a.id")))
+              & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
     )
     va = corpus.select(F.col(id_col).alias("id_a"),
                        F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("id_b"),
                        F.col(vec_col).alias("vb"))
-    dropped = (
+    pairs = (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .filter(F.round(cosine_blas("va", "vb"), 6) >= threshold)
-        .select(F.col("id_a").alias("id"))
-        .distinct()
-    )
-    return (
-        assigned.select(F.col(id_col), "centroid")
-        .join(dropped.withColumnRenamed("id", id_col)
-              .withColumn("__drop", F.lit(True)), id_col, "left")
         .select(
-            id_col, "centroid",
-            F.coalesce(~F.col("__drop"), F.lit(True)).alias("is_kept"),
+            "id_a", "id_b",
+            F.round(cosine_blas("va", "vb"), 6).alias("cosine"),
         )
+        .filter(F.col("cosine") >= threshold)
     )
+    return assigned, pairs
+
+
+def semantic_near_dup_pairs(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_rows: int = 65_536,
+    max_cluster_size: int | None = 4096,
+) -> DataFrame:
+    """In-cluster semantic near-dup pairs ``(id_a < id_b, cosine)`` —
+    the pair-report form of :func:`semantic_dedup`, and the edge list
+    for transitive semantic clustering (feed to
+    ``dedup.duplicate_clusters`` for the ε-ball-chaining variant the
+    greedy rule deliberately avoids)."""
+    _, pairs = _semantic_assign_and_pairs(
+        corpus, threshold, n_centroids, id_col, vec_col,
+        train_sample_rows, max_cluster_size,
+    )
+    return pairs
 
 
 def ivf_topk(

@@ -1494,3 +1494,67 @@ def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphans("customer", "c_nationkey", "nation",
                              "n_nationkey", "customer.c_nationkey"))
     )
+
+
+@register(
+    "ana_bloom_pruned_join",
+    """
+SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_orderkey
+""",
+    doc="selective dim filter -> fact join under RUNTIME BLOOM "
+        "FILTERING: the urgent-orders predicate builds a Bloom filter "
+        "that probes (`might_contain`) the lineitem scan BEFORE the "
+        "join exchange, so at 100 TB the fact side ships only rows "
+        "that can join (~20% here). Spark's size gates "
+        "(applicationSideScanSizeThreshold=10GB) never fire at test "
+        "scale, so the thresholds are scoped down for the build — at "
+        "cluster scale the defaults engage on their own; the oracle "
+        "proves the pruned plan returns the identical result. Plan "
+        "pinned in tests/test_plans.py; DECIMAL-exact sums",
+    tags=("analytics", "runtime-filter", "bloom", "scale"),
+)
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        out = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_qty"),
+            )
+        )
+        # force planning (bloom injection happens at optimization) while
+        # the scoped conf is live; the returned frame re-plans lazily
+        # under the restored session conf — at driver/test scale the
+        # result is identical either way (that is the point)
+        out.count()
+        return out
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)

@@ -799,6 +799,55 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_clusters_oracle_sql(threshold: float = 0.4,
+                                  max_cluster_size: int = 4096) -> str:
+    """llm_semantic_clusters oracle: the shared k-means chain, the
+    in-cluster pair SQL, then transitive closure as a recursive CTE
+    (the same reach-CTE shape as llm_dup_clusters' oracle)."""
+    ctes = _ivf_assign_ctes()
+    ctes.append(f"""sizes AS MATERIALIZED (
+  SELECT c FROM (SELECT c, COUNT(*) AS sz FROM ac GROUP BY c)
+  WHERE sz <= {max_cluster_size})""")
+    ctes.append(f"""prs AS MATERIALIZED (
+  SELECT a.neighbor_id AS id_a, b.neighbor_id AS id_b
+  FROM ac a
+  JOIN sizes s ON s.c = a.c
+  JOIN ac b ON b.c = a.c AND a.neighbor_id < b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {threshold})""")
+    ctes.append("""edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+           UNION ALL SELECT id_b, id_a FROM prs)""")
+    ctes.append("""reach(id, label) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + """
+SELECT id AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY id""")
+
+
+@register(
+    "llm_semantic_clusters",
+    _semantic_clusters_oracle_sql(),
+    doc="transitive semantic duplicate clusters: in-cluster cosine "
+        "pairs (similarity.semantic_near_dup_pairs — same k-means "
+        "chain as llm_semantic_dedup) fed to the iterative "
+        "connected-components operator (dedup.duplicate_clusters, "
+        "adaptive pointer jumping) — the ε-ball-CHAINING variant the "
+        "greedy rule deliberately avoids: near-dup chains a~b~c "
+        "collapse to one cluster even when cos(a,c) < τ. cluster_id = "
+        "min reachable vec_id; singletons keep themselves. Oracle = "
+        "k-means CTE chain + recursive reach CTE",
+    tags=("llm", "dedup", "similarity", "semantic", "graph"),
+)
+def q_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.semantic_near_dup_pairs(emb, dim=64, threshold=0.4)
+    return dedup.duplicate_clusters(
+        pairs.select("id_a", "id_b"), emb.select("vec_id"), id_col="vec_id"
+    )
+
+
 @register(
     "llm_dsir_weights",
     """
