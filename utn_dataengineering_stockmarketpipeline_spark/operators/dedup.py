@@ -502,13 +502,23 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     persisted, so no round re-shuffles it.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # The raw edge list is PERSISTED before anything derives from it:
+    # touched ids, the initial labels, and the final singleton anti-join
+    # all read it, and without the cache each of those actions re-runs
+    # the upstream pair generation (the LSH banding — the expensive
+    # part). touched is then eagerly checkpointed (it is only the node
+    # ids — tiny) so the lazy `singles` tail returned to the caller
+    # never recomputes pair generation after edges_raw is released.
     edges_raw = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    touched = (
+        edges_raw.select(F.col("src").alias("id")).distinct().localCheckpoint()
     )
-    touched = edges_raw.select(F.col("src").alias("id")).distinct()
-    # labels materialize HERE — upstream pair generation (LSH etc.) runs
-    # at the session's partitioning; only the iteration below is scoped.
-    labels = touched.select("id", F.col("id").alias("label")).localCheckpoint()
+    # labels derive from the checkpointed touched ids — upstream pair
+    # generation (LSH etc.) runs at the session's partitioning; only
+    # the iteration below is scoped.
+    labels = touched.select("id", F.col("id").alias("label"))
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = prev_sum is None  # no edges at all: everything a singleton
 
@@ -520,11 +530,14 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     # real scale the need exceeds the session value and this is a no-op.
     spark = pairs.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_touched = labels.count()
+    n_touched = touched.count()
     loop_parts = max(4, min(session_parts, -(-n_touched // 50_000)))
     # one-time layout: edges by dst, labels by id, both at loop width —
     # the per-round join is then co-partitioned with NO new exchange
     edges = edges_raw.repartition(loop_parts, "dst").persist()
+    if not converged:
+        edges.count()  # materialize from the raw cache, then release it
+    edges_raw.unpersist()
     labels = labels.repartition(loop_parts, "id")
     rounds_run = 0
     for it in range(max_iters):
