@@ -341,20 +341,24 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     import contextlib
     import io
 
+    from utn_dataengineering_stockmarketpipeline_spark.plans.confscope import (
+        scoped_sql_conf,
+    )
     from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
         load_table,
     )
 
-    scoped = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in scoped}
-    try:
-        for k, v in scoped.items():
-            spark.conf.set(k, v)
+    with scoped_sql_conf(
+        spark,
+        **{
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
         li = load_table(spark, SF_SMOKE, "lineitem")
         o = load_table(spark, SF_SMOKE, "orders").filter(
             F.col("o_orderpriority") == "1-URGENT"
@@ -368,9 +372,3 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         plan = buf.getvalue()
         assert "might_contain" in plan          # fact-side probe injected
         assert "bloom_filter_agg" in plan       # dim-side build aggregate
-    finally:
-        for k, old in saved.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)

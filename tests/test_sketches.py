@@ -52,7 +52,12 @@ def test_sketches_self_audit_columns_within_bounds(spark):
     for r in rows:
         assert r["users_within_bounds"] is True, r
         assert r["quantiles_within_bounds"] is True, r
-        assert r["users_rel_err"] <= 0.06
+        # Assert the SAME bound the query emits (max(3, 6%) absolute) —
+        # a bare rel-err gate is stricter than the contract for small
+        # groups (exact_users < 50) and fragile to data/SF changes.
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.06 * r["exact_users"]
+        ), r
     exact = {
         r["event_type"]: r["exact_users"]
         for r in CATALOG["ana_sketches_exact"].build(spark, SF_SMOKE).collect()

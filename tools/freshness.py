@@ -26,7 +26,7 @@ def main() -> None:
 
     latest: dict[str, int] = {}
     root = Path(__file__).resolve().parent.parent
-    for f in sorted(glob.glob(str(root / "CORRECTNESS_r0*.json"))):
+    for f in sorted(glob.glob(str(root / "CORRECTNESS_r*.json"))):
         r = int(re.search(r"r0?(\d+)", Path(f).name).group(1))
         for k in json.load(open(f)):
             latest[k] = max(latest.get(k, 0), r)

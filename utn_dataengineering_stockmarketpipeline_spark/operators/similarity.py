@@ -304,6 +304,19 @@ def lsh_topk(
 #: here and list_sum in the DuckDB oracle (~1e-13) cannot flip an
 #: assignment — the same discipline that made the sign-LSH bucket ids
 #: an exact identity.
+#:
+#: Half-boundary assumption (documented per ADVICE r8): np.round is
+#: round-half-to-even while DuckDB's round() is half-away-from-zero, so
+#: the identity additionally assumes no similarity/centroid component
+#: lands EXACTLY on a half at the rounded digit (x * 10^6 == n + 0.5
+#: exactly in float64). The inputs are products/sums of 7-dp-quantized
+#: float64 values whose binary expansions do not terminate at the 6th
+#: decimal, so an exact representable half requires the accumulated
+#: product to hit one of ~2^-52-measure points — it cannot arise from
+#: drift (drift is ~1e-13, the boundary gap for a flip is 0.5e-6) and
+#: would require the dataset to be adversarially constructed. A
+#: mode-stable formula (floor(x*1e6+0.5)/1e6 on all three engines)
+#: remains the escape hatch if a future dataset ever trips this.
 IVF_ROUND_VEC = 7
 IVF_ROUND_SIM = 6
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..sources.parquet import load_table
 from .catalog import register
+from .confscope import scoped_sql_conf
 
 
 def _dsum(col, scale: int = 2):
@@ -1518,18 +1519,17 @@ GROUP BY l.l_orderkey
     tags=("analytics", "runtime-filter", "bloom", "scale"),
 )
 def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scoped = {
-        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
-            "100MB",
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold": "0",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
-    saved = {k: spark.conf.get(k, None) for k in scoped}
-    for k, v in scoped.items():
-        spark.conf.set(k, v)
-    try:
+    with scoped_sql_conf(
+        spark,
+        **{
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "creationSideThreshold": "100MB",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_quantity"
         )
@@ -1546,15 +1546,10 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("total_qty"),
             )
         )
-        # force planning (bloom injection happens at optimization) while
-        # the scoped conf is live; the returned frame re-plans lazily
-        # under the restored session conf — at driver/test scale the
-        # result is identical either way (that is the point)
-        out.count()
-        return out
-    finally:
-        for k, old in saved.items():
-            if old is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, old)
+        # Materialize WHILE the scoped confs are live: bloom injection
+        # happens at optimization, and a lazy frame returned out of the
+        # scope would re-plan (broadcast, no bloom) at consumption — so
+        # every downstream consumer (oracle collect, bench timing) must
+        # read the checkpointed blocks the pruned plan produced. Eager
+        # localCheckpoint runs the plan exactly once (no double exec).
+        return out.localCheckpoint(eager=True)

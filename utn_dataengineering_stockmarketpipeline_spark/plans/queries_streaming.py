@@ -18,34 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .catalog import register
+from .confscope import scoped_sql_conf
 
 def _scoped_conf(spark: SparkSession, **settings: str):
-    """Context manager: set session confs, restore originals on exit.
-
-    Catalog queries must not leak conf changes into the session — e.g.
-    ``spark.sql.legacy.parquet.nanosAsLong`` changes how *batch* reads
-    of events.parquet parse ``ts``, so a leaked set would make later
-    batch queries depend on driver iteration order. Every conf touched
-    here is restored (or unset, if it had no prior value).
+    """Context manager: set session confs, restore originals on exit
+    (shared helper — see :mod:`..plans.confscope` for the leak/race
+    rationale). E.g. ``spark.sql.legacy.parquet.nanosAsLong`` changes
+    how *batch* reads of events.parquet parse ``ts``, so a leaked set
+    would make later batch queries depend on driver iteration order.
     """
-    import contextlib
-
-    @contextlib.contextmanager
-    def guard():
-        saved: dict[str, str | None] = {}
-        for key, val in settings.items():
-            saved[key] = spark.conf.get(key, None)
-            spark.conf.set(key, val)
-        try:
-            yield
-        finally:
-            for key, old in saved.items():
-                if old is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, old)
-
-    return guard()
+    return scoped_sql_conf(spark, **settings)
 
 
 def _capped_state_partitions(spark: SparkSession, n: int = 32):
