@@ -52,69 +52,21 @@ def _load_all() -> None:
 # Driver-window rotation policy
 # -----------------------------
 # The driver's per-round correctness check covers the FIRST 50 queries in
-# catalog iteration order.  With 96 registered queries, ordering is part
+# catalog iteration order.  With 137+ registered queries, ordering is part
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-8 rotation:
-#   1. the 29 queries whose freshest driver row is r5 (three rounds
-#      stale after r8 — all green in every local oracle run since, but
-#      the driver row is the hard signal). Includes llm_ann_ivf_topk,
-#      converted rows-only -> exact oracle this round.
-#   2. the queries whose BEHAVIOR changed this round and need fresh
-#      rows proving the change: ref_table_diff (null-key classification
-#      by hash presence), llm_bm25_scores (query-term multiplicity),
-#      the two sign-LSH rows (quantized sign decision), the three
-#      CC dependents + pagerank (per-plan loop shuffle width),
-#   3. (pin) new round-8 registrations slot in here,
-#   4. r6-green fill — the window tail re-proves as many r6 rows as
-#      fit after blocks 1-3,
-#   5. tail: r6 remainder, then the r7-green set (freshest evidence).
+# Round-9 rotation (freshness after r8: r6×45 / r7×42 / r8×50):
+#   1. the 45 queries whose freshest driver row is r6 — the entire
+#      oldest cohort (tools/freshness.py names them; all green in every
+#      local oracle run since, but the driver row is the hard signal),
+#   2. (pin) new round-9 registrations slot in here — with 5 new
+#      queries the window is exactly 45 + 5 = 50,
+#   3. tail: the r7-green set, then the r8-green set (freshest
+#      evidence, safely outside the window until the next rotation).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 1: r5-stale (29 — the whole backlog; freshest driver row two rounds old) --
-    "ana_big_orders",
-    "ana_funnel_conversion",
-    "ana_important_parts",
-    "ana_min_cost_supplier",
-    "ana_retention_cohorts",
-    "ana_sole_late_supplier",
-    "join_asof_next_price",
-    "join_asof_price_at_ship",
-    "join_ffill_calendar",
-    "join_interval_promo_overlap",
-    "join_range_price_bands",
-    "llm_ann_ivf_topk",
-    "llm_cosine_topk",
-    "llm_doc_chunks",
-    "llm_doc_fingerprint",
-    "llm_doc_profile",
-    "llm_embedding_near_dup",
-    "llm_embedding_norms",
-    "llm_embedding_quantize",
-    "llm_lang_id",
-    "llm_pii_scrub",
-    "llm_repetition_ratio",
-    "llm_sample_k_per_stratum",
-    "llm_source_mix",
-    "llm_stratified_sample",
-    "llm_tfidf_top_terms",
-    "llm_winnowing_fingerprints",
-    "stream_dedup_events",
-    "stream_stateful_totals",
-    # -- block 2: round-8 behavior changes (table_diff hash-presence classification; bm25 multiplicity; quantized LSH sign; per-plan loop width in CC/pagerank dependents) --
-    "ref_table_diff",
-    "llm_bm25_scores",
-    "llm_embedding_near_dup_lsh",
-    "llm_ann_lsh_topk",
-    "llm_dup_clusters",
-    "llm_dedup_keep_one",
-    "llm_curation_pipeline",
-    "ana_pagerank_suppliers",
-    # -- block 3: r6-green fill — window tail refreshes what fits after new registrations slot in at the pin --
-    "ana_data_profile",
-    "ana_distinct_users_salted",
-    "ana_events_hourly",
-    "ana_first_touch",
+    # -- block 1: r6-stale (45 — the whole oldest cohort, exactly the
+    #    set tools/freshness.py names after r8) --
     "ana_lapsed_customers",
     "ana_lead_lag",
     "ana_order_priority",
@@ -122,7 +74,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_price_histogram",
     "ana_pricing_summary",
     "ana_region_revenue",
-    # -- block 4: r6-green remainder (next rotation's fill) --
     "ana_rollup_volume",
     "ana_set_ops",
     "ana_top_customers",
@@ -161,7 +112,60 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "stream_purchase_error_join",
     "stream_sliding_counts",
     "stream_user_sessions",
-    # -- block 5: r7-green tail (freshest evidence, safely outside) --
+    # -- block 3: r7-green tail --
+    "ana_big_orders",
+    "ana_funnel_conversion",
+    "ana_important_parts",
+    "ana_min_cost_supplier",
+    "ana_retention_cohorts",
+    "ana_sole_late_supplier",
+    "join_asof_next_price",
+    "join_asof_price_at_ship",
+    "join_ffill_calendar",
+    "join_interval_promo_overlap",
+    "join_range_price_bands",
+    "llm_ann_ivf_topk",
+    "llm_cosine_topk",
+    "llm_doc_chunks",
+    "llm_doc_fingerprint",
+    "llm_doc_profile",
+    "llm_embedding_near_dup",
+    "llm_embedding_norms",
+    "llm_embedding_quantize",
+    "llm_lang_id",
+    "llm_pii_scrub",
+    "llm_repetition_ratio",
+    "llm_sample_k_per_stratum",
+    "llm_source_mix",
+    "llm_stratified_sample",
+    "llm_tfidf_top_terms",
+    "llm_winnowing_fingerprints",
+    "stream_dedup_events",
+    "stream_stateful_totals",
+    "ref_table_diff",
+    "llm_bm25_scores",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_dup_clusters",
+    "llm_dedup_keep_one",
+    "llm_curation_pipeline",
+    "ana_pagerank_suppliers",
+    # -- block 4: r8-green tail (freshest evidence, safely outside;
+    #    includes the 9 round-8 registrations, listed explicitly so the
+    #    unlisted pin catches ONLY genuinely-new round-9 queries) --
+    "ana_data_profile",
+    "ana_distinct_users_salted",
+    "ana_events_hourly",
+    "ana_first_touch",
+    "ref_calendar_gaps",
+    "ana_sketches_exact",
+    "ana_bloom_pruned_join",
+    "llm_semantic_dedup",
+    "llm_semantic_clusters",
+    "llm_dsir_weights",
+    "llm_curation_embedding",
+    "llm_doc_chunks_udtf",
+    "stream_incremental_dedup",
     "ana_approx_sketches",
     "ana_chi_square_lang_source",
     "ana_cube_returns",
@@ -209,7 +213,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
 
 # New (unlisted) queries slot in after the must-verify head: the
 # r2-stale block + this round's behavior changes.
-_WINDOW_PIN = 37
+_WINDOW_PIN = 45
 
 
 def _apply_driver_order() -> None:
