@@ -82,9 +82,18 @@ def perm_hash(h31: Column, a: int, b: int) -> Column:
 # (M31-1)*B + M31 < 2^62 keeps every fold step exact in int64.
 SHINGLE_B = 1_000_003
 
+# Second independent fold (modulus, base) for consumers needing a wider
+# shingle identity than 31 bits: substring dedup joins on BOTH folds —
+# a 62-bit combined identity, so spurious gram matches fall from
+# n²/2^31 (measurable at sf0.1: ~14 false pairs over 225k grams) to
+# n²/2^62 (negligible at any achievable corpus size). Both primes stay
+# below 2^31 so every fold step is int64-exact on Spark AND DuckDB.
+M31_2 = 2_147_483_629
+SHINGLE_B2 = 1_000_033
+
 
 def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id",
-                      k: int = 3):
+                      k: int = 3, dual: bool = False):
     """(id, pos, h): one 31-bit hash per word k-shingle, AS ROWS.
 
     The fast path for shingle-hash consumers (MinHash, winnowing):
@@ -97,6 +106,13 @@ def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id",
     One shuffle on (id) for the window; downstream per-id aggregations
     reuse that partitioning (no second exchange). Documents with < k
     tokens emit one hash folding all their tokens (position 0).
+
+    ``dual=True`` adds a second fold column ``h2`` over the SAME token
+    hashes with (SHINGLE_B2, M31_2) — consumers that join on (h, h2)
+    get a 62-bit combined shingle identity (substring dedup needs it;
+    MinHash keeps the single 31-bit fold its permutation family
+    requires). The leads are shared between the folds, so the extra
+    cost is k-1 multiply-adds per position, no second window pass.
     """
     from pyspark.sql import Window
 
@@ -106,21 +122,26 @@ def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id",
     w = Window.partitionBy(id_col).orderBy("pos")
     n = F.count(F.lit(1)).over(Window.partitionBy(id_col))
 
-    def compose(m: int) -> Column:
+    def compose(m: int, base: int = SHINGLE_B, mod: int = M31) -> Column:
         h = F.col("th")
         for j in range(1, m):
-            h = (h * F.lit(SHINGLE_B) + F.lead("th", j).over(w)) % F.lit(M31)
+            h = (h * F.lit(base) + F.lead("th", j).over(w)) % F.lit(mod)
         return h
 
-    h_expr = compose(k)
-    for m in range(k - 1, 0, -1):  # short docs: fold exactly n tokens
-        h_expr = F.when(F.col("__n") == m, compose(m)).otherwise(h_expr)
+    def guarded(base: int, mod: int) -> Column:
+        h_expr = compose(k, base, mod)
+        for m in range(k - 1, 0, -1):  # short docs: fold exactly n tokens
+            h_expr = F.when(F.col("__n") == m, compose(m, base, mod)).otherwise(
+                h_expr
+            )
+        return h_expr
+
     keep = (F.col("pos") <= F.col("__n") - k) | (
         (F.col("__n") < k) & (F.col("pos") == 0)
     )
-    return (
-        toks.withColumn("__n", n)
-        .withColumn("h", h_expr)
-        .filter(keep)
-        .select(F.col(id_col), "pos", "h")
-    )
+    out = toks.withColumn("__n", n).withColumn("h", guarded(SHINGLE_B, M31))
+    cols = [F.col(id_col), "pos", "h"]
+    if dual:
+        out = out.withColumn("h2", guarded(SHINGLE_B2, M31_2))
+        cols.append("h2")
+    return out.filter(keep).select(*cols)

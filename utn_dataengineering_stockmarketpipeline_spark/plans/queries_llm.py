@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import M31, SHINGLE_B, perm_seeds
+from ..functions.hashing import M31, M31_2, SHINGLE_B, SHINGLE_B2, perm_seeds
 from ..operators import dedup, similarity, text
 from ..sources.parquet import load_table
 from .catalog import register
@@ -38,10 +38,10 @@ _SIMHASH_BITS = 16
 _TH = f"list_transform({_TOKS}, t -> {_h60('t')} % {M31})"
 
 
-def _fold(elems: list[str]) -> str:
+def _fold(elems: list[str], base: int = SHINGLE_B, mod: int = M31) -> str:
     acc = None
     for e in elems:
-        acc = e if acc is None else f"(({acc}) * {SHINGLE_B} + {e}) % {M31}"
+        acc = e if acc is None else f"(({acc}) * {base} + {e}) % {mod}"
     return acc
 
 
@@ -243,6 +243,65 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.2
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+# --- exact substring dedup ---------------------------------------------------
+
+_SUB_K = 8
+
+
+def _fold_at(i_expr: str, k: int, base: int = SHINGLE_B,
+             mod: int = M31) -> str:
+    """Polynomial fold of th[i .. i+k-1] — the k-gram hash at 1-based
+    list position ``i_expr`` (mirror of hashing.shingle_hash_rows)."""
+    return _fold([f"th[{i_expr}+{j}]" if j else f"th[{i_expr}]"
+                  for j in range(k)], base, mod)
+
+
+@register(
+    "llm_substring_dedup",
+    f"""
+WITH tok AS (SELECT doc_id, {_TH} AS th FROM documents),
+gl AS (SELECT doc_id,
+              list_transform(generate_series(1, len(th) - {_SUB_K - 1}),
+                             i -> {_fold_at('i', _SUB_K)}) AS gs,
+              list_transform(generate_series(1, len(th) - {_SUB_K - 1}),
+                             i -> {_fold_at('i', _SUB_K, SHINGLE_B2, M31_2)}
+                             ) AS gs2
+       FROM tok WHERE len(th) >= {_SUB_K}),
+g0 AS (SELECT doc_id, pos - 1 AS pos, gs[pos] AS h, gs2[pos] AS h2
+       FROM gl, UNNEST(generate_series(1, len(gs))) AS u(pos)),
+ok AS (SELECT h, h2 FROM g0 GROUP BY h, h2
+       HAVING COUNT(*) <= {dedup.DEFAULT_MAX_BUCKET_SIZE}),
+g AS (SELECT g0.doc_id, g0.pos, g0.h, g0.h2 FROM g0 JOIN ok USING (h, h2)),
+m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM g a JOIN g b ON a.h = b.h AND a.h2 = b.h2
+                       AND a.doc_id < b.doc_id),
+runs AS (SELECT id_a, id_b, diag, pos_a,
+                pos_a - ROW_NUMBER() OVER (
+                  PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+         FROM m),
+spans AS (SELECT id_a, id_b, diag, island, COUNT(*) AS run_len
+          FROM runs GROUP BY id_a, id_b, diag, island)
+SELECT id_a, id_b,
+       CAST(SUM(run_len) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST({_SUB_K - 1} + MAX(run_len) AS BIGINT) AS max_span_tokens
+FROM spans GROUP BY id_a, id_b
+""",
+    doc="exact substring dedup (Lee et al. '21): pairs sharing a "
+        f"verbatim >= {_SUB_K}-token span, with the exact longest-span "
+        "length via diagonal run detection over positioned k-gram hash "
+        "matches — the dedup mode MinHash misses (a long verbatim "
+        "passage inside otherwise-different docs); frequency-capped "
+        "grams mirror the LSH skew guard",
+    tags=("llm", "dedup", "substring", "exact"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_duplicate_pairs(
+        load_table(spark, sf_dir, "documents"), k=_SUB_K
     )
 
 
