@@ -38,17 +38,70 @@ def test_non_convergence_raises_not_silent(spark):
     import pytest
 
     ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
-    # 0-1-2-...-11 path: diameter 11, needs more than 2 rounds
+    # 0-1-2-...-11 path: diameter 11, needs more than 1 round; a
+    # 1-round budget exhausts before the round-2 contraction attempt
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, ids, max_iters=2)
+        duplicate_clusters(pairs, ids, max_iters=1)
 
     # and with budget it converges to one cluster
     out = duplicate_clusters(pairs, ids, max_iters=25)
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(12)}
+
+
+def test_over_cap_contraction_falls_back_to_jump_loop(spark, monkeypatch):
+    """When the contracted supergraph exceeds DRIVER_CLOSURE_CAP the
+    driver closure must decline and the distributed jump loop finish
+    the components — same answer, no bounded-collect blowup."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+
+    monkeypatch.setattr(dedup, "DRIVER_CLOSURE_CAP", 3)
+    n = 60
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    st: dict = {}
+    out = dedup.duplicate_clusters(pairs, ids, stats=st)
+    got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert st["contracted_edges"] is None  # closure never fired
+    assert st["rounds"] > 2                # the jump loop did the work
+
+
+def test_contraction_closure_matches_jump_loop(spark, monkeypatch):
+    """Driver closure and pure iteration must produce identical labels
+    on a graph deep enough that contraction actually fires."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+
+    n = 40
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # two disjoint paths: 0..19 and 20..39
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)]
+        + [(i, i + 1) for i in range(20, 39)],
+        "id_a long, id_b long",
+    )
+    st_c: dict = {}
+    with_closure = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, ids, stats=st_c).collect()
+    }
+    assert st_c["contracted_edges"] is not None
+    monkeypatch.setattr(dedup, "CONTRACT_START_ROUND", 10_000)
+    st_j: dict = {}
+    pure_jump = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, ids, stats=st_j).collect()
+    }
+    assert st_j["contracted_edges"] is None
+    assert with_closure == pure_jump
+    assert with_closure == {
+        **{i: 0 for i in range(20)}, **{i: 20 for i in range(20, 40)}
+    }
 
 
 def test_keep_one_per_cluster_action(spark):

@@ -441,14 +441,27 @@ def embedding_near_dup_pairs_lsh(
 
 
 #: First round index on which duplicate_clusters applies the pointer
-#: jump. LSH bucket expansion emits cliques/stars plus short variant
-#: chains — graphs that converge within ~4 plain propagation rounds
-#: (measured on the sf0.1 minhash graph: 4 rounds, jump or not) and
-#: never pay the jump's extra self-join. Graphs that are still moving
-#: after 4 rounds have proven deep; they engage the jump and keep the
-#: O(log diameter) bound (a 200-node path converges in ~12 rounds
-#: against the 25-round budget).
-JUMP_START_ROUND = 4
+#: jump: a graph still moving after two propagation rounds has proven
+#: deeper than the cliques/stars LSH bucket expansion usually emits,
+#: so every later round jumps, keeping the O(log diameter) bound.
+#: Shallow graphs (diameter 1-2) converge first and pay zero jump
+#: joins (r7 measured the always-jump variant at 2.3x the deferred
+#: one on the sf0.1 graph).
+JUMP_START_ROUND = 2
+
+#: First round after which duplicate_clusters attempts TWO-PHASE
+#: CONTRACTION (finish the label supergraph driver-side; see the loop
+#: body). Two rounds collapse the LSH clique/star bulk; the contracted
+#: remainder is then usually a handful of straggler chains.
+CONTRACT_START_ROUND = 2
+
+#: Max contracted (label, label) supergraph edges the driver-side
+#: union-find closure accepts. A bounded LIMIT cap+1 collect — never an
+#: unbounded pull; 500k 16-byte pairs is ~8 MB driver memory and a
+#: sub-second closure. Over the cap the distributed jump loop simply
+#: continues (the 100 TB early rounds), retrying 3 rounds later
+#: against a geometrically smaller supergraph.
+DRIVER_CLOSURE_CAP = 500_000
 
 
 def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
@@ -460,27 +473,27 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     pairwise LSH output into "keep one doc per duplicate group".
 
     Iterative min-label propagation WITH ADAPTIVE pointer jumping: each
-    round every node takes the min of its own and its neighbors'
-    labels; from round ``JUMP_START_ROUND`` onward the round also
-    compresses paths by adopting its label's label (l(u) <- l(l(u))).
-    The jump keeps convergence O(log diameter) — a 10x-replicated
-    corpus whose variant chains form paths of length ~40 finishes in
-    ~8 rounds where plain propagation blew the 25-round budget — but
-    it is an extra (long, long) self-join per round, pure overhead on
-    the SHALLOW graphs LSH actually emits (in-bucket pair expansion
-    yields cliques/stars of diameter 1-2 that converge in 2 rounds).
-    Deferring the jump past the rounds shallow graphs need makes the
-    common case pay zero jump joins while deep chains keep the
-    logarithmic bound (measured r7 on the sf0.1 graph: the always-jump
-    iteration took 5.98 s where deferred took 2.57 s at identical round
-    count — the jump was pure overhead there; a 200-node path still
-    converges in ~12 of the 25 budgeted rounds). ``localCheckpoint`` truncates
-    the growing plan per round. Convergence detected via the
-    strictly-decreasing label sum — one scalar action per round, no
-    full-frame comparison; a stagnant sum on ANY round variant means
-    the propagation map changed nothing, which is exactly the
-    propagation fixpoint (labels constant along every path = component
-    min), so correctness is independent of when jumps run.
+    sub-round every node takes the min of its own and its neighbors'
+    labels; from sub-round ``JUMP_START_ROUND`` onward (= once the
+    first super-round's decay check shows the graph is still moving)
+    each sub-round also compresses paths by adopting its label's label
+    (l(u) <- l(l(u))). The jump keeps convergence O(log diameter) — a
+    10x-replicated corpus whose variant chains form paths of length ~40
+    finishes in ~8 sub-rounds where plain propagation blew the 25-round
+    budget — but it is an extra (long, long) self-join per sub-round,
+    pure overhead on the SHALLOW graphs LSH actually emits (in-bucket
+    pair expansion yields cliques/stars of diameter 1-2 that converge
+    inside the first super-round and pay zero jump joins; r7 measured
+    always-jump at 2.3x deferred there). Sub-rounds run in fused
+    SUPER-ROUNDS of two: one ``localCheckpoint`` (plan truncation) and
+    one convergence action per super-round, halving the per-round job
+    fixed cost that dominated the r8 10x scale evidence. Convergence
+    detected via the strictly-decreasing label sum — labels only ever
+    decrease, so a sum stagnant across a whole super-round means no
+    sub-step changed anything, which is exactly the propagation
+    fixpoint (labels constant along every path = component min);
+    correctness is independent of when jumps run, at worst one no-op
+    overshoot sub-step after the true fixpoint.
 
     Singletons (ids with no pairs) keep themselves as cluster_id and —
     crucially for corpus scale — never enter the iteration: on a real
@@ -539,7 +552,17 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
         edges.count()  # materialize from the raw cache, then release it
     edges_raw.unpersist()
     labels = labels.repartition(loop_parts, "id")
+    # Per-round fixed cost (job scheduling + checkpoint + convergence
+    # action) dominated the 10x scale evidence in r8 (13 rounds = 13
+    # eager-checkpoint jobs + 13 sum jobs). One job per round instead:
+    # a LAZY localCheckpoint materializes inside the convergence-sum
+    # action, so plan truncation and the scalar check share a single
+    # job. (Fusing two propagation rounds per checkpoint was tried and
+    # is SLOWER: the un-materialized sub-step frame is referenced twice
+    # — by the next join and its own aggregate — so Catalyst re-executes
+    # the diamond's whole subtree.)
     rounds_run = 0
+    contracted_edges = None
     for it in range(max_iters):
         if converged:
             break
@@ -570,7 +593,7 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             parent = merged.select(
                 F.col("id").alias("p_id"), F.col("label").alias("p_label")
             )
-            labels = (
+            merged = (
                 merged.repartition(loop_parts, "label")
                 .join(
                     parent.repartition(loop_parts, "p_id"),
@@ -578,20 +601,90 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                 )
                 .select("id", F.col("p_label").alias("label"))
                 .repartition(loop_parts, "id")
-                .localCheckpoint()
             )
-        else:
-            labels = merged.localCheckpoint()
+        labels = merged.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # labels only decrease; fixpoint
             converged = True
         prev_sum = cur_sum
+        if not converged and (it + 1 - CONTRACT_START_ROUND) % 3 == 0 \
+                and it + 1 >= CONTRACT_START_ROUND:
+            # TWO-PHASE CONTRACTION — the round-count killer. A few
+            # propagation rounds collapse the clique/star bulk, after
+            # which the convergence tail is a handful of straggler
+            # chains: r8 measured 13 rounds on the 10x LSH graph, of
+            # which rounds 5-12 moved <2% of the label mass. Contract
+            # the graph to LABEL level: the distinct cross-label edges
+            # (l(u), l(v)) form a supergraph whose components are the
+            # unresolved remainder — tiny once the bulk has collapsed
+            # (every production CC finishes small remainders centrally:
+            # GraphX, GBBS). If it fits DRIVER_CLOSURE_CAP, finish with
+            # a min-root union-find and broadcast the root map back —
+            # one bounded collect instead of O(log diameter) more
+            # rounds. Over the cap (early rounds at real scale), the
+            # jump loop continues and the attempt retries 3 rounds
+            # later against a geometrically smaller supergraph.
+            #
+            # Exactness: labels only ever decrease and start as own
+            # ids, so the component-min node m always keeps label m
+            # (l(m) <= m, and l(m) is an id of the component, all >= m).
+            # Labels absent from the supergraph are therefore already
+            # final; for the rest, the union-find's min root IS the
+            # component min. Identical output to full propagation.
+            ls = labels.select(
+                F.col("id").alias("src"), F.col("label").alias("l_src")
+            )
+            ld = labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("l_dst")
+            )
+            super_edges = (
+                edges.join(ld, "dst")
+                .join(ls, "src")
+                .filter(F.col("l_src") != F.col("l_dst"))
+                .select("l_src", "l_dst")
+                .distinct()
+            )
+            rows = super_edges.limit(DRIVER_CLOSURE_CAP + 1).collect()
+            if len(rows) <= DRIVER_CLOSURE_CAP:
+                parent_uf: dict[int, int] = {}
+
+                def find(x: int) -> int:
+                    root = x
+                    while parent_uf.get(root, root) != root:
+                        root = parent_uf[root]
+                    while parent_uf.get(x, x) != x:  # path compression
+                        parent_uf[x], x = root, parent_uf[x]
+                    return root
+
+                for r in rows:
+                    ra, rb = find(r["l_src"]), find(r["l_dst"])
+                    if ra != rb:  # min root wins: roots are doc ids
+                        if ra < rb:
+                            parent_uf[rb] = ra
+                        else:
+                            parent_uf[ra] = rb
+                remap = sorted(
+                    {v for r in rows for v in (r["l_src"], r["l_dst"])}
+                )
+                map_df = spark.createDataFrame(
+                    [(lbl, find(lbl)) for lbl in remap],
+                    "label long, root long",
+                )
+                labels = labels.join(
+                    F.broadcast(map_df), "label", "left"
+                ).select(
+                    "id", F.coalesce("root", "label").alias("label")
+                ).localCheckpoint()
+                contracted_edges = len(rows)
+                converged = True
     edges.unpersist()
     if stats is not None:
         # observability out-param (bench scale evidence): how many
-        # propagation rounds ran and at what scoped width
+        # propagation rounds ran, at what scoped width, and whether
+        # driver closure finished the tail (supergraph size if so)
         stats.update(
             rounds=rounds_run, n_touched=n_touched, loop_parts=loop_parts,
+            contracted_edges=contracted_edges,
         )
     if not converged:
         # Truncated propagation would silently hand downstream "keep one
