@@ -101,6 +101,153 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- deterministic BPE tokenizer ---------------------------------------------
+#
+# Real subword counting for packing/budget arithmetic (the whitespace
+# and regex counts above stay as cheap estimators). Split in the
+# standard way: TRAIN on a bounded distinct-word frequency table
+# (train_bpe — deterministic, driver-side, capped like every bounded
+# collect in this repo), APPLY distributed via a broadcast-able merge
+# table of (2-char pair -> 1-char symbol) rules.
+#
+# Encoding applies each rule exhaustively in rank order with plain
+# string replace(). That equals classic lowest-rank-first BPE encoding:
+# a later rule's output symbol cannot appear inside an earlier rule's
+# pair (the symbol did not exist when the earlier rule was learned), so
+# applying rule i exhaustively can never create a new site for rule
+# j < i — and replace() is leftmost-non-overlapping, matching BPE's
+# leftmost merge. Single-char symbols keep every rule a 2-char search,
+# so the whole encoder is a chain of codegen'd replaces: zero shuffle,
+# zero Python, and the DuckDB oracle replays it with the identical
+# replace() semantics.
+
+#: Fixed merge table for the catalog query — the artifact a real
+#: pipeline ships alongside the tokenizer (GPT-2's vocab.bpe): the
+#: output of train_bpe(documents@sf0.01, n_merges=24), embedded so the
+#: DuckDB oracle can replay encoding as static SQL.
+#: tests/test_bpe.py re-trains and asserts this table byte-for-byte.
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("er", "A"), ("in", "B"), ("ow", "C"), ("or", "D"), ("st", "E"),
+    ("mA", "F"), ("at", "G"), ("lu", "H"), ("ar", "I"), ("pI", "J"),
+    ("jo", "K"), ("KB", "L"), ("as", "M"), ("Mh", "N"), ("hN", "O"),
+    ("rC", "P"), ("Gc", "Q"), ("Qh", "R"), ("bR", "S"), ("an", "T"),
+    ("cT", "U"), ("sU", "V"), ("Eo", "W"), ("Hm", "X"),
+)
+
+#: Merge symbols assigned in training order; disjoint from the corpus
+#: alphabet (lowercase words) by construction — train_bpe raises if an
+#: input word ever contains one.
+BPE_SYMBOLS = tuple("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789")
+
+#: Bound on the distinct-word vocabulary train_bpe collects. Raises
+#: past it (never an unbounded pull): BPE training is sample-based in
+#: every real pipeline, and 100k (word, count) rows is ~2 MB.
+MAX_BPE_VOCAB_ROWS = 100_000
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              n_merges: int = 24) -> tuple[tuple[str, str], ...]:
+    """Deterministic BPE training (Sennrich et al. '16): iteratively
+    merge the most frequent adjacent symbol pair over the corpus's
+    distinct-word frequency table; ties break to the lexicographically
+    smallest pair, so every run and engine learns the identical table.
+
+    The distributed part is the word-frequency aggregation (one
+    map-side-combined groupBy); the merge loop runs driver-side over
+    the BOUNDED distinct vocabulary (MAX_BPE_VOCAB_ROWS, raises past
+    it) — the standard train-on-sample / apply-at-scale split.
+    """
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(MAX_BPE_VOCAB_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_BPE_VOCAB_ROWS:
+        raise ValueError(
+            f"train_bpe: distinct vocabulary exceeds "
+            f"MAX_BPE_VOCAB_ROWS={MAX_BPE_VOCAB_ROWS}; train on a "
+            f"sampled subset of the corpus instead."
+        )
+    sym_set = set(BPE_SYMBOLS)
+    vocab: dict[tuple[str, ...], int] = {}
+    for r in rows:
+        if set(r["w"]) & sym_set:
+            raise ValueError(
+                f"train_bpe: word {r['w']!r} collides with the merge "
+                f"symbol alphabet; remap BPE_SYMBOLS for this corpus."
+            )
+        vocab[tuple(r["w"])] = vocab.get(tuple(r["w"]), 0) + r["c"]
+    if n_merges > len(BPE_SYMBOLS):
+        raise ValueError("n_merges exceeds the merge symbol alphabet")
+
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for word, c in vocab.items():
+            for j in range(len(word) - 1):
+                p = (word[j], word[j + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        top = max(pair_counts.values())
+        best = min(p for p, c in pair_counts.items() if c == top)
+        sym = BPE_SYMBOLS[i]
+        merges.append((best[0] + best[1], sym))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for word, c in vocab.items():
+            out: list[str] = []
+            j = 0
+            while j < len(word):
+                if j + 1 < len(word) and (word[j], word[j + 1]) == best:
+                    out.append(sym)
+                    j += 2
+                else:
+                    out.append(word[j])
+                    j += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return tuple(merges)
+
+
+def bpe_encode(col: Column | str,
+               merges: tuple[tuple[str, str], ...] = BPE_MERGES) -> Column:
+    """Encode one word column: chained replace() in merge-rank order.
+    The result string's LENGTH is the word's BPE token count (every
+    symbol, merged or raw, is one char)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pair, sym in merges:
+        c = F.replace(c, F.lit(pair), F.lit(sym))
+    return c
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text",
+                    merges: tuple[tuple[str, str], ...] = BPE_MERGES,
+                    ) -> DataFrame:
+    """Per-document BPE token counts next to the whitespace estimate:
+    (.., ws_tokens, bpe_tokens, bpe_per_ws). bpe_tokens sums each
+    word's encoded length — a zero-shuffle codegen map stage; this is
+    the count packing/budget arithmetic should use (a whitespace token
+    is 1 'token' whether the word is 'a' or 'customer'; the subword
+    count is what a training job's sequence budget actually sees)."""
+    toks = tokens(text_col)
+    n_ws = F.size(toks)
+    n_bpe = F.aggregate(
+        F.transform(toks, lambda w: F.length(bpe_encode(w, merges))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        "*",
+        n_ws.cast("bigint").alias("ws_tokens"),
+        n_bpe.alias("bpe_tokens"),
+        F.round(n_bpe / n_ws, 6).alias("bpe_per_ws"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprints: full MD5, a 60-bit int form (join-friendly),
     and a coarse length bucket for blocking."""

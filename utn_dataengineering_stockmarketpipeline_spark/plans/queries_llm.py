@@ -393,6 +393,47 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- deterministic BPE tokenizer ---------------------------------------------
+
+def _bpe_len_sql(expr: str) -> str:
+    """DuckDB mirror of text.bpe_encode + length: the identical chain
+    of leftmost-non-overlapping replace() calls in merge-rank order."""
+    e = expr
+    for pair, sym in text.BPE_MERGES:
+        e = f"replace({e}, '{pair}', '{sym}')"
+    return f"len({e})"
+
+
+@register(
+    "llm_bpe_tokens",
+    f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+       CAST(list_sum(list_transform({_TOKS},
+                                    w -> {_bpe_len_sql('w')}))
+            AS BIGINT) AS bpe_tokens,
+       round(CAST(list_sum(list_transform({_TOKS},
+                                          w -> {_bpe_len_sql('w')}))
+                  AS DOUBLE) / len({_TOKS}), 6) AS bpe_per_ws
+FROM documents
+""",
+    doc="REAL subword token counts via deterministic BPE (Sennrich "
+        "'16): encode = chained 2-char->1-char replace() in merge-rank "
+        "order (provably equal to lowest-rank-first BPE: later symbols "
+        "cannot create earlier pairs), merge table = fixed shipped "
+        "artifact (output of text.train_bpe, re-trained byte-identical "
+        "in tests). Zero-shuffle codegen map stage; the count a "
+        "training job's sequence budget actually sees, vs the "
+        "whitespace/regex estimators of llm_token_stats",
+    tags=("llm", "text", "bpe", "tokenizer"),
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_token_stats(docs, "text").select(
+        "doc_id", "ws_tokens", "bpe_tokens", "bpe_per_ws"
+    )
+
+
 _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS) + "]"
 
 
@@ -1916,7 +1957,10 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_sequence_packing",
     f"""
 WITH tok AS (
-  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  SELECT doc_id, source,
+         CAST(list_sum(list_transform({_TOKS},
+                                      w -> {_bpe_len_sql('w')}))
+              AS BIGINT) AS n_tokens
   FROM documents),
 c AS (
   SELECT *,
@@ -1932,19 +1976,22 @@ FROM c
     doc="training-sequence packing (concat-then-chunk): per source, "
         "documents concatenate in doc_id order and cut into fixed "
         "2048-token sequences; each doc learns which sequence its first "
-        "token lands in and at what offset. ONE window shuffle on "
+        "token lands in and at what offset. Token counts are REAL BPE "
+        "subword counts (llm_bpe_tokens' fixed merge table) since r9 — "
+        "the budget a training job actually packs against; whitespace "
+        "counting undercounted long words ~4x. ONE window shuffle on "
         "source — the exclusive running sum is the whole algorithm; "
         "integer token counts keep both engines exact. The 100 TB "
         "version partitions by (source, shard) with carried-in shard "
         "base offsets — same arithmetic, no global sort",
-    tags=("llm", "packing", "window"),
+    tags=("llm", "packing", "window", "bpe"),
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
 
     docs = load_table(spark, sf_dir, "documents")
-    tok = text_ops.token_stats(docs, "text").select(
-        "doc_id", "source", F.col("ws_tokens").cast("bigint").alias("n_tokens")
+    tok = text_ops.bpe_token_stats(docs, "text").select(
+        "doc_id", "source", F.col("bpe_tokens").alias("n_tokens")
     )
     w = (
         Window.partitionBy("source")
