@@ -68,3 +68,61 @@ def test_extract_features_deterministic_and_complete(spark):
         for i in range(multimodal.N_FEATURES):
             assert 0.0 <= r[f"feat_{i}"] < 1.0
         assert r["n_bytes"] > 0
+
+
+def test_phash_identical_payloads_hamming_zero(spark):
+    from pyspark.sql import functions as F
+
+    assets = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different content about spark partitions ok"),
+        ],
+        "asset_id long, t string",
+    ).select("asset_id", F.encode("t", "UTF-8").alias("payload"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_pairs(assets).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_banding_is_exact_at_radius_one(spark):
+    """Half-band candidate generation must find EVERY hamming<=1 pair
+    the brute-force hash comparison finds (pigeonhole exactness)."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assets = multimodal.synthetic_assets(docs).filter(
+        F.col("modality") == "image"
+    )
+    banded = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.phash_near_pairs(assets).collect()
+    }
+    hs = multimodal.image_phash(assets).collect()
+    brute = {}
+    for a in hs:
+        for b in hs:
+            if a["asset_id"] < b["asset_id"]:
+                d = bin(a["phash"] ^ b["phash"]).count("1")
+                if d <= 1:
+                    brute[(a["asset_id"], b["asset_id"])] = d
+    assert banded == brute
+
+
+def test_phash_small_edit_small_distance(spark):
+    """Perceptual property: a small local edit moves few pixels, so the
+    hash distance stays far below a random pair's (~8 expected bits)."""
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    edited = base.replace("delta", "delXa", 1)
+    assets = spark.createDataFrame(
+        [(1, base), (2, edited)], "asset_id long, t string"
+    ).select("asset_id", F.encode("t", "UTF-8").alias("payload"))
+    hs = {r["asset_id"]: r["phash"]
+          for r in multimodal.image_phash(assets).collect()}
+    assert bin(hs[1] ^ hs[2]).count("1") <= 3

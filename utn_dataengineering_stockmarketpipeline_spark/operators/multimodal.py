@@ -124,6 +124,131 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# --- perceptual-hash near-duplicate detection --------------------------------
+
+#: pHash geometry: payloads pool to PHASH_PIXELS integer "pixels";
+#: PHASH_BITS transform coefficients threshold into the hash.
+PHASH_PIXELS = 64
+PHASH_BITS = 16
+
+
+def image_phash(assets: DataFrame, id_col: str = "asset_id",
+                payload_col: str = "payload") -> DataFrame:
+    """Perceptual hash per asset: (id, phash) — the image-dedup
+    primitive every 100 TB multimodal pipeline runs.
+
+    Classic pHash is resize -> DCT -> threshold -> sign bits. This
+    implementation keeps every stage but swaps the float DCT for the
+    WALSH-HADAMARD transform (the Haar/wavelet-hash family), which is
+    ±1-weighted integer sums — the whole hash is exact int64
+    arithmetic, so the DuckDB oracle identity holds BY CONSTRUCTION
+    (no cos() ulp drift, no quantization assumptions like the IVF
+    family needs):
+
+    1. "resize": payload bytes average-pool into PHASH_PIXELS
+       length-normalized segments (bucket = pos*64 div len — pure
+       integer; near-identical payloads land near-identical pixels
+       regardless of length);
+    2. transform: WHT coefficients c_k = Σ_i (-1)^popcount(i&k) p_i
+       for k = 1..PHASH_BITS (k=0 is the DC term, dropped exactly as
+       classic pHash drops it);
+    3. threshold: bit_k = (PHASH_BITS*c_k > Σc) — the mean compare
+       cross-multiplied to stay integer;
+    4. pack bits -> 16-bit hash.
+
+    The decode step is the honest stub of this module: synthetic
+    payloads are UTF-8 bytes read back as char codes (production wires
+    decode_image -> grayscale here); pooling, transform, threshold and
+    the banded pairing are the deployable pipeline. One explode + one
+    64-way conditional-sum groupBy per asset — a single shuffle on id,
+    payload column pruned immediately after the char codes exist.
+    """
+    n, bits = PHASH_PIXELS, PHASH_BITS
+    txt = F.decode(F.col(payload_col), "UTF-8")
+    chars = assets.select(
+        F.col(id_col),
+        F.length(txt).alias("__L"),
+        F.posexplode(F.split(txt, "")).alias("__pos", "__ch"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"(__pos * {n}) div __L").alias("__b"),
+        F.ascii("__ch").alias("__code"),
+    )
+    px = chars.groupBy(id_col).agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("__b") == i, F.col("__code"))), F.lit(0)
+            ).cast("long").alias(f"p{i}")
+            for i in range(n)
+        ]
+    )
+
+    def coef(k: int):
+        acc = None
+        for i in range(n):
+            term = F.col(f"p{i}")
+            signed = -term if bin(i & k).count("1") % 2 else term
+            acc = signed if acc is None else acc + signed
+        return acc
+
+    coefs = px.select(
+        F.col(id_col), *[coef(k).alias(f"c{k}") for k in range(1, bits + 1)]
+    )
+    total = sum(F.col(f"c{k}") for k in range(1, bits + 1))
+    packed = sum(
+        F.when(F.lit(bits) * F.col(f"c{k}") > total,
+               F.lit(1 << (k - 1)).cast("long")).otherwise(0)
+        for k in range(1, bits + 1)
+    )
+    return coefs.select(F.col(id_col), packed.alias("phash"))
+
+
+def phash_near_pairs(assets: DataFrame, id_col: str = "asset_id",
+                     payload_col: str = "payload",
+                     max_hamming: int = 1) -> DataFrame:
+    """Perceptual near-duplicate pairs (id_a < id_b, hamming <=
+    ``max_hamming``) via pigeonhole half-banding over
+    :func:`image_phash` — the same subquadratic machinery as SimHash:
+    candidates must agree exactly on the low or high half (EXACT for
+    max_hamming <= 1: one flipped bit leaves one half intact), each
+    half an equi-join, full distance verified with xor + bit_count and
+    filtered BEFORE the dedup shuffle."""
+    if max_hamming > 1:
+        raise ValueError(
+            "half-banding is only exact for max_hamming <= 1; add more "
+            "bands (simhash-style) before raising the radius"
+        )
+    half = PHASH_BITS // 2
+    low_mask = (1 << half) - 1
+    hs = image_phash(assets, id_col, payload_col).select(
+        F.col(id_col),
+        "phash",
+        F.col("phash").bitwiseAND(F.lit(low_mask).cast("long")).alias("h_lo"),
+        F.shiftright("phash", half).alias("h_hi"),
+    )
+
+    def half_join(key: str) -> DataFrame:
+        a, b = hs.alias("a"), hs.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{key}") == F.col(f"b.{key}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+
+    cand = (
+        half_join("h_lo")
+        .filter(F.col("hamming") <= max_hamming)
+        .unionAll(half_join("h_hi").filter(F.col("hamming") <= max_hamming))
+    )
+    return cand.dropDuplicates(["id_a", "id_b"])
+
+
 def synthetic_assets(documents: DataFrame) -> DataFrame:
     """Build a MULTIMODAL-shaped table from documents (the container has
     no real media): text bytes become the payload, metadata derives

@@ -1110,6 +1110,76 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets)
 
 
+def _phash_oracle_sql() -> str:
+    """WHT-pHash chain in DuckDB — integer-exact mirror of
+    multimodal.image_phash + phash_near_pairs over the image third of
+    synthetic_assets (payload = UTF-8 text bytes, modality = image <=>
+    doc_id % 3 = 0)."""
+    from ..operators.multimodal import PHASH_BITS, PHASH_PIXELS
+
+    n, bits = PHASH_PIXELS, PHASH_BITS
+    px_cols = ",\n       ".join(
+        f"COALESCE(SUM(CASE WHEN b = {i} THEN code END), 0) AS p{i}"
+        for i in range(n)
+    )
+
+    def coef(k: int) -> str:
+        terms = [
+            ("- " if bin(i & k).count("1") % 2 else "+ ") + f"p{i}"
+            for i in range(n)
+        ]
+        return " ".join(terms).lstrip("+ ")
+
+    coefs = ",\n       ".join(
+        f"({coef(k)}) AS c{k}" for k in range(1, bits + 1)
+    )
+    total = " + ".join(f"c{k}" for k in range(1, bits + 1))
+    packed = " + ".join(
+        f"(CASE WHEN {bits} * c{k} > ({total}) THEN {1 << (k - 1)} "
+        f"ELSE 0 END)"
+        for k in range(1, bits + 1)
+    )
+    return f"""
+WITH ch AS (
+  SELECT doc_id AS asset_id, length(text) AS L, i,
+         ascii(substr(text, CAST(i AS INT), 1)) AS code
+  FROM documents, UNNEST(generate_series(1, length(text))) u(i)
+  WHERE doc_id % 3 = 0),
+px0 AS (SELECT asset_id, ((i - 1) * {n}) // L AS b, SUM(code) AS code
+        FROM ch GROUP BY asset_id, ((i - 1) * {n}) // L),
+pxw AS (SELECT asset_id, {px_cols} FROM px0 GROUP BY asset_id),
+coef AS (SELECT asset_id, {coefs} FROM pxw),
+h AS (SELECT asset_id, CAST({packed} AS BIGINT) AS ph FROM coef)
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM h a JOIN h b
+  ON a.asset_id < b.asset_id AND bit_count(xor(a.ph, b.ph)) <= 1
+"""
+
+
+@register(
+    "llm_image_phash_pairs",
+    _phash_oracle_sql(),
+    doc="perceptual-hash image near-dup pairs: payload bytes pool to "
+        "64 length-normalized integer pixels, WALSH-HADAMARD transform "
+        "(classic pHash with the float DCT swapped for ±1 integer "
+        "sums — the oracle identity holds by construction, no cos() "
+        "ulp risk), mean-threshold sign bits pack a 16-bit hash, "
+        "pigeonhole half-band equi-joins pair at hamming <= 1 (exact "
+        "for radius 1). Oracle = the same integer chain + a brute "
+        "hamming join, proving the banding loses nothing",
+    tags=("llm", "multimodal", "dedup", "phash"),
+)
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs).filter(
+        F.col("modality") == "image"
+    )
+    return multimodal.phash_near_pairs(assets)
+
+
 @register(
     "llm_frame_sample_plan",
     """
