@@ -379,3 +379,120 @@ def test_stream_incremental_dedup_multibatch_converges(spark, tmp_path):
     assert len(collected) == len(got) == 3  # every stream doc exactly once
     assert got[10] == 1 and got[15] == 2   # duplicates found across batches
     assert got[5] is None                  # unique stream doc: no corpus hit
+
+
+def test_late_rows_dropped_and_observed_metrics_account(spark, tmp_path):
+    """Late-data accounting surfaces: (a) dropped-late rows reported in
+    the window agg's numRowsDroppedByWatermark, (b) pre-state input
+    counts exposed via .observe(), (c) emitted closed windows — all
+    equated to batch computations.
+
+    Watermark mechanics this test pins (verified against Spark 4.1
+    behavior): the LATE-EVENT filter uses the watermark as of the
+    PREVIOUS batch (eventTimeWatermarkForLateEvents lags the eviction
+    watermark by one batch, SPARK-24634 semantics), so data older than
+    the watermark is only guaranteed dropped from the SECOND batch
+    after the watermark advanced — hence three file-drops here: newer
+    (batch 0, advances the watermark), early_a (batch 1 — late filter
+    still at the initial epoch watermark, rows aggregate and their
+    closed windows emit), early_b (batch 2 — late filter now at
+    max(newer)-10min, every row dropped and counted).
+    """
+    import datetime
+    import os
+
+    from utn_dataengineering_stockmarketpipeline_spark.plans.queries_streaming import (
+        _scoped_conf,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).withColumn("_u", F.unix_timestamp("ts")).cache()
+    mid = ev.approxQuantile("_u", [0.5], 0.0)[0]
+    newer = ev.filter(F.col("_u") > mid).drop("_u")
+    early = ev.filter(F.col("_u") <= mid).withColumn(
+        "_odd", F.col("event_id") % 2
+    ).cache()
+    early_a = early.filter(F.col("_odd") == 0).drop("_u", "_odd")
+    early_b = early.filter(F.col("_odd") == 1).drop("_u", "_odd")
+    d = tmp_path / "late_drops"
+    newer.coalesce(1).write.parquet(str(d / "f_newer"))
+    early_a.coalesce(1).write.parquet(str(d / "f_early_a"))
+    early_b.coalesce(1).write.parquet(str(d / "f_early_b"))
+    # file source orders by modification time: newer -> early_a -> early_b
+    now = 1_700_000_000
+    for sub, t in (("f_newer", now), ("f_early_a", now + 100),
+                   ("f_early_b", now + 200)):
+        for p in (d / sub).rglob("*.parquet"):
+            os.utime(p, (t, t))
+
+    max_ts = newer.agg(F.max("ts")).first()[0]
+    wm = max_ts - datetime.timedelta(minutes=10)
+    n_newer, n_early = newer.count(), early_a.count() + early_b.count()
+    # numRowsDroppedByWatermark counts POST-partial-aggregate rows (one
+    # per window the late batch produced), not raw inputs — the filter
+    # sits on the state operator, downstream of map-side partial agg
+    exp_dropped = (
+        early_b.select(F.window("ts", "1 hour")).distinct().count()
+    )
+    assert early.agg(F.max("ts")).first()[0] < wm  # all early is late
+    ev.unpersist()
+
+    name = _mem_name()
+    with _scoped_conf(spark, **{
+        "spark.sql.shuffle.partitions": "8",
+        "spark.sql.session.timeZone": "UTC",
+    }):
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/f_*/*.parquet")
+            .observe("src_rows", F.count(F.lit(1)).alias("n"))
+        )
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("window.start").alias("ws"), "n_events")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = [p for p in q.recentProgress if p is not None]
+        got = {
+            (r["ws"], r["n_events"]) for r in spark.table(name).collect()
+        }
+
+        observed = sum(
+            p["observedMetrics"]["src_rows"]["n"]
+            for p in progress
+            if "src_rows" in (p["observedMetrics"] or {})
+        )
+        dropped = sum(
+            so["numRowsDroppedByWatermark"]
+            for p in progress
+            for so in p["stateOperators"]
+        )
+        # batch equivalents: append mode emits windows whose END the
+        # final eviction watermark passed, over the rows that were NOT
+        # dropped (newer + early_a; early_b was filtered as late)
+        want = {
+            (r["ws"], r["n_events"])
+            for r in newer.unionByName(early_a)
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .filter(F.col("window.end") <= F.lit(wm))
+            .select(F.col("window.start").alias("ws"), "n_events")
+            .collect()
+        }
+    early.unpersist()
+
+    assert observed == n_newer + n_early       # every input row observed
+    assert dropped == exp_dropped              # late drops == batch calc
+    assert got == want                         # closed windows == batch

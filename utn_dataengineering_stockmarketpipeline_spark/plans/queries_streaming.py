@@ -382,6 +382,57 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_within_watermark",
+    """
+SELECT event_type, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+    doc="KEY-ONLY streaming dedup via dropDuplicatesWithinWatermark "
+        "(Spark 3.5+): the source is doubled (every event delivered "
+        "twice at the same event time), and dedup state keyed on "
+        "event_id alone — impossible with plain dropDuplicates on an "
+        "unbounded stream, whose state would grow forever unless the "
+        "time column rides in the key — collapses redeliveries while "
+        "the watermark bounds state lifetime to the 10-minute delay. "
+        "Redeliveries carry identical timestamps, so they are always "
+        "inside the watermark window and the drained counts must equal "
+        "the batch counts over the original table (the oracle); "
+        "whichever micro-batch a redelivery lands in, it either hits "
+        "live dedup state or arrives below the watermark and is "
+        "dropped as late — both collapse it exactly once",
+    tags=("streaming", "dedup", "watermark", "late-data"),
+)
+def q_stream_dedup_within_watermark(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    name = "stream_ddww_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        def one_stream() -> DataFrame:
+            return _events_stream(spark, sf_dir).select(
+                "event_id", "ts", "event_type"
+            )
+
+        doubled = one_stream().unionAll(one_stream())
+        deduped = doubled.withWatermark(
+            "ts", "10 minutes"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        out.count()
+    return out
+
+
+@register(
     "stream_user_sessions",
     """
 WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
