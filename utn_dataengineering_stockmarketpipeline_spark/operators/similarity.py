@@ -359,6 +359,17 @@ def train_centroids(corpus: DataFrame, n_centroids: int,
     so driver memory stays O(sample)); see :func:`_kmeans_centroids`
     for the quantization that makes training a cross-engine identity.
     Returns a (n_centroids, dim) float64 ndarray."""
+    return _kmeans_centroids(
+        _train_matrix(corpus, id_col, vec_col, train_sample_rows),
+        n_centroids,
+    )
+
+
+def _train_matrix(corpus: DataFrame, id_col: str, vec_col: str,
+                  train_sample_rows: int):
+    """The bounded, deterministic train sample as a normalized,
+    quantized float64 matrix sorted by id (see train_centroids for the
+    hash-order-statistic membership rule)."""
     import numpy as np
 
     train = (
@@ -370,9 +381,8 @@ def train_centroids(corpus: DataFrame, n_centroids: int,
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     # quantize the normalized train matrix (see IVF_ROUND_VEC): the
-    # k-means below is then an exact cross-engine identity
-    mat = np.round(mat, IVF_ROUND_VEC)
-    return _kmeans_centroids(mat, n_centroids)
+    # k-means downstream is then an exact cross-engine identity
+    return np.round(mat, IVF_ROUND_VEC)
 
 
 def assign_centroids(df: DataFrame, cent, top_n: int = 1,
@@ -592,6 +602,199 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- IVF-PQ: product-quantized inverted file ---------------------------------
+
+#: PQ geometry: dim splits into PQ_M subspaces, each quantized to one
+#: of PQ_CODES codebook entries — a 64-dim float32 vector (256 B)
+#: becomes PQ_M single-byte codes. Sub-k-means runs PQ_ITERS fixed
+#: Lloyd's iterations under the same quantization discipline as the
+#: IVF chain (IVF_ROUND_SIM on distances/means), so the whole index is
+#: a cross-engine identity.
+PQ_M = 8
+PQ_CODES = 16
+PQ_ITERS = 3
+
+
+def _kmeans_euclid(mat, n_codes: int, iters: int = PQ_ITERS):
+    """Deterministic Euclidean Lloyd's over sub-vectors (the PQ
+    codebook trainer): init = first n_codes rows in id order, squared
+    distances and means rounded to IVF_ROUND_SIM, argmin ties break to
+    the lowest code (np.argmin first-min == ROW_NUMBER ORDER BY dist,
+    k in the oracle), empty clusters keep their previous codeword."""
+    import numpy as np
+
+    cb = mat[:n_codes].copy()
+    for _ in range(iters):
+        d = np.round(
+            ((mat[:, None, :] - cb[None, :, :]) ** 2).sum(-1), IVF_ROUND_SIM
+        )
+        assign = np.argmin(d, axis=1)
+        for kk in range(n_codes):
+            members = mat[assign == kk]
+            if len(members):
+                cb[kk] = np.round(members.mean(axis=0), IVF_ROUND_SIM)
+    return cb
+
+
+def train_ivfpq(corpus: DataFrame, dim: int, n_centroids: int = 16,
+                m_subspaces: int = PQ_M, n_codes: int = PQ_CODES,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                train_sample_rows: int = 65_536):
+    """Train the IVF-PQ index on the bounded sample: coarse centroids
+    (shared deterministic k-means), then per-subspace codebooks over
+    the sample's RESIDUALS (vector minus its assigned centroid — the
+    classic Jégou '11 residual PQ). Returns (centroids,
+    codebooks[m, n_codes, dim/m])."""
+    import numpy as np
+
+    if dim % m_subspaces:
+        raise ValueError("dim must divide evenly into PQ subspaces")
+    sub = dim // m_subspaces
+    mat = _train_matrix(corpus, id_col, vec_col, train_sample_rows)
+    cent = _kmeans_centroids(mat, n_centroids)
+    sims = np.round(mat @ cent.T, IVF_ROUND_SIM)
+    res = mat - cent[np.argmax(sims, axis=1)]
+    codebooks = np.stack([
+        _kmeans_euclid(res[:, s * sub:(s + 1) * sub], n_codes)
+        for s in range(m_subspaces)
+    ])
+    return cent, codebooks
+
+
+def ivfpq_encode(corpus: DataFrame, cent, codebooks, dim: int,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Encode the corpus against a trained IVF-PQ index: one
+    Arrow-batched pass emitting NARROW rows (id, centroid,
+    codes array<int>) — at 100 TB this is the whole point: the ANN
+    search structure stores m single-byte codes per vector instead of
+    the fat float payload (32x smaller at dim=64/m=8), and the fat
+    column never leaves the scan."""
+    import numpy as np
+    import pandas as pd
+
+    m, n_codes, sub = codebooks.shape
+    bc = corpus.sparkSession.sparkContext.broadcast((cent, codebooks))
+
+    def run(batches):
+        c_mat, cbs = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            a = np.round(a, IVF_ROUND_VEC)
+            sims = np.round(a @ c_mat.T, IVF_ROUND_SIM)
+            assign = np.argmax(sims, axis=1)
+            res = a - c_mat[assign]
+            codes = np.empty((len(a), m), dtype=np.int32)
+            for s in range(m):
+                rs = res[:, s * sub:(s + 1) * sub]
+                d = np.round(
+                    ((rs[:, None, :] - cbs[s][None, :, :]) ** 2).sum(-1),
+                    IVF_ROUND_SIM,
+                )
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "centroid": assign.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        run, f"{id_col} long, centroid int, codes array<int>"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_rows: int = 65_536,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. '11 — Faiss IVFPQ): the
+    memory-scale path past plain IVF. Corpus vectors live in the index
+    ONLY as (centroid, m codes); queries probe ``n_probe`` cells and
+    score candidates by ASYMMETRIC DISTANCE — the query dot-products
+    the RECONSTRUCTION centroid + codeword, never the original vector,
+    so search moves ~m bytes per candidate instead of 4*dim.
+
+    approx_cosine = round(q_n · (centroid_c + codebook[s][code_s]
+    concat), 6): both engines see identical quantized inputs, so the
+    score — and hence the top-k — is an exact cross-engine identity
+    (recall vs the exact baseline is the approximate part, pytest-
+    gated). Output: (query_id, neighbor_id, approx_cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent, codebooks = train_ivfpq(
+        corpus, dim, n_centroids, m_subspaces, n_codes,
+        id_col, vec_col, train_sample_rows,
+    )
+    codes = ivfpq_encode(corpus, cent, codebooks, dim, id_col, vec_col)
+    q_assigned = assign_centroids(
+        queries, cent, n_probe, id_col, vec_col
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "centroid",
+    )
+    # queries are the tiny side: broadcast them onto the narrow code
+    # rows; the ADC scorer is one Arrow pass over the joined rows
+    cand = (
+        F.broadcast(q_assigned)
+        .join(codes.withColumnRenamed(id_col, "neighbor_id"), "centroid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((cent, codebooks))
+
+    def adc(batches):
+        c_mat, cbs = bc.value
+        m, _, sub = cbs.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack(pdf["q_vec"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            q = np.round(q, IVF_ROUND_VEC)
+            cds = np.stack(pdf["codes"].to_numpy())
+            recon = c_mat[pdf["centroid"].to_numpy()].copy()
+            for s in range(m):
+                recon[:, s * sub:(s + 1) * sub] += cbs[s][cds[:, s]]
+            score = np.round(np.einsum("ij,ij->i", q, recon),
+                             IVF_ROUND_SIM)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "approx_cosine": score,
+                }
+            )
+
+    scored = cand.select(
+        "query_id", "q_vec", "neighbor_id", "centroid", "codes"
+    ).mapInPandas(
+        adc, "query_id long, neighbor_id long, approx_cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_cosine").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))

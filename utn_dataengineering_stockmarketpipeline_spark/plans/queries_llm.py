@@ -853,6 +853,120 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
+                      n_probe: int = 4, k: int = 5, q_max: int = 10) -> str:
+    """llm_ann_ivfpq_topk oracle: the shared IVF chain, then the full
+    product-quantization replay — per-subspace residuals, unrolled
+    Euclidean k-means (PQ_ITERS rounds, distances/means rounded to
+    IVF_ROUND_SIM, argmin ties to the lowest code), final encode, and
+    asymmetric-distance scoring against reconstructions. Same
+    exactness contract as the IVF oracle: every compared value is
+    quantized, so the unrolled SQL computes the identical index."""
+    from ..operators.similarity import (
+        IVF_ROUND_SIM, PQ_CODES, PQ_ITERS, PQ_M,
+    )
+
+    m, n_codes, pq_iters = PQ_M, PQ_CODES, PQ_ITERS
+    sub = dim // m
+    ctes = _ivf_assign_ctes(dim, n_centroids, iters)
+    ctes.append(f"""res AS MATERIALIZED (
+  SELECT a.neighbor_id AS vec_id, a.c,
+         list_transform(generate_series(1, {dim}),
+                        j -> n.v[j] - cv.v[j]) AS r
+  FROM ac a JOIN norm n ON n.vec_id = a.neighbor_id
+  JOIN c{iters} cv ON cv.c = a.c)""")
+    dist = ("list_sum(list_transform(list_zip(x.rs, cb.v), "
+            "z -> (z[1] - z[2]) * (z[1] - z[2])))")
+    for s in range(m):
+        ctes.append(f"""r{s} AS MATERIALIZED (
+  SELECT vec_id, list_transform(generate_series(1, {sub}),
+                                j -> r[{s * sub} + j]) AS rs
+  FROM res)""")
+        ctes.append(f"""cb{s}_0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, rs AS v
+  FROM r{s} ORDER BY vec_id LIMIT {n_codes})""")
+        for t in range(pq_iters):
+            ctes.append(f"""pa{s}_{t} AS MATERIALIZED (
+  SELECT vec_id, rs, k FROM (
+    SELECT x.vec_id, x.rs, cb.k,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY round({dist}, {IVF_ROUND_SIM}) ASC, cb.k) AS rk
+    FROM r{s} x CROSS JOIN cb{s}_{t} cb) WHERE rk = 1)""")
+            ctes.append(f"""ps{s}_{t} AS MATERIALIZED (
+  SELECT k, i, SUM(rs[i]) AS sm, COUNT(*) AS n
+  FROM pa{s}_{t} CROSS JOIN range(1, {sub + 1}) rr(i) GROUP BY k, i)""")
+            ctes.append(f"""pu{s}_{t} AS MATERIALIZED (
+  SELECT k, list(round(sm / n, {IVF_ROUND_SIM}) ORDER BY i) AS v
+  FROM ps{s}_{t} GROUP BY k)""")
+            ctes.append(f"""cb{s}_{t + 1} AS MATERIALIZED (
+  SELECT co.k, COALESCE(u.v, co.v) AS v
+  FROM cb{s}_{t} co LEFT JOIN pu{s}_{t} u USING (k))""")
+        ctes.append(f"""code{s} AS MATERIALIZED (
+  SELECT vec_id, k FROM (
+    SELECT x.vec_id, cb.k,
+           ROW_NUMBER() OVER (PARTITION BY x.vec_id
+             ORDER BY round({dist}, {IVF_ROUND_SIM}) ASC, cb.k) AS rk
+    FROM r{s} x CROSS JOIN cb{s}_{pq_iters} cb) WHERE rk = 1)""")
+    dot_nc = ("list_sum(list_transform(list_zip(n.v, c.v), "
+              "z -> z[1]::DOUBLE * z[2]::DOUBLE))")
+    ctes.append(f"""aq AS MATERIALIZED (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT n.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
+    FROM norm n CROSS JOIN c{iters} c
+    WHERE n.vec_id < {q_max}) WHERE rk <= {n_probe})""")
+    adc_terms = [
+        "list_sum(list_transform(list_zip(qn.v, cv.v), z -> z[1] * z[2]))"
+    ] + [
+        f"list_sum(list_transform(generate_series(1, {sub}), "
+        f"j -> qn.v[{s * sub} + j] * f{s}.v[j]))"
+        for s in range(m)
+    ]
+    code_joins = "\n  ".join(
+        f"JOIN code{s} j{s} ON j{s}.vec_id = ac.neighbor_id "
+        f"JOIN cb{s}_{pq_iters} f{s} ON f{s}.k = j{s}.k"
+        for s in range(m)
+    )
+    ctes.append(f"""scored AS MATERIALIZED (
+  SELECT aq.query_id, ac.neighbor_id,
+         round({' + '.join(adc_terms)}, {IVF_ROUND_SIM}) AS approx_cosine
+  FROM aq
+  JOIN ac ON ac.c = aq.c
+  JOIN norm qn ON qn.vec_id = aq.query_id
+  JOIN c{iters} cv ON cv.c = ac.c
+  {code_joins}
+  WHERE aq.query_id != ac.neighbor_id)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT query_id, neighbor_id, approx_cosine, CAST(rk AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY approx_cosine DESC, neighbor_id) AS rk
+  FROM scored) WHERE rk <= {k}""")
+
+
+@register(
+    "llm_ann_ivfpq_topk",
+    _ivfpq_oracle_sql(),
+    doc="IVF-PQ ANN (Jegou '11 / Faiss IVFPQ — the 100 TB memory "
+        "path): corpus vectors live in the index only as (centroid, 8 "
+        "codes) — 32x smaller than the float payload — and queries "
+        "score candidates by asymmetric distance against centroid + "
+        "codeword reconstructions, never touching original vectors. "
+        "Deterministic throughout (shared IVF k-means + per-subspace "
+        "Euclidean k-means on residuals, everything quantized), so the "
+        "oracle unrolls the ENTIRE index build — 8 sub-codebooks x 3 "
+        "Lloyd's rounds as chained CTEs — and the top-k is an exact "
+        "cross-engine identity; recall vs the exact baseline is the "
+        "approximate part, pytest-gated",
+    tags=("llm", "similarity", "ann", "ivf", "pq"),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        corpus=emb, queries=emb.filter(F.col("vec_id") < 10), dim=64, k=5
+    )
+
+
 def _semantic_dedup_oracle_sql(dim: int = 64, n_centroids: int = 16,
                                iters: int = 5, threshold: float = 0.4,
                                max_cluster_size: int = 4096) -> str:
