@@ -111,6 +111,15 @@ BENCH_QUERIES = (
     "stream_incremental_dedup",
     "llm_semantic_clusters",
     "ana_bloom_pruned_join",
+    # round-9 additions: exact substring dedup (diagonal-run spans over
+    # dual-fold k-gram hashes), deterministic BPE counts, WHT pHash
+    # image near-dup, IVF-PQ asymmetric-distance ANN, key-only
+    # within-watermark streaming dedup
+    "llm_substring_dedup",
+    "llm_bpe_tokens",
+    "llm_image_phash_pairs",
+    "llm_ann_ivfpq_topk",
+    "stream_dedup_within_watermark",
 )
 
 
