@@ -747,12 +747,19 @@ def substring_duplicate_pairs(
     than k tokens cannot contain a full k-gram and are excluded (their
     whole-text duplication is exact-dedup territory).
 
-    100 TB shape: the join shuffles (id, pos, h) triples hashed on h —
-    24-byte rows, never text; per-gram fan-out is bounded by the
-    frequency cap, so join output is O(matches), not O(n²); the
-    islands window repartitions by pair, which is the natural key of
-    the result. All hashes are the MD5-polynomial family, so the
-    DuckDB oracle replays every step bit-identically.
+    100 TB shape: ONE shuffle of (id, pos) pairs keyed on the 62-bit
+    gram hash — 24-byte rows, never text — into per-gram occurrence
+    buckets (collect_list, the same machinery as minhash_candidates);
+    aligned pairs expand IN-BUCKET with a JVM-side nested transform, so
+    the gram-hash pipeline (one MD5 per token) is evaluated exactly
+    once — the equi-self-join formulation would recompute it per join
+    side and shuffle the token stream three more times (frequency-cap
+    agg + both join inputs). Fan-out per gram is bounded by the
+    frequency cap, so pair output is O(matches), not O(n²); the islands
+    window then repartitions by pair, the natural key of the result.
+    All hashes are the MD5-polynomial family, so the DuckDB oracle
+    (which keeps the readable self-join form — same pair set by
+    construction) replays every step bit-identically.
     """
     from pyspark.sql import Window
 
@@ -760,27 +767,35 @@ def substring_duplicate_pairs(
         F.size(F.split(F.col(text_col), " ")) >= k
     )
     g = shingle_hash_rows(eligible, text_col, id_col, k, dual=True)
+    member = F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))
+    size_ok = F.size("ms") > 1
     if max_gram_freq is not None:
-        ok = (
-            g.groupBy("h", "h2")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") <= max_gram_freq)
-            .select("h", "h2")
-        )
-        g = g.join(ok, ["h", "h2"])
-    a = g.select(
-        F.col(id_col).alias("id_a"), F.col("pos").alias("pos_a"), "h", "h2"
+        size_ok = size_ok & (F.size("ms") <= max_gram_freq)
+    buckets = (
+        g.groupBy("h", "h2")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(size_ok)
     )
-    b = g.select(
-        F.col(id_col).alias("id_b"), F.col("pos").alias("pos_b"), "h", "h2"
+    # all in-bucket occurrence pairs (i < j, members sorted by id then
+    # pos, so id_a <= id_b); same-doc matches filtered after explode
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["pos"].alias("pos_a"),
+                    (x["pos"] - y["pos"]).alias("diag"),
+                ),
+            ),
+        )
     )
     m = (
-        a.join(b, ["h", "h2"])
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b", "pos_a",
-            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
-        )
     )
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))

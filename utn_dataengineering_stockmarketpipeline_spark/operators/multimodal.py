@@ -159,48 +159,60 @@ def image_phash(assets: DataFrame, id_col: str = "asset_id",
     The decode step is the honest stub of this module: synthetic
     payloads are UTF-8 bytes read back as char codes (production wires
     decode_image -> grayscale here); pooling, transform, threshold and
-    the banded pairing are the deployable pipeline. One explode + one
-    64-way conditional-sum groupBy per asset — a single shuffle on id,
-    payload column pruned immediately after the char codes exist.
+    the banded pairing are the deployable pipeline. The whole hash is
+    MAP-SIDE — bucket b covers the contiguous char range
+    [ceil(b*L/n), ceil((b+1)*L/n)) (because pos*n div L is monotone in
+    pos), so each pixel is an ``aggregate`` over a ``slice`` of the
+    char-code array: zero explode, zero shuffle, one pass over the
+    payload per asset. The earlier explode-per-char + 64-way
+    conditional-sum groupBy formulation shuffled one row per BYTE of
+    payload — the exact thing a 100 TB multimodal scan cannot afford.
+
+    The three stages below are NESTED HIGHER-ORDER FUNCTIONS rather
+    than unrolled column expressions on purpose: unrolling (64 slice
+    aggregates + 16 x 64-term coefficient sums) builds a ~2000-node
+    expression tree that costs ~6 s of Catalyst/Janino compilation per
+    session against <0.2 s of actual execution — compile-bound, the
+    wrong trade at every scale. The HOF form is a ~30-node tree
+    (milliseconds to plan) whose interpreted per-row cost is the same
+    O(L + bits*pixels) integer arithmetic.
     """
     n, bits = PHASH_PIXELS, PHASH_BITS
     txt = F.decode(F.col(payload_col), "UTF-8")
-    chars = assets.select(
+    codes = assets.select(
         F.col(id_col),
         F.length(txt).alias("__L"),
-        F.posexplode(F.split(txt, "")).alias("__pos", "__ch"),
-    ).select(
+        F.transform(F.split(txt, ""), F.ascii).alias("__codes"),
+    )
+    px = codes.select(
         F.col(id_col),
-        F.expr(f"(__pos * {n}) div __L").alias("__b"),
-        F.ascii("__ch").alias("__code"),
+        F.expr(
+            f"transform(sequence(0, {n - 1}), b -> aggregate("
+            f"slice(__codes, CAST((b * __L + {n - 1}) div {n} + 1 AS INT),"
+            f" CAST(((b + 1) * __L + {n - 1}) div {n}"
+            f" - (b * __L + {n - 1}) div {n} AS INT)),"
+            " 0L, (a, x) -> a + x))"
+        ).alias("__px"),
     )
-    px = chars.groupBy(id_col).agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("__b") == i, F.col("__code"))), F.lit(0)
-            ).cast("long").alias(f"p{i}")
-            for i in range(n)
-        ]
-    )
-
-    def coef(k: int):
-        acc = None
-        for i in range(n):
-            term = F.col(f"p{i}")
-            signed = -term if bin(i & k).count("1") % 2 else term
-            acc = signed if acc is None else acc + signed
-        return acc
-
     coefs = px.select(
-        F.col(id_col), *[coef(k).alias(f"c{k}") for k in range(1, bits + 1)]
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(1, {bits}), k -> aggregate("
+            f"sequence(0, {n - 1}), 0L, (acc, i) -> acc +"
+            " IF(bit_count(i & k) % 2 = 1,"
+            " -element_at(__px, CAST(i + 1 AS INT)),"
+            " element_at(__px, CAST(i + 1 AS INT)))))"
+        ).alias("__c"),
     )
-    total = sum(F.col(f"c{k}") for k in range(1, bits + 1))
-    packed = sum(
-        F.when(F.lit(bits) * F.col(f"c{k}") > total,
-               F.lit(1 << (k - 1)).cast("long")).otherwise(0)
-        for k in range(1, bits + 1)
+    return coefs.select(
+        F.col(id_col),
+        F.expr(
+            f"aggregate(sequence(1, {bits}), 0L, (acc, k) -> acc +"
+            f" IF({bits} * element_at(__c, CAST(k AS INT))"
+            " > aggregate(__c, 0L, (a, x) -> a + x),"
+            " CAST(shiftleft(1L, CAST(k AS INT) - 1) AS BIGINT), 0L))"
+        ).alias("phash"),
     )
-    return coefs.select(F.col(id_col), packed.alias("phash"))
 
 
 def phash_near_pairs(assets: DataFrame, id_col: str = "asset_id",
@@ -212,7 +224,13 @@ def phash_near_pairs(assets: DataFrame, id_col: str = "asset_id",
     candidates must agree exactly on the low or high half (EXACT for
     max_hamming <= 1: one flipped bit leaves one half intact), each
     half an equi-join, full distance verified with xor + bit_count and
-    filtered BEFORE the dedup shuffle."""
+    filtered BEFORE the dedup shuffle.
+
+    The hash relation feeds FOUR join inputs (two bands x two sides),
+    so it is lazily checkpointed: the payload scan + hash runs once and
+    the joins replay the narrow (id, 3 x int64) rows — without it the
+    full decode/pool/transform pipeline re-executes per join input,
+    which at 100 TB is four payload scans instead of one."""
     if max_hamming > 1:
         raise ValueError(
             "half-banding is only exact for max_hamming <= 1; add more "
@@ -225,7 +243,7 @@ def phash_near_pairs(assets: DataFrame, id_col: str = "asset_id",
         "phash",
         F.col("phash").bitwiseAND(F.lit(low_mask).cast("long")).alias("h_lo"),
         F.shiftright("phash", half).alias("h_hi"),
-    )
+    ).localCheckpoint(eager=False)
 
     def half_join(key: str) -> DataFrame:
         a, b = hs.alias("a"), hs.alias("b")
