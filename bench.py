@@ -120,6 +120,11 @@ BENCH_QUERIES = (
     "llm_image_phash_pairs",
     "llm_ann_ivfpq_topk",
     "stream_dedup_within_watermark",
+    # round-9 curation-policy additions: quality-ranked dedup survivor,
+    # token-budget greedy selection, per-label embedding outliers
+    "llm_dedup_keep_best",
+    "llm_token_budget_selection",
+    "llm_embedding_outliers",
 )
 
 

@@ -1,0 +1,129 @@
+"""Semantic tests for the round-9 curation-policy operators:
+quality-ranked dedup survivor selection, token-budget data selection,
+and per-group embedding outliers. Planted-construction tests — the
+oracle sweep checks cross-engine parity; these check the SEMANTICS."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from utn_dataengineering_stockmarketpipeline_spark.operators import dedup, similarity, text
+
+
+def test_keep_best_prefers_quality_over_min_id(spark):
+    # cluster {1,2,3}: doc 3 has the most alpha tokens -> kept even
+    # though min-id policy would keep 1; singleton 9 is kept trivially.
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], ["doc_id", "cluster_id"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 8), (9, 0)], ["doc_id", "quality"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.keep_best_per_cluster(clusters, quality).collect()
+    }
+    assert out[3]["is_kept"] and not out[1]["is_kept"] and not out[2]["is_kept"]
+    assert out[9]["is_kept"]
+    kept_per_cluster = (
+        dedup.keep_best_per_cluster(clusters, quality)
+        .filter("is_kept")
+        .groupBy("cluster_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] == 1 for r in kept_per_cluster)
+
+
+def test_keep_best_tie_breaks_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(4, 4), (7, 4)], ["doc_id", "cluster_id"]
+    )
+    quality = spark.createDataFrame([(4, 3), (7, 3)], ["doc_id", "quality"])
+    kept = (
+        dedup.keep_best_per_cluster(clusters, quality)
+        .filter("is_kept")
+        .collect()
+    )
+    assert [r["doc_id"] for r in kept] == [4]
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_token_budget_is_greedy_prefix(spark):
+    # texts engineered so scores (2*alpha - tokens) are distinct and
+    # the greedy order is unambiguous.
+    docs = _mkdocs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),          # 4 alpha, score 4
+            (2, "one two three"),                    # 3 alpha, score 3
+            (3, "x1 y2 z3 w4"),                      # 0 alpha, score -4
+            (4, "aa bb"),                            # 2 alpha, score 2
+        ],
+    )
+    # total tokens = 4+3+4+2 = 13; budget = 13 div 4 = 3 -> only doc 2
+    # fits? greedy order: doc1(score4,4tok) first but 4 > 3, so the
+    # boundary group (score 4) contributes nothing; selection must NOT
+    # skip ahead to smaller docs (greedy-prefix, not knapsack).
+    out = text.token_budget_selection(docs, budget_num=1, budget_den=4)
+    assert out.count() == 0
+
+    # budget = 13 div 2 = 6 -> doc1 (4) then doc2 would make 7 > 6:
+    # doc2 is the boundary group and does not fit; greedy stops.
+    out2 = text.token_budget_selection(docs, budget_num=1, budget_den=2)
+    assert [r["doc_id"] for r in out2.collect()] == [1]
+
+    # full budget -> everything selected.
+    out3 = text.token_budget_selection(docs, budget_num=1, budget_den=1)
+    assert out3.count() == 4
+
+
+def test_token_budget_boundary_resolves_by_doc_id(spark):
+    # two docs with the SAME score at the boundary: lower id wins the
+    # remaining budget.
+    docs = _mkdocs(
+        spark,
+        [
+            (10, "aa bb cc"),   # score 3, 3 tokens
+            (11, "dd ee ff"),   # score 3, 3 tokens
+        ],
+    )
+    # total 6, budget 6 div 2 = 3 -> exactly one of the tied docs fits.
+    out = text.token_budget_selection(docs, budget_num=1, budget_den=2)
+    assert [r["doc_id"] for r in out.collect()] == [10]
+
+
+def test_embedding_outliers_finds_planted_outlier(spark):
+    base = [0.1, 0.1, 0.1, 0.1]
+    rows = [(i, [v + 0.001 * i for v in base], 0) for i in range(1, 6)]
+    rows.append((99, [5.0, 5.0, 5.0, 5.0], 0))        # far outlier
+    rows += [(200 + i, [1.0, 0.0, 0.0, 0.0], 1) for i in range(3)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.embedding_outliers(emb, k=2)
+    top0 = [
+        r["vec_id"]
+        for r in out.filter("label = 0").orderBy("outlier_rank").collect()
+    ]
+    assert top0[0] == 99
+    # label 1 vectors are identical -> distances all equal (0), rank by
+    # vec_id, and k bounds the output.
+    lbl1 = out.filter("label = 1").collect()
+    assert len(lbl1) == 2
+    assert {r["vec_id"] for r in lbl1} == {200, 201}
+    assert all(r["dist"] == 0.0 for r in lbl1)
+
+
+def test_embedding_outliers_rank_is_dense_per_group(spark):
+    rows = [(i, [float(i), 0.0], 7) for i in range(10)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.embedding_outliers(emb, k=5).filter("label = 7")
+    ranks = sorted(r["outlier_rank"] for r in out.collect())
+    assert ranks == [1, 2, 3, 4, 5]

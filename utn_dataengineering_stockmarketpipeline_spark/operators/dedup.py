@@ -878,6 +878,47 @@ def keep_one_per_cluster(docs: DataFrame, clusters: DataFrame,
     return docs.join(survivors, id_col, "inner")
 
 
+def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame,
+                          id_col: str = "doc_id",
+                          quality_col: str = "quality") -> DataFrame:
+    """The QUALITY-RANKED dedup action: per duplicate cluster keep the
+    member with the highest ``quality_col`` (ties broken by min id) —
+    the policy real curation pipelines run instead of min-id
+    keep-one, because near-dup groups usually mix a clean original
+    with mangled/boilerplate-wrapped copies and you want the clean one
+    (e.g. RefinedWeb / FineWeb keep the longest or highest-scoring
+    member, not an arbitrary one).
+
+    Separating CLUSTERING (:func:`duplicate_clusters`) from SELECTION
+    (this) is deliberate: the expensive transitive closure is computed
+    once and any policy — min-id, best-quality, most-recent — is a
+    cheap ranked pass over its output.
+
+    ``quality`` is (id, quality_col); pass an INTEGER score (e.g.
+    alpha-token count) when cross-engine exactness matters — float
+    scores order-tie on ulps. Output: (id, cluster_id, quality,
+    is_kept), every input doc, audit form.
+
+    100 TB shape: one shuffle — the ranked window partitions by
+    cluster_id, which is the natural output key; cluster sizes are
+    near-always tiny (near-dup groups), so no partition skew beyond
+    what the LSH bucket cap already bounds.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(quality, id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            id_col, "cluster_id", quality_col,
+            (F.col("__rn") == 1).alias("is_kept"),
+        )
+    )
+
+
 def simhash_near_pairs(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", bits: int = 16,
                        max_hamming: int = 2) -> DataFrame:

@@ -848,3 +848,86 @@ def quantize_int8(df: DataFrame, id_col: str = "vec_id",
         "q8",
         F.round(err, 9).alias("max_abs_err"),
     )
+
+
+def embedding_outliers(df: DataFrame, k: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       group_col: str = "label") -> DataFrame:
+    """Per-group embedding OUTLIERS: the ``k`` vectors farthest from
+    their group centroid — the embedding-side noise gate (mislabeled /
+    off-domain / garbage embeddings sit far from their cluster's mass;
+    curation pipelines drop or review them before training).
+
+    Cross-engine exactness without float accumulation (a plain AVG of
+    floats is partition-order-dependent): components quantize to
+    integer micro-units q = floor(x*1e6 + 0.5) — the mode-stable
+    formula, identical on any engine; per-group integer sums are exact
+    in int64 (|q| <= ~4e6, so even 1e9-row groups stay < 2^62); the
+    reference point is the QUANTIZED centroid c_d = floor((2*s_d +
+    n)/(2n)) (the centroid rounded half-up to micro-units — 1e-6
+    displacement, immaterial for outlier ranking and documented);
+    distances are then exact integer sums of squares (|q - c| <= 8e6,
+    squared * dim <= ~6e15 < 2^53 < 2^63), ranked as BIGINTs — no
+    float ever decides an order. The reported ``dist`` converts the
+    SAME integer on both engines, so even its double is identical.
+
+    Plan: one explode (id, group, dim, q) + groupBy(group, dim) for
+    sums — the only wide stage, |groups| x dim output rows; centroid
+    arrays are driver-small and BROADCAST back; per-vector distance is
+    a zero-shuffle zip_with/aggregate over the original array; the
+    top-k window partitions by group. At 100 TB: explode rows are 16
+    bytes, partial aggregation absorbs them map-side.
+    """
+    micro = F.lit(1_000_000)
+    q_arr = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * micro + F.lit(0.5))
+        .cast("long"),
+    )
+    base = df.select(F.col(id_col), F.col(group_col), q_arr.alias("__q"))
+    sums = (
+        base.select(
+            group_col, F.posexplode("__q").alias("__d", "__qd")
+        )
+        .groupBy(group_col, "__d")
+        .agg(F.sum("__qd").alias("__s"), F.count(F.lit(1)).alias("__n"))
+    )
+    cent = sums.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("__d", "__s", "__n"))
+            ),
+            lambda t: F.floor(
+                (2 * t["__s"] + t["__n"]).cast("double")
+                / (2 * t["__n"]).cast("double")
+            ).cast("long"),
+        ).alias("__c")
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(
+            F.col("__q"), F.col("__c"), lambda q, c: (q - c) * (q - c)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = base.join(F.broadcast(cent), group_col).select(
+        F.col(id_col),
+        F.col(group_col),
+        dist_sq.alias("__dist_sq"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("__dist_sq").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= k)
+        .select(
+            id_col,
+            group_col,
+            "outlier_rank",
+            F.round(
+                F.sqrt(F.col("__dist_sq").cast("double")) / micro, 6
+            ).alias("dist"),
+        )
+    )

@@ -826,3 +826,83 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
             round_to,
         ).alias("token_entropy"),
     )
+
+
+def token_budget_selection(df: DataFrame, budget_num: int = 1,
+                           budget_den: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Greedy data selection under a TOKEN BUDGET: rank the corpus by a
+    quality score and keep the best documents until the running token
+    count reaches ``budget_num/budget_den`` of the corpus total — the
+    "train on the best X% of tokens" selection every budgeted training
+    run performs downstream of scoring (DSIR / classifier / heuristic).
+
+    Score here is the integer ``2*n_alpha - n_tokens`` (alpha-dense
+    AND long wins); greedy order is (score DESC, id ASC), so the
+    selection is total and engine-exact — no float weight is compared
+    anywhere. Output: the selected rows as (id, score, n_tokens).
+
+    Scale shape — a naive global ORDER BY + running SUM is a
+    single-partition window over the whole corpus, the canonical
+    scale-killer. Instead the greedy cut decomposes exactly:
+
+    1. per-score token totals (one narrow shuffle, | distinct scores |
+       rows — bounded by the score range, NOT corpus size);
+    2. running totals + threshold on that small relation (the only
+       ordered window, driver-scale by construction);
+    3. scores strictly under budget join back fully (broadcast);
+       the single boundary score resolves per-doc with a window
+       partitioned BY that score (one group, LSH-cap-sized).
+
+    The DuckDB oracle states the spec form (global ordered cumsum <=
+    budget) — identical selection by construction.
+    """
+    toks = tokens(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike(f"^{WORD_PATTERN}$"))
+    ).cast("long")
+    stats = df.select(
+        F.col(id_col),
+        (F.lit(2) * n_alpha - n_tokens).alias("score"),
+        n_tokens.alias("n_tokens"),
+    )
+
+    per_score = stats.groupBy("score").agg(
+        F.sum("n_tokens").alias("grp_tokens")
+    )
+    total = stats.agg(F.sum("n_tokens").alias("__total"))
+    w = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ps = (
+        per_score.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("grp_tokens").over(w), F.lit(0)),
+        )
+        .withColumn(
+            "budget",
+            F.expr(f"(__total * {budget_num}) div {budget_den}"),
+        )
+    )
+    full_scores = ps.filter(
+        F.col("cum_before") + F.col("grp_tokens") <= F.col("budget")
+    ).select("score")
+    boundary = ps.filter(
+        (F.col("cum_before") < F.col("budget"))
+        & (F.col("cum_before") + F.col("grp_tokens") > F.col("budget"))
+    ).select("score", (F.col("budget") - F.col("cum_before")).alias("__rem"))
+
+    selected_full = stats.join(F.broadcast(full_scores), "score")
+    wb = Window.partitionBy("score").orderBy(id_col)
+    selected_boundary = (
+        stats.join(F.broadcast(boundary), "score")
+        .withColumn("__cum", F.sum("n_tokens").over(wb))
+        .filter(F.col("__cum") <= F.col("__rem"))
+        .drop("__rem", "__cum")
+    )
+    return selected_full.unionByName(selected_boundary).select(
+        id_col, "score", "n_tokens"
+    )

@@ -2398,3 +2398,128 @@ FROM c GROUP BY doc_id
 )
 def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_entropy(load_table(spark, sf_dir, "documents"))
+
+
+# --- dedup policy / data selection / embedding QA (round 9) -----------------
+
+_ALPHA_COUNT = f"len(list_filter({_TOKS}, t -> regexp_full_match(t, '[a-zA-Z]+')))"
+
+
+@register(
+    "llm_dedup_keep_best",
+    f"""
+WITH RECURSIVE {_BANDED_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+clusters AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY id),
+q AS (SELECT doc_id, CAST({_ALPHA_COUNT} AS BIGINT) AS quality
+      FROM documents)
+SELECT c.doc_id, c.cluster_id, q.quality,
+       ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                          ORDER BY q.quality DESC, c.doc_id) = 1 AS is_kept
+FROM clusters c JOIN q USING (doc_id)
+""",
+    doc="the QUALITY-RANKED dedup action (operators/dedup."
+        "keep_best_per_cluster): per MinHash-LSH duplicate cluster keep "
+        "the highest-quality member (integer alpha-token count, min-id "
+        "tiebreak) instead of the arbitrary min-id — the RefinedWeb/"
+        "FineWeb-style policy; clustering and selection deliberately "
+        "separate so the transitive closure is computed once per "
+        "policy family. Audit form: every doc with is_kept flag",
+    tags=("llm", "dedup", "curation", "graph"),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    clusters = dedup.duplicate_clusters(pairs, docs)
+    quality = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "),
+                     lambda t: t.rlike("^[a-zA-Z]+$"))
+        ).cast("long").alias("quality"),
+    )
+    return dedup.keep_best_per_cluster(clusters, quality)
+
+
+@register(
+    "llm_token_budget_selection",
+    f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(2 * {_ALPHA_COUNT} - len({_TOKS}) AS BIGINT) AS score,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT SUM(n_tokens) AS t FROM s),
+o AS (SELECT s.*, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id) AS cum
+      FROM s)
+SELECT doc_id, score, n_tokens FROM o, tot WHERE cum <= t // 4
+""",
+    doc="greedy data selection under a TOKEN BUDGET (operators/text."
+        "token_budget_selection): keep the best-scored docs (integer "
+        "2*alpha-n_tokens, id tiebreak) until 25 percent of corpus "
+        "tokens — the budgeted-training selection downstream of any "
+        "scorer. The oracle states the spec (global ordered cumsum); "
+        "the engine decomposes it scale-correctly: per-score totals "
+        "(narrow shuffle), threshold on that SMALL relation, full "
+        "scores broadcast back, one boundary score resolved per-doc",
+    tags=("llm", "curation", "selection"),
+)
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_budget_selection(
+        load_table(spark, sf_dir, "documents"), budget_num=1, budget_den=4
+    )
+
+
+@register(
+    "llm_embedding_outliers",
+    """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS qv
+  FROM embeddings),
+e AS (SELECT vec_id, label, d - 1 AS dim, qv[d] AS qd
+      FROM q, UNNEST(generate_series(1, len(qv))) u(d)),
+s AS (SELECT label, dim, SUM(qd) AS sd, COUNT(*) AS n
+      FROM e GROUP BY label, dim),
+c AS (SELECT label, dim,
+             CAST(floor(CAST(2 * sd + n AS DOUBLE) / (2 * n)) AS BIGINT)
+               AS cd
+      FROM s),
+d2 AS (SELECT e.vec_id, e.label,
+              SUM((e.qd - c.cd) * (e.qd - c.cd)) AS dist_sq
+       FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+       GROUP BY e.vec_id, e.label),
+r AS (SELECT vec_id, label, dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist_sq DESC, vec_id)
+               AS outlier_rank
+      FROM d2)
+SELECT vec_id, label, CAST(outlier_rank AS INT) AS outlier_rank,
+       ROUND(sqrt(CAST(dist_sq AS DOUBLE)) / 1000000, 6) AS dist
+FROM r WHERE outlier_rank <= 5
+""",
+    doc="per-label embedding OUTLIERS (operators/similarity."
+        "embedding_outliers): top-5 farthest vectors from their group "
+        "centroid — the embedding-side noise/mislabel gate. Exact "
+        "cross-engine: micro-unit integer quantization (mode-stable "
+        "floor(x*1e6+0.5)), int64 group sums, quantized centroid, "
+        "BIGINT rank order — no float ever decides an order; the "
+        "reported distance converts the same integer on both engines",
+    tags=("llm", "embedding", "quality", "curation"),
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_outliers(
+        load_table(spark, sf_dir, "embeddings"), k=5
+    )
