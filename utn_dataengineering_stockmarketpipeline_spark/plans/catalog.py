@@ -91,16 +91,13 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ref_get_last_price",
     "ref_global_max_date",
     "ref_latest_per_ticker",
-    "ref_markets_table",
     "ref_normalize_market_payload",
     "ref_normalize_stock_payload",
     "ref_ohlc_monthly",
     "ref_rolling_30day_mean",
     "ref_rsi14",
-    "ref_scalar_functions",
     "ref_scd0_new_markets",
     "ref_scd0_new_stock_keys",
-    "ref_stock_prices_table",
     "ref_ticker_beta",
     "ref_ticker_correlation",
     "ref_top_movers",
@@ -112,7 +109,15 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "stream_purchase_error_join",
     "stream_sliding_counts",
     "stream_user_sessions",
-    # -- block 3: r7-green tail --
+    # -- block 3: deferred r6-stale (window overflow: 8 new round-9
+    #    registrations outgrew the 45+5 plan; these three are the
+    #    lowest-risk deferrals — trivial projections with pytest +
+    #    every-session local-oracle coverage — first in line for the
+    #    r10 window) --
+    "ref_markets_table",
+    "ref_scalar_functions",
+    "ref_stock_prices_table",
+    # -- r7-green tail --
     "ana_big_orders",
     "ana_funnel_conversion",
     "ana_important_parts",
@@ -211,9 +216,10 @@ _DRIVER_ORDER: tuple[str, ...] = (
 )
 
 
-# New (unlisted) queries slot in after the must-verify head: the
-# r2-stale block + this round's behavior changes.
-_WINDOW_PIN = 45
+# New (unlisted) queries slot in after the must-verify head (the
+# r6-stale block, minus the three deferred overflow entries above).
+# 42 + 8 unlisted round-9 registrations = the full 50-query window.
+_WINDOW_PIN = 42
 
 
 def _apply_driver_order() -> None:
