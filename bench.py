@@ -153,6 +153,44 @@ def _replicate_docs(spark, sf_dir: str, factor: int):
     )
 
 
+def _scrambled_docs(spark, sf_dir: str, factor: int):
+    """documents ×factor with a PER-REPLICA affine character permutation
+    (translate a-z via (a*i + b) mod 26, a coprime to 26): every token
+    — hence every k-gram hash and every pHash pixel — is distinct
+    across replicas, so substring-dedup / pHash timings at ×factor
+    measure clean corpus GROWTH. (The suffix-variant replicas of
+    ``_replicate_docs`` share their full text across replicas, which
+    for span/pixel operators would measure quadratic pair explosion —
+    a data property — instead of operator scaling.)"""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    coprimes = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+    parts = []
+    for rep in range(factor):
+        a, b = coprimes[rep % len(coprimes)], 3 * rep
+        perm = "".join(alphabet[(a * i + b) % 26] for i in range(26))
+        t = F.col("text") if rep == 0 else F.translate(
+            F.col("text"), alphabet, perm
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(rep * n)).alias("doc_id"),
+                t.alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _replicate_embeddings(spark, sf_dir: str, factor: int):
     """embeddings ×factor: replicas are exact vector copies with new ids
     — the worst realistic LSH case (every replica group collides in
@@ -328,6 +366,32 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     )
 
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
+        df.unpersist()
+
+    # round-9 span/pixel operators on affine-scrambled replicas (clean
+    # corpus growth — suffix-variant replicas would share every k-gram
+    # and pixel across the replica group and measure pair explosion)
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        multimodal,
+    )
+
+    sc_1x = _scrambled_docs(spark, sf_dir, 1)
+    sc_nx = _scrambled_docs(spark, sf_dir, factor)
+    for df in (sc_1x, sc_nx):
+        df.persist().count()
+    timed("substring_dedup_1x", dedup.substring_duplicate_pairs(sc_1x))
+    timed(f"substring_dedup_{factor}x",
+          dedup.substring_duplicate_pairs(sc_nx))
+
+    def _assets(docs):
+        return multimodal.synthetic_assets(
+            docs.withColumn("n_chars", F.length("text"))
+        ).filter(F.col("modality") == "image")
+
+    timed("phash_pairs_1x", multimodal.phash_near_pairs(_assets(sc_1x)))
+    timed(f"phash_pairs_{factor}x",
+          multimodal.phash_near_pairs(_assets(sc_nx)))
+    for df in (sc_1x, sc_nx):
         df.unpersist()
 
     _scd2_scale(spark, factor, out)

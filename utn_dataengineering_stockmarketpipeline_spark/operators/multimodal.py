@@ -127,9 +127,15 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
 # --- perceptual-hash near-duplicate detection --------------------------------
 
 #: pHash geometry: payloads pool to PHASH_PIXELS integer "pixels";
-#: PHASH_BITS transform coefficients threshold into the hash.
+#: PHASH_BITS transform coefficients threshold into the hash. 32 bits,
+#: not the didactic 16: a 16-bit space saturates at corpus scale —
+#: birthday pairs at hamming<=1 dominate true near-dups once the image
+#: count passes a few thousand, and the half-band join degrades to
+#: 256-way buckets. 32 bits puts half-band buckets at 65536 and pushes
+#: saturation out by ~256x (production pHash is 64-bit for the same
+#: reason; 32 keeps the oracle's unrolled coefficient SQL tractable).
 PHASH_PIXELS = 64
-PHASH_BITS = 16
+PHASH_BITS = 32
 
 
 def image_phash(assets: DataFrame, id_col: str = "asset_id",
@@ -217,35 +223,45 @@ def image_phash(assets: DataFrame, id_col: str = "asset_id",
 
 def phash_near_pairs(assets: DataFrame, id_col: str = "asset_id",
                      payload_col: str = "payload",
-                     max_hamming: int = 1) -> DataFrame:
+                     max_hamming: int = 2) -> DataFrame:
     """Perceptual near-duplicate pairs (id_a < id_b, hamming <=
-    ``max_hamming``) via pigeonhole half-banding over
-    :func:`image_phash` — the same subquadratic machinery as SimHash:
-    candidates must agree exactly on the low or high half (EXACT for
-    max_hamming <= 1: one flipped bit leaves one half intact), each
-    half an equi-join, full distance verified with xor + bit_count and
-    filtered BEFORE the dedup shuffle.
+    ``max_hamming``) via PIGEONHOLE BANDING over :func:`image_phash`:
+    the hash splits into ``max_hamming + 1`` disjoint bit bands, so
+    any pair within the radius agrees EXACTLY on at least one band
+    (the pigeonhole principle — banding loses NOTHING at any radius,
+    unlike SimHash's fixed two-band layout, which is recall-bounded
+    past radius 1). Each band is an equi-join; full distance is
+    verified with xor + bit_count and filtered BEFORE the dedup
+    shuffle. More bands trade join count for bucket selectivity:
+    radius 2 over 32 bits gives three ~10-bit bands (1k-way buckets).
 
-    The hash relation feeds FOUR join inputs (two bands x two sides),
-    so it is lazily checkpointed: the payload scan + hash runs once and
-    the joins replay the narrow (id, 3 x int64) rows — without it the
+    The hash relation feeds every join input (bands x two sides), so
+    it is lazily checkpointed: the payload scan + hash runs once and
+    the joins replay the narrow (id, int64...) rows — without it the
     full decode/pool/transform pipeline re-executes per join input,
-    which at 100 TB is four payload scans instead of one."""
-    if max_hamming > 1:
+    which at 100 TB is 2(r+1) payload scans instead of one."""
+    n_bands = max_hamming + 1
+    if n_bands > PHASH_BITS // 8:
         raise ValueError(
-            "half-banding is only exact for max_hamming <= 1; add more "
-            "bands (simhash-style) before raising the radius"
+            f"radius {max_hamming} needs {n_bands} bands of >= 8 bits; "
+            f"widen PHASH_BITS (now {PHASH_BITS}) first — narrower "
+            "bands degrade to pair explosion at corpus scale"
         )
-    half = PHASH_BITS // 2
-    low_mask = (1 << half) - 1
+    base, extra = divmod(PHASH_BITS, n_bands)
+    widths = [base + (1 if i < extra else 0) for i in range(n_bands)]
+    band_cols, off = [], 0
+    for i, wdt in enumerate(widths):
+        band_cols.append(
+            F.shiftright("phash", off)
+            .bitwiseAND(F.lit((1 << wdt) - 1).cast("long"))
+            .alias(f"b{i}")
+        )
+        off += wdt
     hs = image_phash(assets, id_col, payload_col).select(
-        F.col(id_col),
-        "phash",
-        F.col("phash").bitwiseAND(F.lit(low_mask).cast("long")).alias("h_lo"),
-        F.shiftright("phash", half).alias("h_hi"),
+        F.col(id_col), "phash", *band_cols
     ).localCheckpoint(eager=False)
 
-    def half_join(key: str) -> DataFrame:
+    def band_join(key: str) -> DataFrame:
         a, b = hs.alias("a"), hs.alias("b")
         return a.join(
             b,
@@ -259,11 +275,11 @@ def phash_near_pairs(assets: DataFrame, id_col: str = "asset_id",
             ).alias("hamming"),
         )
 
-    cand = (
-        half_join("h_lo")
-        .filter(F.col("hamming") <= max_hamming)
-        .unionAll(half_join("h_hi").filter(F.col("hamming") <= max_hamming))
-    )
+    cand = band_join("b0").filter(F.col("hamming") <= max_hamming)
+    for i in range(1, n_bands):
+        cand = cand.unionAll(
+            band_join(f"b{i}").filter(F.col("hamming") <= max_hamming)
+        )
     return cand.dropDuplicates(["id_a", "id_b"])
 
 

@@ -1267,7 +1267,7 @@ h AS (SELECT asset_id, CAST({packed} AS BIGINT) AS ph FROM coef)
 SELECT a.asset_id AS id_a, b.asset_id AS id_b,
        CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
 FROM h a JOIN h b
-  ON a.asset_id < b.asset_id AND bit_count(xor(a.ph, b.ph)) <= 1
+  ON a.asset_id < b.asset_id AND bit_count(xor(a.ph, b.ph)) <= 2
 """
 
 
@@ -1278,10 +1278,12 @@ FROM h a JOIN h b
         "64 length-normalized integer pixels, WALSH-HADAMARD transform "
         "(classic pHash with the float DCT swapped for ±1 integer "
         "sums — the oracle identity holds by construction, no cos() "
-        "ulp risk), mean-threshold sign bits pack a 16-bit hash, "
-        "pigeonhole half-band equi-joins pair at hamming <= 1 (exact "
-        "for radius 1). Oracle = the same integer chain + a brute "
-        "hamming join, proving the banding loses nothing",
+        "ulp risk), mean-threshold sign bits pack a 32-bit hash "
+        "(16 bits saturates with birthday pairs at corpus scale), "
+        "pigeonhole (radius+1)-band equi-joins pair at hamming <= 2 "
+        "(exact at ANY radius by pigeonhole). Oracle = the same "
+        "integer chain + a brute hamming join, proving the banding "
+        "loses nothing",
     tags=("llm", "multimodal", "dedup", "phash"),
 )
 def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
