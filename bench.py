@@ -121,10 +121,12 @@ BENCH_QUERIES = (
     "llm_ann_ivfpq_topk",
     "stream_dedup_within_watermark",
     # round-9 curation-policy additions: quality-ranked dedup survivor,
-    # token-budget greedy selection, per-label embedding outliers
+    # token-budget greedy selection, per-label embedding outliers,
+    # substring-span corpus rewrite
     "llm_dedup_keep_best",
     "llm_token_budget_selection",
     "llm_embedding_outliers",
+    "llm_substring_scrub",
 )
 
 

@@ -117,3 +117,60 @@ def test_matches_string_level_ground_truth(spark):
         key = (da, db)
         expected[key] = max(expected.get(key, 0), K - 1 + best)
     assert got == expected
+
+
+# --- substring_scrub (the corpus-rewrite action) ----------------------------
+
+def test_scrub_removes_span_from_higher_id_only(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+        substring_scrub,
+    )
+
+    a_text = "one two three " + SPAN12 + " four five six"
+    b_text = "seven eight " + SPAN12 + " nine ten eleven twelve"
+    docs = _docs(spark, [(1, a_text), (2, b_text), (3, "short text only")])
+    out = {r["doc_id"]: r for r in substring_scrub(docs, k=K).collect()}
+    assert len(out) == 3                       # full corpus rewrite
+    assert out[1]["text"] == a_text            # lowest id keeps the span
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "seven eight nine ten eleven twelve"
+    assert out[2]["n_spans_removed"] == 1
+    assert out[2]["n_tokens_removed"] == 12
+    assert out[3]["text"] == "short text only"  # < k tokens: untouched
+
+
+def test_scrub_merges_overlapping_intervals(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+        substring_scrub,
+    )
+
+    # doc 3 shares SPAN12's first 10 tokens with doc 1 and its last 10
+    # with doc 2 -> two overlapping removal intervals that must merge
+    # into one 12-token cut.
+    toks = SPAN12.split()
+    head10, tail10 = " ".join(toks[:10]), " ".join(toks[2:])
+    docs = _docs(spark, [
+        (1, head10 + " pad0 pad1 pad2 pad3 pad4 pad5 pad6 pad7"),
+        (2, "lead0 lead1 lead2 lead3 lead4 lead5 lead6 lead7 " + tail10),
+        (3, "x0 x1 x2 " + SPAN12 + " y0 y1 y2"),
+    ])
+    out = {r["doc_id"]: r for r in substring_scrub(docs, k=K).collect()}
+    assert out[3]["n_spans_removed"] == 1      # merged, not two
+    assert out[3]["n_tokens_removed"] == 12
+    assert out[3]["text"] == "x0 x1 x2 y0 y1 y2"
+
+
+def test_scrub_chain_keeps_only_lowest_id(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+        substring_scrub,
+    )
+
+    docs = _docs(spark, [
+        (1, "a0 a1 " + SPAN12),
+        (2, "b0 b1 b2 " + SPAN12),
+        (3, SPAN12 + " c0 c1 c2 c3"),
+    ])
+    out = {r["doc_id"]: r for r in substring_scrub(docs, k=K).collect()}
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "b0 b1 b2"
+    assert out[3]["text"] == "c0 c1 c2 c3"

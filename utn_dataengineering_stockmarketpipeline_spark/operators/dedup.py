@@ -800,7 +800,8 @@ def substring_duplicate_pairs(
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
     spans = runs.groupBy("id_a", "id_b", "diag", "island").agg(
-        F.count(F.lit(1)).alias("run_len")
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("pos_a").alias("start_a"),
     )
     out = spans.groupBy("id_a", "id_b").agg(
         F.sum("run_len").alias("n_shared_grams"),
@@ -810,6 +811,143 @@ def substring_duplicate_pairs(
     if min_span_tokens is not None:
         out = out.filter(F.col("max_span_tokens") >= min_span_tokens)
     return out
+
+
+def _substring_spans(docs: DataFrame, text_col: str, id_col: str, k: int,
+                     max_gram_freq: int | None) -> DataFrame:
+    """Shared-span relation behind :func:`substring_duplicate_pairs` and
+    :func:`substring_scrub`: one row per maximal aligned run —
+    (id_a, id_b, diag, run_len, start_a), start_b = start_a - diag.
+    Same plan as the pairs operator up to the final aggregate."""
+    from pyspark.sql import Window
+
+    eligible = docs.filter(F.size(F.split(F.col(text_col), " ")) >= k)
+    g = shingle_hash_rows(eligible, text_col, id_col, k, dual=True)
+    member = F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))
+    size_ok = F.size("ms") > 1
+    if max_gram_freq is not None:
+        size_ok = size_ok & (F.size("ms") <= max_gram_freq)
+    buckets = (
+        g.groupBy("h", "h2")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
+        .filter(size_ok)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size("ms")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["pos"].alias("pos_a"),
+                    (x["pos"] - y["pos"]).alias("diag"),
+                ),
+            ),
+        )
+    )
+    m = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    return runs.groupBy("id_a", "id_b", "diag", "island").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("pos_a").alias("start_a"),
+    )
+
+
+def substring_scrub(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 8,
+                    max_gram_freq: int | None = DEFAULT_MAX_BUCKET_SIZE
+                    ) -> DataFrame:
+    """The substring-dedup ACTION (Lee et al. '21 §4: the paper's point
+    is REWRITING the corpus, not listing pairs): remove every verbatim
+    >= ``k``-token span that also occurs in a lower-id document,
+    keeping exactly the lowest-id occurrence — the span-level analogue
+    of keep-one-per-cluster.
+
+    From the shared span relation (:func:`_substring_spans`), every
+    (id_a < id_b) aligned run marks tokens [start_b, start_b + run_len
+    + k - 1) of the HIGHER doc for removal; a document's removal
+    intervals (possibly from many partners, possibly overlapping) are
+    collected per doc and MERGED in-row (sorted interval sweep as a
+    higher-order aggregate — no second shuffle), then the text rebuilds
+    by filtering token positions outside every merged interval.
+
+    Output: ALL input docs as (id, text, n_spans_removed,
+    n_tokens_removed) — text rewritten where spans were cut, unchanged
+    otherwise (a corpus REWRITE, the shape a training pipeline feeds
+    forward). Pure integer/string ops, so the DuckDB oracle replays it
+    exactly.
+
+    100 TB shape: everything up to intervals is the pairs plan; the
+    per-doc interval list is bounded by the doc's own span count (the
+    gram-frequency cap bounds fan-in), the merge is in-row, and the
+    rebuild is a map over the doc scan after ONE narrow (id,
+    intervals) join.
+    """
+    spans = _substring_spans(docs, text_col, id_col, k, max_gram_freq)
+    iv = spans.select(
+        F.col("id_b").alias(id_col),
+        F.struct(
+            (F.col("start_a") - F.col("diag")).cast("int").alias("s"),
+            (F.col("start_a") - F.col("diag") + F.col("run_len")
+             + F.lit(k - 1)).cast("int").alias("e"),
+        ).alias("iv"),
+    )
+    per_doc = iv.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("iv")).alias("ivs")
+    )
+    # in-row sorted interval sweep: fold intervals left to right,
+    # extending the last merged interval when s <= its e, else
+    # appending — classic merge, zero extra shuffle
+    merged = F.aggregate(
+        F.col("ivs"),
+        F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (x["s"] <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        F.greatest(
+                            F.element_at(acc, -1)["e"], x["e"]
+                        ).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    per_doc = per_doc.select(id_col, merged.alias("ivs"))
+
+    toks = F.split(F.col(text_col), " ")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("ivs"), lambda v: (i >= v["s"]) & (i < v["e"])
+        ),
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    no_iv = F.col("ivs").isNull()
+    return joined.select(
+        F.col(id_col),
+        F.when(no_iv, F.col(text_col))
+        .otherwise(F.array_join(kept, " ")).alias(text_col),
+        F.coalesce(F.size("ivs"), F.lit(0)).cast("long")
+        .alias("n_spans_removed"),
+        F.when(no_iv, F.lit(0).cast("long"))
+        .otherwise(
+            F.aggregate(
+                F.col("ivs"), F.lit(0),
+                lambda acc, v: acc + (v["e"] - v["s"]),
+            ).cast("long")
+        ).alias("n_tokens_removed"),
+    )
 
 
 def contamination(corpus: DataFrame, benchmark: DataFrame,

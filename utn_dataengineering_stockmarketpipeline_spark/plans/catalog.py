@@ -75,7 +75,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_pricing_summary",
     "ana_region_revenue",
     "ana_rollup_volume",
-    "ana_set_ops",
     "ana_top_customers",
     "ana_user_sessions",
     "ana_window_rank",
@@ -109,11 +108,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "stream_purchase_error_join",
     "stream_sliding_counts",
     "stream_user_sessions",
-    # -- block 3: deferred r6-stale (window overflow: 8 new round-9
-    #    registrations outgrew the 45+5 plan; these three are the
-    #    lowest-risk deferrals — trivial projections with pytest +
-    #    every-session local-oracle coverage — first in line for the
-    #    r10 window) --
+    # -- block 3: deferred r6-stale (window overflow: 9 new round-9
+    #    registrations outgrew the 45+5 plan; these four are the
+    #    lowest-risk deferrals — trivial projections/set algebra with
+    #    pytest + every-session local-oracle coverage — first in line
+    #    for the r10 window) --
+    "ana_set_ops",
     "ref_markets_table",
     "ref_scalar_functions",
     "ref_stock_prices_table",
@@ -218,8 +218,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
 
 # New (unlisted) queries slot in after the must-verify head (the
 # r6-stale block, minus the three deferred overflow entries above).
-# 42 + 8 unlisted round-9 registrations = the full 50-query window.
-_WINDOW_PIN = 42
+# 41 + 9 unlisted round-9 registrations = the full 50-query window.
+_WINDOW_PIN = 41
 
 
 def _apply_driver_order() -> None:

@@ -259,10 +259,11 @@ def _fold_at(i_expr: str, k: int, base: int = SHINGLE_B,
                   for j in range(k)], base, mod)
 
 
-@register(
-    "llm_substring_dedup",
-    f"""
-WITH tok AS (SELECT doc_id, {_TH} AS th FROM documents),
+# Shared CTE chain for the substring-dedup family (detector + scrub):
+# token hashes -> positioned dual-fold k-gram hashes -> frequency cap ->
+# aligned matches -> diagonal runs -> maximal spans with start position.
+_SUB_CTES = f"""
+tok AS (SELECT doc_id, {_TH} AS th FROM documents),
 gl AS (SELECT doc_id,
               list_transform(generate_series(1, len(th) - {_SUB_K - 1}),
                              i -> {_fold_at('i', _SUB_K)}) AS gs,
@@ -283,8 +284,15 @@ runs AS (SELECT id_a, id_b, diag, pos_a,
                 pos_a - ROW_NUMBER() OVER (
                   PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
          FROM m),
-spans AS (SELECT id_a, id_b, diag, island, COUNT(*) AS run_len
-          FROM runs GROUP BY id_a, id_b, diag, island)
+spans AS (SELECT id_a, id_b, diag, island, COUNT(*) AS run_len,
+                 MIN(pos_a) AS start_a
+          FROM runs GROUP BY id_a, id_b, diag, island)"""
+
+
+@register(
+    "llm_substring_dedup",
+    f"""
+WITH {_SUB_CTES.strip()}
 SELECT id_a, id_b,
        CAST(SUM(run_len) AS BIGINT) AS n_shared_grams,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
@@ -301,6 +309,62 @@ FROM spans GROUP BY id_a, id_b
 )
 def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_duplicate_pairs(
+        load_table(spark, sf_dir, "documents"), k=_SUB_K
+    )
+
+
+@register(
+    "llm_substring_scrub",
+    f"""
+WITH {_SUB_CTES.strip()},
+iv AS (SELECT id_b AS doc_id, start_a - diag AS s,
+              start_a - diag + run_len + {_SUB_K - 1} AS e
+       FROM spans),
+o AS (SELECT doc_id, s, e,
+             MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv),
+grp AS (SELECT doc_id, s, e,
+               SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY s, e) AS gid
+        FROM o),
+miv AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        FROM grp GROUP BY doc_id, gid),
+st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans_removed,
+              CAST(SUM(e - s) AS BIGINT) AS n_tokens_removed
+       FROM miv GROUP BY doc_id),
+tkl AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+tk AS (SELECT doc_id, ts[p] AS t, p - 1 AS p0
+       FROM tkl, UNNEST(generate_series(1, len(ts))) u(p)),
+kp AS (SELECT tk.doc_id, string_agg(tk.t, ' ' ORDER BY tk.p0) AS text
+       FROM tk
+       WHERE NOT EXISTS (SELECT 1 FROM miv
+                         WHERE miv.doc_id = tk.doc_id
+                           AND tk.p0 >= miv.s AND tk.p0 < miv.e)
+       GROUP BY tk.doc_id)
+SELECT d.doc_id,
+       CASE WHEN st.doc_id IS NULL THEN d.text
+            ELSE COALESCE(kp.text, '') END AS text,
+       COALESCE(st.n_spans_removed, 0) AS n_spans_removed,
+       COALESCE(st.n_tokens_removed, 0) AS n_tokens_removed
+FROM documents d
+LEFT JOIN st ON st.doc_id = d.doc_id
+LEFT JOIN kp ON kp.doc_id = d.doc_id
+""",
+    doc="the substring-dedup ACTION (Lee et al. '21 §4 — the paper "
+        "rewrites the corpus, it doesn't list pairs): every verbatim "
+        f">= {_SUB_K}-token span also present in a lower-id doc is cut "
+        "from the higher doc (lowest-id occurrence survives — the "
+        "span-level keep-one). Removal intervals merge per doc with an "
+        "in-row sorted sweep (zero extra shuffle), text rebuilds by "
+        "position filter; full corpus-rewrite output "
+        "(operators/dedup.substring_scrub)",
+    tags=("llm", "dedup", "substring", "action"),
+)
+def q_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_scrub(
         load_table(spark, sf_dir, "documents"), k=_SUB_K
     )
 
