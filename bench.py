@@ -127,6 +127,7 @@ BENCH_QUERIES = (
     "llm_token_budget_selection",
     "llm_embedding_outliers",
     "llm_substring_scrub",
+    "stream_quota_admission",
 )
 
 

@@ -65,13 +65,13 @@ def _load_all() -> None:
 #   3. tail: the r7-green set, then the r8-green set (freshest
 #      evidence, safely outside the window until the next rotation).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 1: r6-stale (45 — the whole oldest cohort, exactly the
-    #    set tools/freshness.py names after r8) --
+    # -- block 1: r6-stale must-verify head (40 = the 45-entry oldest
+    #    cohort tools/freshness.py names after r8, minus the five
+    #    overflow deferrals in block 3) --
     "ana_lapsed_customers",
     "ana_lead_lag",
     "ana_order_priority",
     "ana_pareto_parts",
-    "ana_price_histogram",
     "ana_pricing_summary",
     "ana_region_revenue",
     "ana_rollup_volume",
@@ -108,11 +108,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "stream_purchase_error_join",
     "stream_sliding_counts",
     "stream_user_sessions",
-    # -- block 3: deferred r6-stale (window overflow: 9 new round-9
-    #    registrations outgrew the 45+5 plan; these four are the
-    #    lowest-risk deferrals — trivial projections/set algebra with
-    #    pytest + every-session local-oracle coverage — first in line
-    #    for the r10 window) --
+    # -- block 3: deferred r6-stale (window overflow: 10 new round-9
+    #    registrations outgrew the 45+5 plan; these five are the
+    #    lowest-risk deferrals — trivial projections / histogram /
+    #    set algebra with pytest + every-session local-oracle
+    #    coverage — first in line for the r10 window) --
+    "ana_price_histogram",
     "ana_set_ops",
     "ref_markets_table",
     "ref_scalar_functions",
@@ -217,9 +218,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
 
 
 # New (unlisted) queries slot in after the must-verify head (the
-# r6-stale block, minus the three deferred overflow entries above).
-# 41 + 9 unlisted round-9 registrations = the full 50-query window.
-_WINDOW_PIN = 41
+# r6-stale block, minus the five deferred overflow entries above).
+# 40 + 10 unlisted round-9 registrations = the full 50-query window.
+_WINDOW_PIN = 40
 
 
 def _apply_driver_order() -> None:

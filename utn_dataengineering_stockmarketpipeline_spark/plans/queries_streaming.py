@@ -338,6 +338,54 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_quota_admission",
+    """
+SELECT user_id,
+       LEAST(5, COUNT(*)) AS n_admitted,
+       GREATEST(COUNT(*) - 5, 0) AS n_dropped
+FROM events GROUP BY user_id
+""",
+    doc="per-key streaming quota admission: each user admits at most "
+        "5 events, the rest count as dropped — multi-tenant flood "
+        "control ahead of enrichment. One bigint of state per key "
+        "(applyInPandasWithState; the Spark-4 StatefulProcessor twin "
+        "stateful_quota_admission_tws is import-gated — its protobuf "
+        "worker dependency is absent from this container); admitted/"
+        "dropped are monotone in the running count, so the final "
+        "update-mode row per key equals the batch LEAST/GREATEST "
+        "truth regardless of arrival order or batch split (the oracle)",
+    tags=("streaming", "stateful", "quota"),
+)
+def q_stream_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stateful_quota_admission
+
+    name = "stream_quota_" + uuid.uuid4().hex[:12]
+    with _streaming_events_conf(spark):
+        raw = _events_stream(spark, sf_dir).select("user_id")
+        quota = stateful_quota_admission(raw, "user_id", k=5)
+        q = (
+            quota.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode: one row per key per micro-batch; both outputs
+        # are monotone, so the final state is the per-key max
+        out = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_admitted").alias("n_admitted"),
+                F.max("n_dropped").alias("n_dropped"),
+            )
+        )
+        out.count()
+    return out
+
+
+@register(
     "stream_dedup_events",
     """
 SELECT event_type, COUNT(*) AS n_events

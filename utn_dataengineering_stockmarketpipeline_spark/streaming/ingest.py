@@ -200,6 +200,127 @@ def stateful_running_totals(
     )
 
 
+_QUOTA_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_admitted", T.LongType()),
+        T.StructField("n_dropped", T.LongType()),
+    ]
+)
+
+
+def stateful_quota_admission(
+    stream: DataFrame, key_col: str = "user_id", k: int = 5
+) -> DataFrame:
+    """Per-key streaming QUOTA admission: each key may admit at most
+    ``k`` events; the rest are counted as dropped — the ingestion
+    rate-cap every multi-tenant event pipeline runs (per-user flood
+    control ahead of expensive enrichment).
+
+    Emits one (key, n_admitted, n_dropped) row per key per micro-batch
+    in update mode; both outputs are MONOTONE in the running count, so
+    the final row per key equals the batch truth LEAST(k, n) /
+    GREATEST(n - k, 0) regardless of arrival order or batch split —
+    which is exactly what the DuckDB oracle states.
+
+    State is ONE bigint counter per key (``applyInPandasWithState``),
+    co-located with the key's shuffle partition and
+    checkpoint-persisted; at 100 TB the state size is O(distinct
+    keys), independent of event volume. The Spark-4 StatefulProcessor
+    form of the same operator is
+    :func:`stateful_quota_admission_tws`.
+    """
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (n,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_admitted": [min(k, n)],
+                "n_dropped": [max(n - k, 0)],
+            }
+        )
+
+    return (
+        stream.select(F.col(key_col).cast("long").alias("user_id"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_QUOTA_SCHEMA,
+            stateStructType=T.StructType([T.StructField("n", T.LongType())]),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stateful_quota_admission_tws(
+    stream: DataFrame, key_col: str = "user_id", k: int = 5
+) -> DataFrame:
+    """:func:`stateful_quota_admission` on Spark 4's
+    ``transformWithStateInPandas`` (the StatefulProcessor API that
+    supersedes applyInPandasWithState — named state handles, timers,
+    TTL, multiple state variables per key).
+
+    GATED, not registered as a driver query: the API's state-server
+    protocol needs ``google.protobuf`` in the Python workers, which is
+    verifiably absent from this container (and installs are out of
+    scope) — calling raises ImportError with that explanation, and the
+    pytest twin skips when protobuf is missing. Identical semantics to
+    the registered operator by construction, so environments WITH
+    protobuf verify it against the same oracle.
+    """
+    try:
+        import google.protobuf  # noqa: F401  (worker-side requirement)
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf in the "
+            "Python workers (state-server protocol); it is not installed "
+            "in this container — use stateful_quota_admission "
+            "(applyInPandasWithState, same semantics) instead"
+        ) from e
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class Quota(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState("seen", "n BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = self._seen.get()[0] if self._seen.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._seen.update((n,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_admitted": [min(k, n)],
+                    "n_dropped": [max(n - k, 0)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.select(F.col(key_col).cast("long").alias("user_id"))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            Quota(),
+            outputStructType=_QUOTA_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 def run_to_memory(
     stream: DataFrame,
     query_name: str,
