@@ -372,3 +372,35 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         plan = buf.getvalue()
         assert "might_contain" in plan          # fact-side probe injected
         assert "bloom_filter_agg" in plan       # dim-side build aggregate
+
+
+def test_round9_queries_plan_shapes(spark):
+    """Round-9 additions keep the 100 TB posture: policy/selection/
+    outlier/scrub plans stay nested-loop-free, the outlier centroid
+    join broadcasts, selection's per-score branch prunes to the text
+    column, and no operator re-explodes what zip_with can do in-row."""
+    for name in (
+        "llm_dedup_keep_best",
+        "llm_substring_scrub",
+        "llm_embedding_outliers",
+    ):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    # token-budget: the 1-row total rides the allowed broadcast
+    # cross-join; an unbroadcast CartesianProduct would be a regression
+    plan = plan_of(CATALOG["llm_token_budget_selection"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the per-score aggregate branch must scan ONLY the text column
+    assert "struct<text:string>" in plan
+
+    plan = plan_of(CATALOG["llm_embedding_outliers"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan      # centroid array join
+    # one explode for the per-dim sums; distance is in-row zip_with
+    assert plan.count("posexplode") == 1
+
+    # keep-best ranks inside clusters — a window partitioned by the
+    # cluster key, never a global (empty-partition-spec) sort
+    plan = plan_of(CATALOG["llm_dedup_keep_best"].build(spark, SF_SMOKE))
+    assert "Window" in plan
