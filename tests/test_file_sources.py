@@ -78,3 +78,75 @@ def test_bronze_conversion_round_trip(spark, tmp_path):
     start = plan.index("ReadSchema")
     line = plan[start : plan.index("\n", start)]
     assert "lang" in line and "n_chars" not in line
+
+
+# --- training-shard export (sources/lake.write_training_shards) -------------
+
+def test_training_shards_layout_and_determinism(spark, tmp_path):
+    """One file per shard dir, content-hash shard assignment stable
+    across re-exports and input partitioning, in-file sort order."""
+    from pathlib import Path
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, n_shards=8)
+
+    dirs = sorted(p.name for p in Path(out).iterdir() if p.name.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(8)]
+    for d in dirs:
+        files = [p for p in (Path(out) / d).glob("*.parquet")]
+        assert len(files) == 1, d
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # membership matches the content hash for every row
+    bad = back.filter(
+        F.col("shard")
+        != F.pmod(F.xxhash64(F.col("doc_id")), F.lit(8)).cast("int")
+    ).count()
+    assert bad == 0
+    # manifest totals match the written reality
+    got = {r["shard"]: r["n_docs"] for r in manifest.collect()}
+    real = {
+        r["shard"]: r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == real
+
+    # in-file order: doc_id ascending within each shard file
+    for d in dirs:
+        pdf = spark.read.parquet(str(Path(out) / d)).select("doc_id").toPandas()
+        assert list(pdf["doc_id"]) == sorted(pdf["doc_id"])
+
+    # re-export from a differently-partitioned input: same membership
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs.repartition(13), out2, n_shards=8)
+    a = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(out).select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
+
+
+def test_training_shards_max_records_splits_but_preserves_content(
+    spark, tmp_path
+):
+    from pathlib import Path
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "capped")
+    write_training_shards(docs, out, n_shards=4, max_records_per_file=5)
+    shard0 = Path(out) / "shard=0"
+    files = list(shard0.glob("*.parquet"))
+    assert len(files) > 1  # the cap split the shard
+    import pyarrow.parquet as pq
+
+    assert all(pq.read_metadata(f).num_rows <= 5 for f in files)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()

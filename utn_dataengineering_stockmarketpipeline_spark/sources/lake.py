@@ -108,3 +108,47 @@ def compact(
     fs = p_old.getFileSystem(conf)
     fs.delete(p_old, True)
     fs.rename(p_tmp, p_old)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    sort_col: str | None = None,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Export a curated corpus as TRAINING SHARDS — the end of the
+    pipeline: the file layout a data-loader actually consumes.
+
+    - shard = pmod(xxhash64(id), n_shards): DETERMINISTIC content-based
+      assignment — re-exporting the same corpus reproduces the same
+      shard membership bit-for-bit regardless of upstream partitioning
+      or cluster size (loaders checkpoint by (shard, offset); a layout
+      that reshuffles between runs invalidates every checkpoint);
+    - one task per shard (repartition on the shard column, which is
+      also the directory key, so each shard directory holds exactly
+      one writer's output), rows sorted within the shard by
+      ``sort_col`` (default: the id) — deterministic in-file order and
+      tight row-group stats;
+    - ``max_records_per_file`` caps file size (loaders want bounded
+      files for work-stealing); splitting preserves the sorted order.
+
+    Returns the manifest (shard, n_docs) the training job plans
+    against — callers persist it next to the shards.
+
+    100 TB: one full shuffle (the export's unavoidable cost), then
+    map-side sorted writes; no driver-side anything.
+    """
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    sharded = df.withColumn("shard", shard)
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", sort_col or id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+    return sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
