@@ -433,7 +433,13 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         pairs.count()  # isolate CC time from pair generation
         st: dict = {}
         t0 = time.perf_counter()
-        n = dedup.duplicate_clusters(pairs, docs, stats=st).count()
+        # small_graph_cap=None: the evidence measures the DISTRIBUTED
+        # propagation path's scaling — the adaptive driver fast path
+        # (which the catalog queries keep) would swallow the 1x graph
+        # and make the ratio compare driver closure vs distributed loop
+        n = dedup.duplicate_clusters(
+            pairs, docs, small_graph_cap=None, stats=st
+        ).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3),
                       "rows": n, **st}
         pairs.unpersist()
@@ -449,7 +455,9 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         ids.count(), chain.count()
         st = {}
         t0 = time.perf_counter()
-        rows = dedup.duplicate_clusters(chain, ids, stats=st).count()
+        rows = dedup.duplicate_clusters(
+            chain, ids, small_graph_cap=None, stats=st
+        ).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3),
                       "rows": rows, **st}
         ids.unpersist(), chain.unpersist()

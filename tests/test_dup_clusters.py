@@ -44,7 +44,7 @@ def test_non_convergence_raises_not_silent(spark):
         [(i, i + 1) for i in range(11)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        duplicate_clusters(pairs, ids, max_iters=1)
+        duplicate_clusters(pairs, ids, max_iters=1, small_graph_cap=None)
 
     # and with budget it converges to one cluster
     out = duplicate_clusters(pairs, ids, max_iters=25)
@@ -65,7 +65,9 @@ def test_over_cap_contraction_falls_back_to_jump_loop(spark, monkeypatch):
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
     st: dict = {}
-    out = dedup.duplicate_clusters(pairs, ids, stats=st)
+    out = dedup.duplicate_clusters(
+        pairs, ids, small_graph_cap=None, stats=st
+    )
     got = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert got == {i: 0 for i in range(n)}
     assert st["contracted_edges"] is None  # closure never fired
@@ -88,14 +90,18 @@ def test_contraction_closure_matches_jump_loop(spark, monkeypatch):
     st_c: dict = {}
     with_closure = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(pairs, ids, stats=st_c).collect()
+        for r in dedup.duplicate_clusters(
+            pairs, ids, small_graph_cap=None, stats=st_c
+        ).collect()
     }
     assert st_c["contracted_edges"] is not None
     monkeypatch.setattr(dedup, "CONTRACT_START_ROUND", 10_000)
     st_j: dict = {}
     pure_jump = {
         r["doc_id"]: r["cluster_id"]
-        for r in dedup.duplicate_clusters(pairs, ids, stats=st_j).collect()
+        for r in dedup.duplicate_clusters(
+            pairs, ids, small_graph_cap=None, stats=st_j
+        ).collect()
     }
     assert st_j["contracted_edges"] is None
     assert with_closure == pure_jump
@@ -137,7 +143,7 @@ def test_long_path_graph_converges(spark):
         [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
     )
     ids = spark.range(n).withColumnRenamed("id", "doc_id")
-    out = duplicate_clusters(pairs, ids).collect()
+    out = duplicate_clusters(pairs, ids, small_graph_cap=None).collect()
     assert len(out) == n
     assert all(r.cluster_id == 0 for r in out)
 
@@ -170,3 +176,35 @@ def test_incremental_equals_cross_filtered_full(spark):
         if a_new != b_new:
             want.add((r.id_b, r.id_a) if a_new else (r.id_a, r.id_b))
     assert inc == want
+
+
+def test_small_graph_fast_path_matches_forced_loop(spark):
+    """The driver fast path and the distributed loop must agree exactly
+    on the same input — and the fast path must actually engage (zero
+    rounds, raw-edge closure) under the default cap."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import dedup
+
+    n = 50
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(14)]          # path component
+        + [(20, 21), (21, 22), (20, 22)]          # triangle
+        + [(30, 40), (31, 40)],                   # star
+        "id_a long, id_b long",
+    )
+    st_fast: dict = {}
+    fast = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs, ids, stats=st_fast).collect()
+    }
+    st_loop: dict = {}
+    loop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(
+            pairs, ids, small_graph_cap=None, stats=st_loop
+        ).collect()
+    }
+    assert fast == loop
+    assert st_fast["rounds"] == 0
+    assert st_fast["contracted_edges"] == 2 * 19  # bidirectional raw edges
+    assert st_loop["rounds"] >= 1

@@ -463,10 +463,46 @@ CONTRACT_START_ROUND = 2
 #: against a geometrically smaller supergraph.
 DRIVER_CLOSURE_CAP = 500_000
 
+#: Whole-graph driver fast path: if the RAW (bidirectional) edge list
+#: has at most this many rows, skip the distributed rounds entirely and
+#: union-find it centrally — below this size even ONE propagation
+#: round's fixed cost (join + checkpoint + convergence action jobs)
+#: exceeds the closure. Deliberately much smaller than
+#: DRIVER_CLOSURE_CAP so the 10x bench evidence graphs (~100k+ edges)
+#: still exercise the distributed propagation + contraction path the
+#: 100 TB deployment runs.
+SMALL_GRAPH_CAP = 20_000
+
+
+def _min_root_closure(rows, a: str, b: str):
+    """Union-find with min-root-wins over edge ``rows`` (fields ``a``,
+    ``b``); returns the path-compressing ``find``. Roots are doc ids,
+    so the min root of a component IS its min id — the cluster_id
+    contract."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[a]), find(r[b])
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return find
+
 
 def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                        id_col: str = "doc_id",
                        max_iters: int = 25,
+                       small_graph_cap: int | None = SMALL_GRAPH_CAP,
                        stats: dict | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph: (id, cluster_id)
     with cluster_id = min doc id reachable — the step that turns
@@ -500,6 +536,18 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     corpus the overwhelming majority of documents have no near-dup
     edge, so the per-round join runs over only the edge-touched minority
     and the singleton majority unions in once at the end.
+
+    SMALL-GRAPH FAST PATH (``small_graph_cap``, default 20k): a bounded
+    LIMIT probe of the raw edge list; under the cap the whole closure
+    runs centrally with the same min-root union-find the contraction
+    tail uses, and the distributed rounds never start — below that
+    size even one propagation round's fixed job cost exceeds the
+    closure. Identical output by the same argument as the contraction
+    (min root of a component of doc-id edges IS its min id). The cap
+    is deliberately far below DRIVER_CLOSURE_CAP so 10x-scale graphs
+    (and any real corpus) still run the distributed path; pass
+    ``small_graph_cap=None`` to force the loop (the equivalence test
+    does).
 
     The iteration's shuffle width is scoped to the touched-node count
     (~50k labels/partition, capped at the session setting): the rounds
@@ -545,13 +593,37 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_touched = touched.count()
     loop_parts = max(4, min(session_parts, -(-n_touched // 50_000)))
-    # one-time layout: edges by dst, labels by id, both at loop width —
-    # the per-round join is then co-partitioned with NO new exchange
-    edges = edges_raw.repartition(loop_parts, "dst").persist()
-    if not converged:
-        edges.count()  # materialize from the raw cache, then release it
-    edges_raw.unpersist()
-    labels = labels.repartition(loop_parts, "id")
+    rounds_run = 0
+    contracted_edges = None
+
+    # SMALL-GRAPH FAST PATH: bounded LIMIT probe of the raw edge list;
+    # under the cap the whole closure runs centrally (same min-root
+    # union-find as the contraction tail, over raw doc-id edges) and
+    # the distributed rounds never start. Touched nodes are exactly
+    # the edge endpoints, so the closure map IS the label vector.
+    edges = None
+    if not converged and small_graph_cap is not None:
+        head = edges_raw.limit(small_graph_cap + 1).collect()
+        if len(head) <= small_graph_cap:
+            find = _min_root_closure(head, "src", "dst")
+            nodes = sorted({v for r in head for v in (r["src"], r["dst"])})
+            labels = spark.createDataFrame(
+                [(n, find(n)) for n in nodes], "id long, label long"
+            )
+            contracted_edges = len(head)
+            converged = True
+            edges_raw.unpersist()
+
+    if edges is None:
+        if converged:  # no edges at all — nothing to iterate
+            edges_raw.unpersist()
+        else:
+            # one-time layout: edges by dst, labels by id, both at loop
+            # width — the per-round join is co-partitioned, no exchange
+            edges = edges_raw.repartition(loop_parts, "dst").persist()
+            edges.count()  # materialize from the raw cache, release it
+            edges_raw.unpersist()
+            labels = labels.repartition(loop_parts, "id")
     # Per-round fixed cost (job scheduling + checkpoint + convergence
     # action) dominated the 10x scale evidence in r8 (13 rounds = 13
     # eager-checkpoint jobs + 13 sum jobs). One job per round instead:
@@ -561,8 +633,6 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     # is SLOWER: the un-materialized sub-step frame is referenced twice
     # — by the next join and its own aggregate — so Catalyst re-executes
     # the diamond's whole subtree.)
-    rounds_run = 0
-    contracted_edges = None
     for it in range(max_iters):
         if converged:
             break
@@ -646,23 +716,7 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             )
             rows = super_edges.limit(DRIVER_CLOSURE_CAP + 1).collect()
             if len(rows) <= DRIVER_CLOSURE_CAP:
-                parent_uf: dict[int, int] = {}
-
-                def find(x: int) -> int:
-                    root = x
-                    while parent_uf.get(root, root) != root:
-                        root = parent_uf[root]
-                    while parent_uf.get(x, x) != x:  # path compression
-                        parent_uf[x], x = root, parent_uf[x]
-                    return root
-
-                for r in rows:
-                    ra, rb = find(r["l_src"]), find(r["l_dst"])
-                    if ra != rb:  # min root wins: roots are doc ids
-                        if ra < rb:
-                            parent_uf[rb] = ra
-                        else:
-                            parent_uf[ra] = rb
+                find = _min_root_closure(rows, "l_src", "l_dst")
                 remap = sorted(
                     {v for r in rows for v in (r["l_src"], r["l_dst"])}
                 )
@@ -677,7 +731,8 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
                 ).localCheckpoint()
                 contracted_edges = len(rows)
                 converged = True
-    edges.unpersist()
+    if edges is not None:
+        edges.unpersist()
     if stats is not None:
         # observability out-param (bench scale evidence): how many
         # propagation rounds ran, at what scoped width, and whether
