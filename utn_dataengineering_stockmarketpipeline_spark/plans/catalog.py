@@ -57,13 +57,15 @@ def _load_all() -> None:
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
 # Round-9 rotation (freshness after r8: r6×45 / r7×42 / r8×50):
-#   1. the 45 queries whose freshest driver row is r6 — the entire
-#      oldest cohort (tools/freshness.py names them; all green in every
-#      local oracle run since, but the driver row is the hard signal),
-#   2. (pin) new round-9 registrations slot in here — with 5 new
-#      queries the window is exactly 45 + 5 = 50,
-#   3. tail: the r7-green set, then the r8-green set (freshest
-#      evidence, safely outside the window until the next rotation).
+#   1. 40 of the 45 queries whose freshest driver row is r6 (the whole
+#      oldest cohort per tools/freshness.py, minus five overflow
+#      deferrals — all green in every local oracle run since, but the
+#      driver row is the hard signal),
+#   2. (pin) the 10 new round-9 registrations slot in here:
+#      40 + 10 = exactly the 50-query window,
+#   3. the five deferred r6 entries head the tail (first into the r10
+#      window), then the r7-green set, then the r8-green set (freshest
+#      evidence, safely outside until the next rotation).
 _DRIVER_ORDER: tuple[str, ...] = (
     # -- block 1: r6-stale must-verify head (40 = the 45-entry oldest
     #    cohort tools/freshness.py names after r8, minus the five
