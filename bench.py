@@ -131,6 +131,14 @@ BENCH_QUERIES = (
 )
 
 
+def _full_gc(spark) -> None:
+    """Full JVM GC before a timed measurement — the same isolation the
+    main query roster gets per-query; without it the late-bench scale
+    evidence varies with accumulated session garbage (pagerank_1x
+    measured anywhere from 4 to 9 s across otherwise-identical runs)."""
+    spark.sparkContext._jvm.System.gc()
+
+
 def _replicate_docs(spark, sf_dir: str, factor: int):
     """documents scaled ×factor: replicas get distinct ids and a small
     distinct text suffix, so corpus GROWS without becoming a wall of
@@ -259,6 +267,7 @@ def _streaming_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         big_dir = _replicated_events_dir(sf_dir, factor, tmp)
         for label, d in (("stream_ssj_1x", sf_dir),
                          (f"stream_ssj_{factor}x", big_dir)):
+            _full_gc(spark)
             t0 = time.perf_counter()
             df = CATALOG["stream_purchase_error_join"].build(spark, d)
             n = df.count()
@@ -297,6 +306,7 @@ def _scd2_scale(spark, factor: int, out: dict, base_rows: int = 100_000) -> None
                      (f"scd2_{factor}x", base_rows * factor)):
         cur, sn = dim(n).persist(), snap(n).persist()
         cur.count(), sn.count()  # isolate the merge from input build
+        _full_gc(spark)
         t0 = time.perf_counter()
         rows = scd2_apply(sn, cur, "k", ["name"], "2024-06-01").count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
@@ -337,6 +347,7 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
         df.persist().count()  # isolate operator time from input build
 
     def timed(label: str, df) -> None:
+        _full_gc(spark)
         t0 = time.perf_counter()
         n = df.count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
@@ -432,6 +443,7 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         pairs = dedup.minhash_candidates(docs).persist()
         pairs.count()  # isolate CC time from pair generation
         st: dict = {}
+        _full_gc(spark)
         t0 = time.perf_counter()
         # small_graph_cap=None: the evidence measures the DISTRIBUTED
         # propagation path's scaling — the adaptive driver fast path
@@ -454,6 +466,7 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         ).persist()
         ids.count(), chain.count()
         st = {}
+        _full_gc(spark)
         t0 = time.perf_counter()
         rows = dedup.duplicate_clusters(
             chain, ids, small_graph_cap=None, stats=st
@@ -476,6 +489,7 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
                      F.col("l_suppkey")).alias("dst"),
         ).distinct().persist()
         edges.count()
+        _full_gc(spark)
         t0 = time.perf_counter()
         rows = pagerank(edges, iters=10).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
@@ -524,6 +538,7 @@ def _asof_skew_scale(spark, factor: int, out: dict,
     quotes.count(), uni.count(), skw.count()
     for label, left in ((f"asof_uniform_{factor}x", uni),
                         (f"asof_skew_{factor}x", skw)):
+        _full_gc(spark)
         t0 = time.perf_counter()
         rows = asof_join(
             left, quotes, on="ticker", left_time="t_ts",
@@ -574,6 +589,7 @@ def _skew_join_scale(spark, factor: int, out: dict,
             (f"skew_join_plain_{factor}x", big.join(small, "k")),
             (f"skew_join_salted_{factor}x", salted_join(big, small, "k")),
         ):
+            _full_gc(spark)
             t0 = time.perf_counter()
             rows = joined.agg(F.count(F.lit(1))).first()[0]
             out[label] = {"sec": round(time.perf_counter() - t0, 3),
@@ -621,6 +637,7 @@ def _interval_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
     ln = left(rep).persist()
     l1.count(), ln.count()
     for label, l in ((f"interval_overlap_1x", l1), (f"interval_overlap_{factor}x", ln)):
+        _full_gc(spark)
         t0 = time.perf_counter()
         n = interval_overlap_join(
             l, promo, "lo", "hi", "promo_lo", "promo_hi", bucket_width=7
