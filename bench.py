@@ -366,6 +366,20 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     # path is not running an n² matmul at 10x)
     timed("brute_near_dup_1x", dedup.embedding_near_dup_pairs(emb_1x))
 
+    # ANN index path at 10x: the IVF index trains on a bounded sample
+    # (size-independent) and probes n_probe cells, so query cost should
+    # track cell size (~linear in corpus), never corpus x queries
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        similarity,
+    )
+    from pyspark.sql import functions as F
+
+    q10 = emb_1x.filter(F.col("vec_id") < 10)
+    timed("ann_ivf_1x",
+          similarity.ivf_topk(corpus=emb_1x, queries=q10, dim=64, k=5))
+    timed(f"ann_ivf_{factor}x",
+          similarity.ivf_topk(corpus=emb_nx, queries=q10, dim=64, k=5))
+
     # incremental dedup at 10x: a nightly batch (1/10th of the corpus)
     # screened against the rest — cross-side pairing only, so wall time
     # should sit well under the full 10x pairing above

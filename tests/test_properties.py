@@ -348,3 +348,102 @@ def test_exact_ntile_and_rank_match_bruteforce(spark, vals, n_buckets):
         ).collect()
     }
     assert got_rn == want_rn
+
+
+# --- round-9 curation policies vs pure-Python recompute ---------------------
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta x1 y2 word token".split()),
+            min_size=1, max_size=12,
+        ),
+        min_size=1, max_size=14,
+    ),
+    den=st.sampled_from([1, 2, 4]),
+)
+def test_token_budget_selection_matches_python_greedy(spark, docs, den):
+    """The decomposed (per-score totals + boundary window) selection
+    must equal the single-ordered-scan greedy on random corpora."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        token_budget_selection,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]
+        for r in token_budget_selection(df, 1, den).collect()
+    }
+
+    def score(toks):
+        alpha = sum(1 for t in toks if t.isalpha())
+        return 2 * alpha - len(toks)
+
+    total = sum(len(t) for t in docs)
+    budget = total // den
+    want, cum = set(), 0
+    for i, toks in sorted(
+        enumerate(docs), key=lambda it: (-score(it[1]), it[0])
+    ):
+        if cum + len(toks) <= budget:
+            want.add(i)
+            cum += len(toks)
+        else:
+            break  # greedy prefix: stop at the first non-fitting doc
+    assert got == want
+
+
+@SLOW
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=0, max_size=16,
+    ),
+    quality=st.lists(st.integers(0, 5), min_size=12, max_size=12),
+)
+def test_keep_best_is_argmax_per_component(spark, edges, quality):
+    """keep_best must select exactly the (max quality, min id) member of
+    every connected component of a random pair graph."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.dedup import (
+        duplicate_clusters,
+        keep_best_per_cluster,
+    )
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [(0, 0)],
+        "id_a long, id_b long",
+    ).filter("id_a != id_b").distinct()
+    clusters = duplicate_clusters(pairs, ids)
+    qdf = spark.createDataFrame(
+        list(enumerate(quality)), "doc_id long, quality long"
+    )
+    out = keep_best_per_cluster(clusters, qdf)
+    kept = {r["doc_id"] for r in out.collect() if r["is_kept"]}
+
+    # pure-python components
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict[int, list[int]] = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    want = {
+        min(members, key=lambda i: (-quality[i], i))
+        for members in comps.values()
+    }
+    assert kept == want
