@@ -347,10 +347,19 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
         df.persist().count()  # isolate operator time from input build
 
     def timed(label: str, df) -> None:
-        _full_gc(spark)
-        t0 = time.perf_counter()
-        n = df.count()
-        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": n}
+        # min-of-2 with GC isolation: the 1x entries here are sub-second,
+        # so a single sample's jitter can swing the reported 10x/1x
+        # ratio several-fold (r9 observed minhash_lsh 3.3-7.2 across
+        # otherwise-identical runs); the min mirrors the roster's
+        # min-of-3 steady-state convention
+        best = n = None
+        for _ in range(2):
+            _full_gc(spark)
+            t0 = time.perf_counter()
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[label] = {"sec": round(best, 3), "rows": n}
 
     timed("minhash_lsh_1x", dedup.minhash_candidates(docs_1x))
     timed("minhash_lsh_10x", dedup.minhash_candidates(docs_nx))
