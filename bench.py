@@ -346,34 +346,40 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.persist().count()  # isolate operator time from input build
 
-    def timed(label: str, df) -> None:
+    def timed(label: str, build) -> None:
         # min-of-2 with GC isolation: the 1x entries here are sub-second,
         # so a single sample's jitter can swing the reported 10x/1x
         # ratio several-fold (r9 observed minhash_lsh 3.3-7.2 across
         # otherwise-identical runs); the min mirrors the roster's
-        # min-of-3 steady-state convention
+        # min-of-3 steady-state convention. ``build`` is a THUNK —
+        # each sample constructs a FRESH DataFrame, because operators
+        # with internal localCheckpoints (phash_near_pairs' hash
+        # relation) would otherwise serve sample 2 from the checkpoint
+        # and min() would time only the post-checkpoint stages.
         best = n = None
         for _ in range(2):
             _full_gc(spark)
             t0 = time.perf_counter()
-            n = df.count()
+            n = build().count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         out[label] = {"sec": round(best, 3), "rows": n}
 
-    timed("minhash_lsh_1x", dedup.minhash_candidates(docs_1x))
-    timed("minhash_lsh_10x", dedup.minhash_candidates(docs_nx))
+    timed("minhash_lsh_1x", lambda: dedup.minhash_candidates(docs_1x))
+    timed("minhash_lsh_10x", lambda: dedup.minhash_candidates(docs_nx))
     out["minhash_buckets_10x"] = _bucket_quantiles(
         dedup.minhash_bucket_sizes(docs_nx)
     )
-    timed("sign_lsh_near_dup_1x", dedup.embedding_near_dup_pairs_lsh(emb_1x, dim=64))
-    timed("sign_lsh_near_dup_10x", dedup.embedding_near_dup_pairs_lsh(emb_nx, dim=64))
+    timed("sign_lsh_near_dup_1x",
+          lambda: dedup.embedding_near_dup_pairs_lsh(emb_1x, dim=64))
+    timed("sign_lsh_near_dup_10x",
+          lambda: dedup.embedding_near_dup_pairs_lsh(emb_nx, dim=64))
     out["embedding_buckets_10x"] = _bucket_quantiles(
         dedup.embedding_bucket_sizes(emb_nx, dim=64)
     )
     # brute-force quadratic reference at 1x only (the point of the LSH
     # path is not running an n² matmul at 10x)
-    timed("brute_near_dup_1x", dedup.embedding_near_dup_pairs(emb_1x))
+    timed("brute_near_dup_1x", lambda: dedup.embedding_near_dup_pairs(emb_1x))
 
     # ANN index path at 10x: the IVF index trains on a bounded sample
     # (size-independent) and probes n_probe cells, so query cost should
@@ -385,9 +391,9 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
 
     q10 = emb_1x.filter(F.col("vec_id") < 10)
     timed("ann_ivf_1x",
-          similarity.ivf_topk(corpus=emb_1x, queries=q10, dim=64, k=5))
+          lambda: similarity.ivf_topk(corpus=emb_1x, queries=q10, dim=64, k=5))
     timed(f"ann_ivf_{factor}x",
-          similarity.ivf_topk(corpus=emb_nx, queries=q10, dim=64, k=5))
+          lambda: similarity.ivf_topk(corpus=emb_nx, queries=q10, dim=64, k=5))
 
     # incremental dedup at 10x: a nightly batch (1/10th of the corpus)
     # screened against the rest — cross-side pairing only, so wall time
@@ -396,7 +402,7 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
 
     timed(
         "incremental_dedup_10x",
-        dedup.incremental_candidates(
+        lambda: dedup.incremental_candidates(
             docs_nx.filter(F.col("doc_id") % 10 != 0),
             docs_nx.filter(F.col("doc_id") % 10 == 0),
         ),
@@ -416,18 +422,18 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     sc_nx = _scrambled_docs(spark, sf_dir, factor)
     for df in (sc_1x, sc_nx):
         df.persist().count()
-    timed("substring_dedup_1x", dedup.substring_duplicate_pairs(sc_1x))
+    timed("substring_dedup_1x", lambda: dedup.substring_duplicate_pairs(sc_1x))
     timed(f"substring_dedup_{factor}x",
-          dedup.substring_duplicate_pairs(sc_nx))
+          lambda: dedup.substring_duplicate_pairs(sc_nx))
 
     def _assets(docs):
         return multimodal.synthetic_assets(
             docs.withColumn("n_chars", F.length("text"))
         ).filter(F.col("modality") == "image")
 
-    timed("phash_pairs_1x", multimodal.phash_near_pairs(_assets(sc_1x)))
+    timed("phash_pairs_1x", lambda: multimodal.phash_near_pairs(_assets(sc_1x)))
     timed(f"phash_pairs_{factor}x",
-          multimodal.phash_near_pairs(_assets(sc_nx)))
+          lambda: multimodal.phash_near_pairs(_assets(sc_nx)))
     for df in (sc_1x, sc_nx):
         df.unpersist()
 

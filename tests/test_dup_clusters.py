@@ -206,5 +206,7 @@ def test_small_graph_fast_path_matches_forced_loop(spark):
     }
     assert fast == loop
     assert st_fast["rounds"] == 0
-    assert st_fast["contracted_edges"] == 2 * 19  # bidirectional raw edges
+    assert st_fast["fast_path_edges"] == 2 * 19  # bidirectional raw edges
+    assert st_fast["contracted_edges"] is None
     assert st_loop["rounds"] >= 1
+    assert st_loop["fast_path_edges"] is None

@@ -573,36 +573,24 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
     edges_raw = e.unionAll(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    touched = (
-        edges_raw.select(F.col("src").alias("id")).distinct().localCheckpoint()
-    )
-    # labels derive from the checkpointed touched ids — upstream pair
-    # generation (LSH etc.) runs at the session's partitioning; only
-    # the iteration below is scoped.
-    labels = touched.select("id", F.col("id").alias("label"))
-    prev_sum = labels.agg(F.sum("label")).first()[0]
-    converged = prev_sum is None  # no edges at all: everything a singleton
-
-    # The per-round joins move only the (long, long) label vector; at
-    # the session's partition count most tasks are empty and per-round
-    # fixed overhead dominates (this is the cost the r6 verdict saw).
-    # Scope the loop's shuffle width to the touched-node count
-    # (~50k labels/partition), never above the session setting — at
-    # real scale the need exceeds the session value and this is a no-op.
     spark = pairs.sparkSession
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_touched = touched.count()
-    loop_parts = max(4, min(session_parts, -(-n_touched // 50_000)))
     rounds_run = 0
     contracted_edges = None
-
-    # SMALL-GRAPH FAST PATH: bounded LIMIT probe of the raw edge list;
-    # under the cap the whole closure runs centrally (same min-root
-    # union-find as the contraction tail, over raw doc-id edges) and
-    # the distributed rounds never start. Touched nodes are exactly
-    # the edge endpoints, so the closure map IS the label vector.
+    fast_path_edges = None
     edges = None
-    if not converged and small_graph_cap is not None:
+    converged = False
+
+    # SMALL-GRAPH FAST PATH — probed FIRST: one bounded LIMIT collect
+    # replaces the touched checkpoint, the convergence-sum probe and
+    # both count jobs the loop path needs (exactly the per-job fixed
+    # costs this path exists to avoid). Under the cap the whole
+    # closure runs centrally (same min-root union-find as the
+    # contraction tail, over raw doc-id edges); touched nodes are
+    # exactly the edge endpoints, so the closure map IS the label
+    # vector (and an empty probe is the no-edges case: everything a
+    # singleton).
+    if small_graph_cap is not None:
         head = edges_raw.limit(small_graph_cap + 1).collect()
         if len(head) <= small_graph_cap:
             find = _min_root_closure(head, "src", "dst")
@@ -610,11 +598,34 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             labels = spark.createDataFrame(
                 [(n, find(n)) for n in nodes], "id long, label long"
             )
-            contracted_edges = len(head)
+            fast_path_edges = len(head)
+            n_touched = len(nodes)
+            loop_parts = 0  # the distributed loop never ran
             converged = True
             edges_raw.unpersist()
 
-    if edges is None:
+    if not converged:
+        touched = (
+            edges_raw.select(F.col("src").alias("id"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # labels derive from the checkpointed touched ids — upstream
+        # pair generation (LSH etc.) runs at the session's
+        # partitioning; only the iteration below is scoped.
+        labels = touched.select("id", F.col("id").alias("label"))
+        prev_sum = labels.agg(F.sum("label")).first()[0]
+        converged = prev_sum is None  # no edges: everything a singleton
+
+        # The per-round joins move only the (long, long) label vector;
+        # at the session's partition count most tasks are empty and
+        # per-round fixed overhead dominates (the cost the r6 verdict
+        # saw). Scope the loop's shuffle width to the touched-node
+        # count (~50k labels/partition), never above the session
+        # setting — at real scale the need exceeds the session value
+        # and this is a no-op.
+        n_touched = touched.count()
+        loop_parts = max(4, min(session_parts, -(-n_touched // 50_000)))
         if converged:  # no edges at all — nothing to iterate
             edges_raw.unpersist()
         else:
@@ -735,11 +746,16 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
         edges.unpersist()
     if stats is not None:
         # observability out-param (bench scale evidence): how many
-        # propagation rounds ran, at what scoped width, and whether
-        # driver closure finished the tail (supergraph size if so)
+        # propagation rounds ran, at what scoped width, and which
+        # central closure finished the work — contracted_edges is the
+        # LABEL-supergraph edge count when the contraction tail fired;
+        # fast_path_edges is the RAW bidirectional edge count when the
+        # whole graph took the driver fast path (distinct keys: the two
+        # quantities are not comparable)
         stats.update(
             rounds=rounds_run, n_touched=n_touched, loop_parts=loop_parts,
             contracted_edges=contracted_edges,
+            fast_path_edges=fast_path_edges,
         )
     if not converged:
         # Truncated propagation would silently hand downstream "keep one
@@ -751,8 +767,11 @@ def duplicate_clusters(pairs: DataFrame, ids: DataFrame,
             f"that bounds component diameter by ~2^{max_iters}, so this "
             f"indicates a logic regression, not a big graph."
         )
+    # anti-join against the labeled (touched) ids — labels carries
+    # exactly the edge-endpoint ids on BOTH paths, so no separate
+    # `touched` frame is needed here (the fast path never builds one)
     singles = ids.select(F.col(id_col).alias("id")).join(
-        touched, "id", "left_anti"
+        labels.select("id"), "id", "left_anti"
     ).select("id", F.col("id").alias("label"))
     return labels.unionByName(singles).select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id")
@@ -816,48 +835,7 @@ def substring_duplicate_pairs(
     (which keeps the readable self-join form — same pair set by
     construction) replays every step bit-identically.
     """
-    from pyspark.sql import Window
-
-    eligible = docs.filter(
-        F.size(F.split(F.col(text_col), " ")) >= k
-    )
-    g = shingle_hash_rows(eligible, text_col, id_col, k, dual=True)
-    member = F.struct(F.col(id_col).alias("id"), F.col("pos").alias("pos"))
-    size_ok = F.size("ms") > 1
-    if max_gram_freq is not None:
-        size_ok = size_ok & (F.size("ms") <= max_gram_freq)
-    buckets = (
-        g.groupBy("h", "h2")
-        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
-        .filter(size_ok)
-    )
-    # all in-bucket occurrence pairs (i < j, members sorted by id then
-    # pos, so id_a <= id_b); same-doc matches filtered after explode
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ms"), i + 2, F.size("ms")),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    x["pos"].alias("pos_a"),
-                    (x["pos"] - y["pos"]).alias("diag"),
-                ),
-            ),
-        )
-    )
-    m = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.*")
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
-    runs = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
-    spans = runs.groupBy("id_a", "id_b", "diag", "island").agg(
-        F.count(F.lit(1)).alias("run_len"),
-        F.min("pos_a").alias("start_a"),
-    )
+    spans = _substring_spans(docs, text_col, id_col, k, max_gram_freq)
     out = spans.groupBy("id_a", "id_b").agg(
         F.sum("run_len").alias("n_shared_grams"),
         F.count(F.lit(1)).alias("n_spans"),
@@ -1090,7 +1068,11 @@ def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame,
     ``quality`` is (id, quality_col); pass an INTEGER score (e.g.
     alpha-token count) when cross-engine exactness matters — float
     scores order-tie on ulps. Output: (id, cluster_id, quality,
-    is_kept), every input doc, audit form.
+    is_kept), every clustered doc, audit form — the join to
+    ``quality`` is LEFT, so docs missing a score keep their audit row
+    with NULL quality and rank LAST (desc puts nulls last; the id
+    tiebreak keeps the election total), rather than silently vanishing
+    and silently changing which survivor wins.
 
     100 TB shape: one shuffle — the ranked window partitions by
     cluster_id, which is the natural output key; cluster sizes are
@@ -1103,7 +1085,7 @@ def keep_best_per_cluster(clusters: DataFrame, quality: DataFrame,
         F.col(quality_col).desc(), F.col(id_col)
     )
     return (
-        clusters.join(quality, id_col)
+        clusters.join(quality, id_col, "left")
         .withColumn("__rn", F.row_number().over(w))
         .select(
             id_col, "cluster_id", quality_col,

@@ -863,14 +863,17 @@ def embedding_outliers(df: DataFrame, k: int = 5,
     floats is partition-order-dependent): components quantize to
     integer micro-units q = floor(x*1e6 + 0.5) — the mode-stable
     formula, identical on any engine; per-group integer sums are exact
-    in int64 (|q| <= ~4e6, so even 1e9-row groups stay < 2^62); the
-    reference point is the QUANTIZED centroid c_d = floor((2*s_d +
+    in int64 (|q| <= ~4e6, so groups up to ~1e12 rows stay in range);
+    the reference point is the QUANTIZED centroid c_d = floor((2*s_d +
     n)/(2n)) (the centroid rounded half-up to micro-units — 1e-6
-    displacement, immaterial for outlier ranking and documented);
-    distances are then exact integer sums of squares (|q - c| <= 8e6,
-    squared * dim <= ~6e15 < 2^53 < 2^63), ranked as BIGINTs — no
-    float ever decides an order. The reported ``dist`` converts the
-    SAME integer on both engines, so even its double is identical.
+    displacement, immaterial for outlier ranking and documented),
+    computed in PURE int64 arithmetic ((x - pmod(x, 2n)) div 2n — a
+    double division would round its 2^53-bit mantissa before floor()
+    once 2s+n passes ~9e15, i.e. billion-row groups); distances are
+    exact integer sums of squares (|q - c| <= 8e6, squared * dim fits
+    int64), ranked as BIGINTs — no float ever decides an order. The
+    reported ``dist`` converts the SAME integer on both engines, so
+    even its double is identical.
 
     Plan: one explode (id, group, dim, q) + groupBy(group, dim) for
     sums — the only wide stage, |groups| x dim output rows; centroid
@@ -893,15 +896,15 @@ def embedding_outliers(df: DataFrame, k: int = 5,
         .groupBy(group_col, "__d")
         .agg(F.sum("__qd").alias("__s"), F.count(F.lit(1)).alias("__n"))
     )
-    cent = sums.groupBy(group_col).agg(
+    cent = sums.withColumn(
+        "__cd",
+        F.expr(
+            "(2*__s + __n - pmod(2*__s + __n, 2*__n)) div (2*__n)"
+        ),
+    ).groupBy(group_col).agg(
         F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("__d", "__s", "__n"))
-            ),
-            lambda t: F.floor(
-                (2 * t["__s"] + t["__n"]).cast("double")
-                / (2 * t["__n"]).cast("double")
-            ).cast("long"),
+            F.array_sort(F.collect_list(F.struct("__d", "__cd"))),
+            lambda t: t["__cd"],
         ).alias("__c")
     )
     dist_sq = F.aggregate(

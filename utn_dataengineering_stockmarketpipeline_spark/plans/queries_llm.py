@@ -2560,8 +2560,8 @@ e AS (SELECT vec_id, label, d - 1 AS dim, qv[d] AS qd
 s AS (SELECT label, dim, SUM(qd) AS sd, COUNT(*) AS n
       FROM e GROUP BY label, dim),
 c AS (SELECT label, dim,
-             CAST(floor(CAST(2 * sd + n AS DOUBLE) / (2 * n)) AS BIGINT)
-               AS cd
+             (2 * sd + n - (((2 * sd + n) % (2 * n)) + 2 * n) % (2 * n))
+               // (2 * n) AS cd
       FROM s),
 d2 AS (SELECT e.vec_id, e.label,
               SUM((e.qd - c.cd) * (e.qd - c.cd)) AS dist_sq

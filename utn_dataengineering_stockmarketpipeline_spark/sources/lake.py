@@ -126,19 +126,26 @@ def write_training_shards(
       shard membership bit-for-bit regardless of upstream partitioning
       or cluster size (loaders checkpoint by (shard, offset); a layout
       that reshuffles between runs invalidates every checkpoint);
-    - one task per shard (repartition on the shard column, which is
-      also the directory key, so each shard directory holds exactly
-      one writer's output), rows sorted within the shard by
-      ``sort_col`` (default: the id) — deterministic in-file order and
-      tight row-group stats;
+    - each shard lands WHOLLY in one task (repartition hashes the
+      shard key, so a shard value never splits across writers — one
+      writer's output per shard directory; tasks may own several
+      shards or none, the balls-in-bins reality of hashing n keys into
+      n partitions), rows sorted within the task by (shard,
+      ``sort_col``) — deterministic in-file order and tight row-group
+      stats;
     - ``max_records_per_file`` caps file size (loaders want bounded
       files for work-stealing); splitting preserves the sorted order.
 
     Returns the manifest (shard, n_docs) the training job plans
-    against — callers persist it next to the shards.
+    against — computed by reading BACK the written shards, so it
+    counts the files as written (re-aggregating the input lineage
+    would re-execute the whole upstream pipeline a second time and
+    could disagree with the files if any upstream stage is
+    nondeterministic). Callers persist it next to the shards.
 
     100 TB: one full shuffle (the export's unavoidable cost), then
-    map-side sorted writes; no driver-side anything.
+    map-side sorted writes; the manifest is one scan of the output's
+    shard column (parquet prunes everything else).
     """
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
     sharded = df.withColumn("shard", shard)
@@ -151,4 +158,9 @@ def write_training_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
-    return sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("n_docs"))
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
