@@ -212,11 +212,15 @@ def _replicate_embeddings(spark, sf_dir: str, factor: int):
         load_table,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
     n = emb.agg(F.max("vec_id")).first()[0] + 1
     rep = spark.range(factor).select(F.col("id").alias("rep"))
     return emb.crossJoin(rep).select(
-        (F.col("vec_id") + F.col("rep") * n).alias("vec_id"), "embedding"
+        (F.col("vec_id") + F.col("rep") * n).alias("vec_id"),
+        "embedding",
+        "label",
     )
 
 
@@ -407,6 +411,44 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
             docs_nx.filter(F.col("doc_id") % 10 == 0),
         ),
     )
+
+    # round-9 curation-policy operators: evidence that each documented
+    # decomposition holds its shape at ×factor — bounded-sample index
+    # train + per-cell probing (IVF-PQ), per-score token totals instead
+    # of a global cumsum window (token budget), integer per-dim group
+    # sums + broadcast centroids (outliers), pure codegen map (BPE).
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        text as text_ops,
+    )
+
+    timed("ivfpq_1x",
+          lambda: similarity.ivfpq_topk(corpus=emb_1x, queries=q10,
+                                        dim=64, k=5))
+    timed(f"ivfpq_{factor}x",
+          lambda: similarity.ivfpq_topk(corpus=emb_nx, queries=q10,
+                                        dim=64, k=5))
+    # SemDeDup's documented scale policy (semantic_dedup docstring) is
+    # n_centroids ~ n / target-cluster-size, so the ×factor run raises
+    # k with the corpus and per-cluster pair cost stays flat. Holding k
+    # fixed instead would grow Σ|cluster|² quadratically — a layout
+    # choice the operator tells you not to make, not operator scaling.
+    timed("semantic_dedup_1x",
+          lambda: similarity.semantic_dedup(emb_1x, dim=64,
+                                            n_centroids=16))
+    timed(f"semantic_dedup_{factor}x",
+          lambda: similarity.semantic_dedup(emb_nx, dim=64,
+                                            n_centroids=16 * factor))
+    timed("embedding_outliers_1x",
+          lambda: similarity.embedding_outliers(emb_1x))
+    timed(f"embedding_outliers_{factor}x",
+          lambda: similarity.embedding_outliers(emb_nx))
+    timed("token_budget_1x",
+          lambda: text_ops.token_budget_selection(docs_1x))
+    timed(f"token_budget_{factor}x",
+          lambda: text_ops.token_budget_selection(docs_nx))
+    timed("bpe_encode_1x", lambda: text_ops.bpe_token_stats(docs_1x))
+    timed(f"bpe_encode_{factor}x",
+          lambda: text_ops.bpe_token_stats(docs_nx))
 
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()

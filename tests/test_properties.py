@@ -447,3 +447,124 @@ def test_keep_best_is_argmax_per_component(spark, edges, quality):
         for members in comps.values()
     }
     assert kept == want
+
+@SLOW
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc"]), max_size=24),
+        min_size=2, max_size=5,
+    ),
+)
+def test_substring_scrub_matches_python_rewrite(spark, docs):
+    """substring_scrub (hash k-grams → diagonal runs → in-row interval
+    merge → positional token filter) must equal a literal string-level
+    rewrite on random small-vocab corpora — every stage (62-bit gram
+    identity, run detection, overlap merge, rebuild) in one property."""
+    k = 3
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_spans_removed"], r["n_tokens_removed"])
+        for r in dedup.substring_scrub(df, k=k, max_gram_freq=None).collect()
+    }
+
+    # literal k-grams → aligned diagonal runs → per-doc intervals
+    grams: dict[tuple, list[tuple]] = {}
+    for did, toks in enumerate(docs):
+        for i in range(len(toks) - k + 1):
+            grams.setdefault(tuple(toks[i:i + k]), []).append((did, i))
+    diag_hits: dict[tuple, set] = {}
+    for occ in grams.values():
+        for da, pa in occ:
+            for db, pb in occ:
+                if da < db:
+                    diag_hits.setdefault((da, db, pa - pb), set()).add(pa)
+    intervals: dict[int, list[tuple]] = {}
+    for (da, db, diag), poss in diag_hits.items():
+        run = sorted(poss)
+        start = prev = run[0]
+        spans = []
+        for p in run[1:]:
+            if p == prev + 1:
+                prev = p
+                continue
+            spans.append((start, prev))
+            start = prev = p
+        spans.append((start, prev))
+        for s_a, e_a in spans:
+            s_b = s_a - diag
+            intervals.setdefault(db, []).append(
+                (s_b, s_b + (e_a - s_a + 1) + k - 1)
+            )
+
+    want = {}
+    for did, toks in enumerate(docs):
+        merged: list[list[int]] = []
+        for s, e in sorted(intervals.get(did, [])):
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        kept = [
+            t for i, t in enumerate(toks)
+            if not any(s <= i < e for s, e in merged)
+        ]
+        want[did] = (
+            " ".join(kept) if merged else " ".join(toks),
+            len(merged),
+            sum(e - s for s, e in merged),
+        )
+    assert got == want
+
+@SLOW
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # label
+            st.lists(
+                st.floats(-1, 1, allow_nan=False, width=64),
+                min_size=4, max_size=4,
+            ),
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+def test_embedding_outliers_match_integer_bruteforce(spark, rows):
+    """embedding_outliers' pure-int64 pipeline (micro-unit quantize →
+    per-dim group sums → floor-div centroid → squared-distance BIGINT
+    rank) must equal the same arithmetic done one row at a time in
+    Python — no float ever decides an order, so the match is exact."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    data = [(i, vec, lab) for i, (lab, vec) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        (r["label"], r["outlier_rank"]): r["vec_id"]
+        for r in embedding_outliers(df).collect()
+    }
+
+    q = {i: [math.floor(x * 1e6 + 0.5) for x in vec] for i, vec, _ in data}
+    groups: dict[int, list[int]] = {}
+    for i, _, lab in data:
+        groups.setdefault(lab, []).append(i)
+    want = {}
+    for lab, ids in groups.items():
+        n = len(ids)
+        cent = [
+            (2 * sum(q[i][d] for i in ids) + n) // (2 * n)
+            for d in range(4)
+        ]
+        dist = {
+            i: sum((q[i][d] - cent[d]) ** 2 for d in range(4))
+            for i in ids
+        }
+        ranked = sorted(ids, key=lambda i: (-dist[i], i))[:5]
+        for rank, i in enumerate(ranked, start=1):
+            want[(lab, rank)] = i
+    assert got == want
