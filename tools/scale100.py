@@ -1,0 +1,241 @@
+"""One-off 100x scale-evidence capture -> SCALE_100X.json.
+
+The per-round bench runs scale_evidence at factor=10; this script
+re-measures the LINEAR-OUTPUT operator subset at factor=100 (sf0.1
+base: 500k documents, 200k embeddings, 10M-row synthetic dimensions)
+so the "would the plan survive a 100x scale-up?" question has a
+measured answer, not an extrapolated one.
+
+Deliberately EXCLUDED at 100x — and why (all are data properties of
+the replica construction, not operator scaling):
+- minhash/sign-LSH pair generation over exact-copy replicas: every
+  replica group of 100 collides in every band, so the PAIR OUTPUT
+  itself grows ~quadratically in the factor (100 copies -> 4950 pairs
+  per group vs 45 at 10x). The 10x entries in bench_out.json keep the
+  worst-case-collision measurement; here the same pipeline is instead
+  measured on SCRAMBLED (zero-collision) replicas, which isolates the
+  signature/banding/bucket-shuffle cost the operator actually owns.
+- cc_minhash: its input is that quadratic pair graph. cc_chain (the
+  deeper, adversarial diameter case) and the PageRank namespace
+  replica carry the iterative-graph evidence instead.
+
+Timing: 1x entries are min-of-2 with full-GC isolation (sub-second,
+jitter-dominated — same convention as bench.scale_evidence); 100x
+entries are single-run after a full GC (tens of seconds, jitter is
+proportionally negligible and a second sample would double a ~20-min
+capture).
+
+Usage: python tools/scale100.py [factor]   (default 100, sf from
+SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(_REPO))
+
+import bench  # noqa: E402
+from utn_dataengineering_stockmarketpipeline_spark.session import (  # noqa: E402
+    get_spark,
+)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("utn-stockmarket-scale100")
+
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        dedup,
+        multimodal,
+        similarity,
+        text as text_ops,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        pagerank,
+    )
+
+    out: dict = {"factor": factor, "sf_dir": sf_dir}
+
+    def timed(label: str, build, samples: int = 1) -> None:
+        best = n = None
+        for _ in range(samples):
+            bench._full_gc(spark)
+            t0 = time.perf_counter()
+            n = build().count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[label] = {"sec": round(best, 3), "rows": n}
+        print(f"  {label}: {out[label]}", flush=True)
+
+    def pair(stem: str, thunk_1x, thunk_nx) -> None:
+        timed(f"{stem}_1x", thunk_1x, samples=2)
+        timed(f"{stem}_{factor}x", thunk_nx, samples=1)
+
+    # --- documents-based operators -----------------------------------
+    print("documents-based operators", flush=True)
+    docs_1x = bench._replicate_docs(spark, sf_dir, 1)
+    docs_nx = bench._replicate_docs(spark, sf_dir, factor)
+    for df in (docs_1x, docs_nx):
+        df.persist().count()
+    pair("token_budget",
+         lambda: text_ops.token_budget_selection(docs_1x),
+         lambda: text_ops.token_budget_selection(docs_nx))
+    pair("bpe_encode",
+         lambda: text_ops.bpe_token_stats(docs_1x),
+         lambda: text_ops.bpe_token_stats(docs_nx))
+    for df in (docs_1x, docs_nx):
+        df.unpersist()
+
+    sc_1x = bench._scrambled_docs(spark, sf_dir, 1)
+    sc_nx = bench._scrambled_docs(spark, sf_dir, factor)
+    for df in (sc_1x, sc_nx):
+        df.persist().count()
+    pair("substring_dedup",
+         lambda: dedup.substring_duplicate_pairs(sc_1x),
+         lambda: dedup.substring_duplicate_pairs(sc_nx))
+    # the LSH pipeline on a zero-collision corpus: signatures, banding,
+    # and the bucket shuffle at 100x volume without the exact-copy
+    # pair-output explosion (see module docstring)
+    pair("minhash_pipeline_scrambled",
+         lambda: dedup.minhash_candidates(sc_1x),
+         lambda: dedup.minhash_candidates(sc_nx))
+
+    def _assets(docs):
+        return multimodal.synthetic_assets(
+            docs.withColumn("n_chars", F.length("text"))
+        ).filter(F.col("modality") == "image")
+
+    pair("phash_pairs",
+         lambda: multimodal.phash_near_pairs(_assets(sc_1x)),
+         lambda: multimodal.phash_near_pairs(_assets(sc_nx)))
+    for df in (sc_1x, sc_nx):
+        df.unpersist()
+
+    # --- embeddings-based operators -----------------------------------
+    print("embeddings-based operators", flush=True)
+    emb_1x = bench._replicate_embeddings(spark, sf_dir, 1)
+    emb_nx = bench._replicate_embeddings(spark, sf_dir, factor)
+    for df in (emb_1x, emb_nx):
+        df.persist().count()
+    q10 = emb_1x.filter(F.col("vec_id") < 10)
+    pair("ann_ivf",
+         lambda: similarity.ivf_topk(corpus=emb_1x, queries=q10,
+                                     dim=64, k=5),
+         lambda: similarity.ivf_topk(corpus=emb_nx, queries=q10,
+                                     dim=64, k=5))
+    pair("ivfpq",
+         lambda: similarity.ivfpq_topk(corpus=emb_1x, queries=q10,
+                                       dim=64, k=5),
+         lambda: similarity.ivfpq_topk(corpus=emb_nx, queries=q10,
+                                       dim=64, k=5))
+    # SemDeDup under its documented k ~ n / target-cluster-size policy
+    # (semantic_dedup docstring): per-cluster pair cost stays flat
+    pair("semantic_dedup",
+         lambda: similarity.semantic_dedup(emb_1x, dim=64,
+                                           n_centroids=16),
+         lambda: similarity.semantic_dedup(emb_nx, dim=64,
+                                           n_centroids=16 * factor))
+    pair("embedding_outliers",
+         lambda: similarity.embedding_outliers(emb_1x),
+         lambda: similarity.embedding_outliers(emb_nx))
+    for df in (emb_1x, emb_nx):
+        df.unpersist()
+
+    # --- iterative graphs ---------------------------------------------
+    print("iterative graphs", flush=True)
+    chain_base = 5_000
+    for label, n in (("cc_chain_1x", chain_base),
+                     (f"cc_chain_{factor}x", chain_base * factor)):
+        ids = spark.range(n).select(F.col("id").alias("doc_id")).persist()
+        chain = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        ).persist()
+        ids.count(), chain.count()
+        st: dict = {}
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = dedup.duplicate_clusters(
+            chain, ids, small_graph_cap=None, stats=st
+        ).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows, **st}
+        print(f"  {label}: {out[label]}", flush=True)
+        ids.unpersist(), chain.unpersist()
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "o_custkey", "l_suppkey"
+    )
+    for label, fac in (("pagerank_1x", 1), (f"pagerank_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = pagerank(edges, iters=10).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
+    # --- synthetic-dimension / streaming / skew sections ---------------
+    # (factor-generic bench helpers, reused verbatim)
+    print("bench helper sections", flush=True)
+    bench._scd2_scale(spark, factor, out)
+    bench._streaming_scale(spark, sf_dir, factor, out)
+    bench._interval_scale(spark, sf_dir, factor, out)
+    bench._skew_join_scale(spark, factor, out, base_rows=100_000)
+    bench._asof_skew_scale(spark, factor, out)
+
+    ratios = {}
+    for k, v in out.items():
+        if isinstance(v, dict) and k.endswith("_1x"):
+            big = out.get(f"{k[:-3]}_{factor}x")
+            if isinstance(big, dict):
+                ratios[k[:-3].rstrip("_")] = round(
+                    big["sec"] / max(v["sec"], 1e-9), 2
+                )
+    artifact = {
+        "metric": f"scale_evidence_{factor}x",
+        "factor": factor,
+        "sf_dir": sf_dir,
+        "note": (
+            "linear-output operator subset at x"
+            f"{factor}; exact-copy LSH pair generation and cc_minhash "
+            "excluded by construction (quadratic pair output is a "
+            "replica data property — see tools/scale100.py docstring); "
+            f"ratios are {factor}x/1x wall, so ~{factor} = linear"
+        ),
+        f"ratios_{factor}x_over_1x": ratios,
+        "evidence": out,
+    }
+    (_REPO / f"SCALE_{factor}X.json").write_text(
+        json.dumps(artifact, indent=2)
+    )
+    print(json.dumps({"ratios": ratios}, separators=(",", ":")))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
