@@ -56,20 +56,120 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-9 rotation (freshness after r8: r6×45 / r7×42 / r8×50):
-#   1. 40 of the 45 queries whose freshest driver row is r6 (the whole
-#      oldest cohort per tools/freshness.py, minus five overflow
-#      deferrals — all green in every local oracle run since, but the
-#      driver row is the hard signal),
-#   2. (pin) the 10 new round-9 registrations slot in here:
-#      40 + 10 = exactly the 50-query window,
-#   3. the five deferred r6 entries head the tail (first into the r10
-#      window), then the r7-green set, then the r8-green set (freshest
-#      evidence, safely outside until the next rotation).
+# Round-10 rotation (freshness after r9: r6×5 / r7×42 / r8×50 / r9×50):
+#   1. the five r6-stale overflow deferrals from round 9 (oldest cohort,
+#      promised first-in-line), then 39 of the 42 r7-stale entries,
+#   2. (pin) the 6 new round-10 registrations slot in here:
+#      44 + 6 = exactly the 50-query window,
+#   3. the three deferred r7 entries head the tail (trivial deterministic
+#      plan/pivot queries with pytest + every-session local-oracle
+#      coverage — first into the r11 window), then the r8-green set,
+#      then the r9-green set (freshest evidence, safely outside).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 1: r6-stale must-verify head (40 = the 45-entry oldest
-    #    cohort tools/freshness.py names after r8, minus the five
-    #    overflow deferrals in block 3) --
+    # -- block 1: the five r6-stale round-9 deferrals (oldest cohort) --
+    "ana_price_histogram",
+    "ana_set_ops",
+    "ref_markets_table",
+    "ref_scalar_functions",
+    "ref_stock_prices_table",
+    # -- block 2: r7-stale cohort (42 minus the three deferrals below) --
+    "ana_approx_sketches",
+    "ana_chi_square_lang_source",
+    "ana_cube_returns",
+    "ana_grouping_sets",
+    "ana_market_share",
+    "ana_nation_flow",
+    "ana_priority_late_orders",
+    "ana_quantity_percentiles",
+    "ana_referential_orphans",
+    "join_asof_tolerance_price",
+    "llm_bigram_logprob",
+    "llm_boilerplate_ngrams",
+    "llm_containment_pairs",
+    "llm_contamination",
+    "llm_dedup_exact",
+    "llm_length_deciles",
+    "llm_minhash_lsh_pairs",
+    "llm_minhash_signatures",
+    "llm_multimodal_features",
+    "llm_ngram_jaccard_pairs",
+    "llm_simhash",
+    "llm_simhash_near_pairs",
+    "llm_split_assignment",
+    "llm_text_quality",
+    "llm_token_entropy",
+    "llm_token_stats",
+    "llm_unigram_logprob",
+    "llm_vocabulary",
+    "ref_bollinger_bands",
+    "ref_ema20",
+    "ref_ema20_chunked",
+    "ref_macd",
+    "ref_ohlc_incremental",
+    "ref_rolling_beta",
+    "ref_scd1_markets",
+    "ref_scd2_markets",
+    "ref_stochastic_14",
+    "ref_unpivot_ohlc",
+    "stream_static_enrich",
+    # -- (pin = 44: new round-10 registrations slot in here) --
+    # -- block 3: deferred r7-stale (trivial deterministic plan/pivot
+    #    queries, pytest + local-oracle covered; first into r11) --
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "ana_pivot_status",
+    # -- block 4: r8-green tail --
+    "ana_big_orders",
+    "ana_funnel_conversion",
+    "ana_important_parts",
+    "ana_min_cost_supplier",
+    "ana_retention_cohorts",
+    "ana_sole_late_supplier",
+    "join_asof_next_price",
+    "join_asof_price_at_ship",
+    "join_ffill_calendar",
+    "join_interval_promo_overlap",
+    "join_range_price_bands",
+    "llm_ann_ivf_topk",
+    "llm_cosine_topk",
+    "llm_doc_chunks",
+    "llm_doc_fingerprint",
+    "llm_doc_profile",
+    "llm_embedding_near_dup",
+    "llm_embedding_norms",
+    "llm_embedding_quantize",
+    "llm_lang_id",
+    "llm_pii_scrub",
+    "llm_repetition_ratio",
+    "llm_sample_k_per_stratum",
+    "llm_source_mix",
+    "llm_stratified_sample",
+    "llm_tfidf_top_terms",
+    "llm_winnowing_fingerprints",
+    "stream_dedup_events",
+    "stream_stateful_totals",
+    "ref_table_diff",
+    "llm_bm25_scores",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_dup_clusters",
+    "llm_dedup_keep_one",
+    "llm_curation_pipeline",
+    "ana_pagerank_suppliers",
+    "ana_data_profile",
+    "ana_distinct_users_salted",
+    "ana_events_hourly",
+    "ana_first_touch",
+    "ref_calendar_gaps",
+    "ana_sketches_exact",
+    "ana_bloom_pruned_join",
+    "llm_semantic_dedup",
+    "llm_semantic_clusters",
+    "llm_dsir_weights",
+    "llm_curation_embedding",
+    "llm_doc_chunks_udtf",
+    "stream_incremental_dedup",
+    # -- block 5: r9-green tail (freshest evidence) --
     "ana_lapsed_customers",
     "ana_lead_lag",
     "ana_order_priority",
@@ -110,119 +210,23 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "stream_purchase_error_join",
     "stream_sliding_counts",
     "stream_user_sessions",
-    # -- block 3: deferred r6-stale (window overflow: 10 new round-9
-    #    registrations outgrew the 45+5 plan; these five are the
-    #    lowest-risk deferrals — trivial projections / histogram /
-    #    set algebra with pytest + every-session local-oracle
-    #    coverage — first in line for the r10 window) --
-    "ana_price_histogram",
-    "ana_set_ops",
-    "ref_markets_table",
-    "ref_scalar_functions",
-    "ref_stock_prices_table",
-    # -- r7-green tail --
-    "ana_big_orders",
-    "ana_funnel_conversion",
-    "ana_important_parts",
-    "ana_min_cost_supplier",
-    "ana_retention_cohorts",
-    "ana_sole_late_supplier",
-    "join_asof_next_price",
-    "join_asof_price_at_ship",
-    "join_ffill_calendar",
-    "join_interval_promo_overlap",
-    "join_range_price_bands",
-    "llm_ann_ivf_topk",
-    "llm_cosine_topk",
-    "llm_doc_chunks",
-    "llm_doc_fingerprint",
-    "llm_doc_profile",
-    "llm_embedding_near_dup",
-    "llm_embedding_norms",
-    "llm_embedding_quantize",
-    "llm_lang_id",
-    "llm_pii_scrub",
-    "llm_repetition_ratio",
-    "llm_sample_k_per_stratum",
-    "llm_source_mix",
-    "llm_stratified_sample",
-    "llm_tfidf_top_terms",
-    "llm_winnowing_fingerprints",
-    "stream_dedup_events",
-    "stream_stateful_totals",
-    "ref_table_diff",
-    "llm_bm25_scores",
-    "llm_embedding_near_dup_lsh",
-    "llm_ann_lsh_topk",
-    "llm_dup_clusters",
-    "llm_dedup_keep_one",
-    "llm_curation_pipeline",
-    "ana_pagerank_suppliers",
-    # -- block 4: r8-green tail (freshest evidence, safely outside;
-    #    includes the 9 round-8 registrations, listed explicitly so the
-    #    unlisted pin catches ONLY genuinely-new round-9 queries) --
-    "ana_data_profile",
-    "ana_distinct_users_salted",
-    "ana_events_hourly",
-    "ana_first_touch",
-    "ref_calendar_gaps",
-    "ana_sketches_exact",
-    "ana_bloom_pruned_join",
-    "llm_semantic_dedup",
-    "llm_semantic_clusters",
-    "llm_dsir_weights",
-    "llm_curation_embedding",
-    "llm_doc_chunks_udtf",
-    "stream_incremental_dedup",
-    "ana_approx_sketches",
-    "ana_chi_square_lang_source",
-    "ana_cube_returns",
-    "ana_grouping_sets",
-    "ana_market_share",
-    "ana_nation_flow",
-    "ana_pivot_status",
-    "ana_priority_late_orders",
-    "ana_quantity_percentiles",
-    "ana_referential_orphans",
-    "join_asof_tolerance_price",
-    "llm_bigram_logprob",
-    "llm_boilerplate_ngrams",
-    "llm_containment_pairs",
-    "llm_contamination",
-    "llm_dedup_exact",
-    "llm_frame_sample_plan",
-    "llm_length_deciles",
-    "llm_minhash_lsh_pairs",
-    "llm_minhash_signatures",
-    "llm_multimodal_features",
-    "llm_ngram_jaccard_pairs",
-    "llm_resize_plan",
-    "llm_simhash",
-    "llm_simhash_near_pairs",
-    "llm_split_assignment",
-    "llm_text_quality",
-    "llm_token_entropy",
-    "llm_token_stats",
-    "llm_unigram_logprob",
-    "llm_vocabulary",
-    "ref_bollinger_bands",
-    "ref_ema20",
-    "ref_ema20_chunked",
-    "ref_macd",
-    "ref_ohlc_incremental",
-    "ref_rolling_beta",
-    "ref_scd1_markets",
-    "ref_scd2_markets",
-    "ref_stochastic_14",
-    "ref_unpivot_ohlc",
-    "stream_static_enrich",
+    "llm_substring_dedup",
+    "llm_substring_scrub",
+    "llm_bpe_tokens",
+    "llm_ann_ivfpq_topk",
+    "llm_image_phash_pairs",
+    "llm_dedup_keep_best",
+    "llm_token_budget_selection",
+    "llm_embedding_outliers",
+    "stream_quota_admission",
+    "stream_dedup_within_watermark",
 )
 
 
-# New (unlisted) queries slot in after the must-verify head (the
-# r6-stale block, minus the five deferred overflow entries above).
-# 40 + 10 unlisted round-9 registrations = the full 50-query window.
-_WINDOW_PIN = 40
+# New (unlisted) queries slot in after the must-verify head (the five
+# r6-stale deferrals + 39 of the 42 r7-stale entries).
+# 44 + 6 planned round-10 registrations = the full 50-query window.
+_WINDOW_PIN = 44
 
 
 def _apply_driver_order() -> None:
