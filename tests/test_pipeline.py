@@ -270,6 +270,38 @@ def test_scd2_idempotent_and_versions(spark):
     assert all(r["count"] == 1 for r in opens)
 
 
+def test_scd2_as_of_snapshots(spark):
+    """Point-in-time reads over a versioned dim: half-open [from, to)
+    intervals, boundary dates belong to the NEW version, all report
+    dates ride one scan."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.scd import (
+        scd2_as_of,
+    )
+
+    versioned = spark.createDataFrame(
+        [
+            ("A", "v0", dt.date(2015, 1, 1), dt.date(2020, 1, 1), False),
+            ("A", "v1", dt.date(2020, 1, 1), None, True),
+            ("B", "b0", dt.date(2018, 6, 1), None, True),
+        ],
+        "k string, name string, valid_from date, valid_to date, "
+        "is_current boolean",
+    )
+    out = scd2_as_of(versioned, ["2016-01-01", "2020-01-01", "2025-01-01"])
+    got = {
+        (str(r["as_of"]), r["k"]): r["name"] for r in out.collect()
+    }
+    # 2016: only A v0 is live (B not yet born)
+    # 2020-01-01 (boundary): belongs to v1, not the closed v0
+    assert got == {
+        ("2016-01-01", "A"): "v0",
+        ("2020-01-01", "A"): "v1",
+        ("2020-01-01", "B"): "b0",
+        ("2025-01-01", "A"): "v1",
+        ("2025-01-01", "B"): "b0",
+    }
+
+
 def test_scd2_null_transitions_are_versioned(spark):
     """concat_ws skips nulls, so the attribute hash must null-sentinel
     each tracked column: NULL→'' and ['a',NULL]→[NULL,'a'] are real

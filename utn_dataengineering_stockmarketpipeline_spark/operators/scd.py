@@ -113,6 +113,37 @@ def scd2_apply(
     )
 
 
+def scd2_as_of(
+    versioned: DataFrame,
+    as_of_dates: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time snapshot(s) of an SCD Type 2 table — the temporal
+    READ that versioned dimensions exist to serve ("what did the dim
+    look like on date X"). A row is live at ``as_of`` iff
+    ``valid_from <= as_of AND (valid_to IS NULL OR valid_to > as_of)``
+    (half-open [from, to) intervals, matching :func:`scd2_apply` which
+    sets the new version's ``valid_from`` equal to the closed one's
+    ``valid_to``).
+
+    Accepts several dates at once: the version table cross-joins a
+    broadcast literal date relation, so reconstructing N report dates
+    costs ONE scan of the dimension, not N. Output carries ``as_of`` as
+    the leading column.
+    """
+    from pyspark.sql import functions as F
+
+    dates = F.explode(
+        F.array(*[F.lit(d).cast("date") for d in as_of_dates])
+    ).alias("as_of")
+    vf, vt = F.col(valid_from), F.col(valid_to)
+    return (
+        versioned.select(dates, "*")
+        .filter((vf <= F.col("as_of")) & (vt.isNull() | (vt > F.col("as_of"))))
+    )
+
+
 def scd1_apply(incoming: DataFrame, current: DataFrame, key: str) -> DataFrame:
     """SCD Type 1: overwrite-in-place upsert (no history).
 

@@ -880,9 +880,10 @@ def q_ticker_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("stock_ticker", "n", beta.alias("beta"))
 
 
-@register(
-    "ref_scd2_markets",
-    with_reference_ctes("""
+# Post-merge SCD2 markets state, shared by ref_scd2_markets (full table)
+# and ref_scd2_as_of (point-in-time snapshots). Hand-derived expected
+# output of scd2_apply over the seeded current state + fresh snapshot.
+_SCD2_STATE_CTES = """
 , cur_open AS (
   SELECT market_stockid,
          CASE WHEN market_exchange = 'NASDAQ'
@@ -899,7 +900,8 @@ cur_closed AS (
          DATE '2015-01-01' AS valid_from,
          DATE '2020-01-01' AS valid_to,
          FALSE AS is_current
-  FROM markets WHERE market_stockid = 'AAPL')
+  FROM markets WHERE market_stockid = 'AAPL'),
+scd2_state AS (
 SELECT * FROM cur_closed
 UNION ALL
 SELECT * FROM cur_open WHERE market_exchange <> 'NASDAQ'
@@ -913,8 +915,13 @@ SELECT market_stockid, market_companyname, market_country, market_exchange,
        market_currency, market_stockisin,
        DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to,
        TRUE AS is_current
-FROM markets WHERE market_exchange = 'NASDAQ'
-"""),
+FROM markets WHERE market_exchange = 'NASDAQ')
+"""
+
+
+@register(
+    "ref_scd2_markets",
+    with_reference_ctes(_SCD2_STATE_CTES + "\nSELECT * FROM scd2_state"),
     doc="SCD Type 2 versioned-dimension merge (operators/scd.scd2_apply) "
         "— one step past the reference's insert-only Type 0 "
         "(DB_manager.py:139). Current state: NASDAQ rows carry a stale "
@@ -927,6 +934,12 @@ FROM markets WHERE market_exchange = 'NASDAQ'
     tags=("reference", "scd2", "warehouse"),
 )
 def q_scd2_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_markets_state(spark, sf_dir)
+
+
+def _scd2_markets_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge SCD2 markets table (the ref_scd2_markets result),
+    shared with ref_scd2_as_of."""
     from ..operators.scd import scd2_apply
 
     mk = markets(spark, sf_dir)
@@ -965,6 +978,42 @@ def q_scd2_markets(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="market_stockid",
         tracked=["market_companyname"],
         load_date="2024-06-01",
+    )
+
+
+@register(
+    "ref_scd2_as_of",
+    with_reference_ctes(_SCD2_STATE_CTES + """
+, dates(as_of) AS (VALUES (DATE '2016-06-01'), (DATE '2022-01-01'),
+                          (DATE '2024-12-01'))
+SELECT d.as_of, s.market_stockid, s.market_companyname,
+       s.valid_from, s.valid_to
+FROM scd2_state s CROSS JOIN dates d
+WHERE s.valid_from <= d.as_of
+  AND (s.valid_to IS NULL OR s.valid_to > d.as_of)
+"""),
+    doc="point-in-time reconstruction over the SCD2 dimension "
+        "(operators/scd.scd2_as_of) — the temporal READ versioned "
+        "dimensions exist to serve: 'what did markets look like on "
+        "date X'. Three report dates span all version states (only "
+        "the AAPL v0 history row in 2016; the '(legacy)' NASDAQ "
+        "versions + NYSE in 2022; post-merge fresh names in 2024). "
+        "Half-open [valid_from, valid_to) intervals match scd2_apply's "
+        "close/open convention, so a version boundary date belongs to "
+        "exactly one version. Plan: the N report dates ride ONE scan "
+        "(explode of a literal date array — broadcast-sized), not N "
+        "passes over the dimension",
+    tags=("reference", "scd2", "warehouse", "temporal"),
+)
+def q_scd2_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_as_of
+
+    state = _scd2_markets_state(spark, sf_dir)
+    return scd2_as_of(
+        state, ["2016-06-01", "2022-01-01", "2024-12-01"]
+    ).select(
+        "as_of", "market_stockid", "market_companyname",
+        "valid_from", "valid_to",
     )
 
 
