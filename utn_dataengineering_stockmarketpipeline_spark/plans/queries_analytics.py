@@ -1553,3 +1553,54 @@ def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # read the checkpointed blocks the pruned plan produced. Eager
         # localCheckpoint runs the plan exactly once (no double exec).
         return out.localCheckpoint(eager=True)
+
+
+@register(
+    "ana_event_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_event
+  FROM events),
+t AS (
+  SELECT prev_event, event_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_event IS NOT NULL
+  GROUP BY prev_event, event_type)
+SELECT prev_event, event_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE) /
+             SUM(n_transitions) OVER (PARTITION BY prev_event), 6) AS p
+FROM t
+""",
+    doc="user-journey Markov transition matrix: per (previous event, "
+        "next event) count and conditional probability — the "
+        "product-analytics step past funnels/sessions (which paths do "
+        "users actually take). One lag window partitioned by user "
+        "(ts+event_id total order), one |event_types|^2-row aggregate; "
+        "the probability normalizer is a window over that TINY "
+        "relation, never the event stream. Ratio of exact BIGINT "
+        "counts rounded to 6dp, so the value-hash is engine-stable",
+    tags=("analytics", "events", "window", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_event"),
+    ).filter(F.col("prev_event").isNotNull())
+    t = seq.groupBy("prev_event", "event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_event")
+    return t.select(
+        "prev_event",
+        "event_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm),
+            6,
+        ).alias("p"),
+    )
