@@ -1288,11 +1288,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets)
 
 
-def _phash_oracle_sql() -> str:
-    """WHT-pHash chain in DuckDB — integer-exact mirror of
-    multimodal.image_phash + phash_near_pairs over the image third of
-    synthetic_assets (payload = UTF-8 text bytes, modality = image <=>
-    doc_id % 3 = 0)."""
+def _phash_chain_ctes() -> str:
+    """WHT-pHash chain CTEs in DuckDB, ending at ``h(asset_id, ph)`` —
+    integer-exact mirror of multimodal.image_phash over the image third
+    of synthetic_assets (payload = UTF-8 text bytes, modality = image
+    <=> doc_id % 3 = 0). Shared by llm_image_phash_pairs and
+    llm_phash_clusters."""
     from ..operators.multimodal import PHASH_BITS, PHASH_PIXELS
 
     n, bits = PHASH_PIXELS, PHASH_BITS
@@ -1317,8 +1318,7 @@ def _phash_oracle_sql() -> str:
         f"ELSE 0 END)"
         for k in range(1, bits + 1)
     )
-    return f"""
-WITH ch AS (
+    return f"""ch AS (
   SELECT doc_id AS asset_id, length(text) AS L, i,
          ascii(substr(text, CAST(i AS INT), 1)) AS code
   FROM documents, UNNEST(generate_series(1, length(text))) u(i)
@@ -1327,7 +1327,14 @@ px0 AS (SELECT asset_id, ((i - 1) * {n}) // L AS b, SUM(code) AS code
         FROM ch GROUP BY asset_id, ((i - 1) * {n}) // L),
 pxw AS (SELECT asset_id, {px_cols} FROM px0 GROUP BY asset_id),
 coef AS (SELECT asset_id, {coefs} FROM pxw),
-h AS (SELECT asset_id, CAST({packed} AS BIGINT) AS ph FROM coef)
+h AS (SELECT asset_id, CAST({packed} AS BIGINT) AS ph FROM coef)"""
+
+
+def _phash_oracle_sql() -> str:
+    """llm_image_phash_pairs oracle: the pHash chain + a brute hamming
+    join (proving the Spark side's pigeonhole banding loses nothing)."""
+    return f"""
+WITH {_phash_chain_ctes()}
 SELECT a.asset_id AS id_a, b.asset_id AS id_b,
        CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
 FROM h a JOIN h b
@@ -1358,6 +1365,66 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("modality") == "image"
     )
     return multimodal.phash_near_pairs(assets)
+
+
+def _phash_clusters_oracle_sql() -> str:
+    """llm_phash_clusters oracle: pHash chain + brute hamming pairs +
+    recursive transitive closure (the same CC spec llm_dup_clusters
+    uses) + per-cluster member counts."""
+    return f"""
+WITH RECURSIVE {_phash_chain_ctes()},
+pairs AS (
+  SELECT a.asset_id AS id_a, b.asset_id AS id_b
+  FROM h a JOIN h b
+    ON a.asset_id < b.asset_id AND bit_count(xor(a.ph, b.ph)) <= 2),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, label) AS (
+  SELECT asset_id, asset_id FROM h
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+clusters AS (SELECT id AS asset_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY id)
+SELECT c.asset_id, c.cluster_id, s.n_members
+FROM clusters c
+JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM clusters GROUP BY cluster_id) s USING (cluster_id)
+"""
+
+
+@register(
+    "llm_phash_clusters",
+    _phash_clusters_oracle_sql(),
+    doc="image duplicate GROUPS: connected components over the "
+        "pHash-banded near-pair graph (dedup.duplicate_clusters — the "
+        "same scale-proofed min-label propagation the text dedup "
+        "family uses) with per-cluster member counts — turns pairwise "
+        "perceptual matches into the keep-one-per-group action a "
+        "multimodal corpus dedup actually executes. Transitivity "
+        "matters: A~B and B~C at hamming<=2 can put A,C at distance 4 "
+        "in one cluster, which no pairwise radius ever emits. Oracle = "
+        "the integer pHash chain + brute hamming pairs + recursive "
+        "transitive closure",
+    tags=("llm", "multimodal", "dedup", "phash", "graph"),
+)
+def q_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as _dedup
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    assets = multimodal.synthetic_assets(docs).filter(
+        F.col("modality") == "image"
+    )
+    pairs = multimodal.phash_near_pairs(assets).select("id_a", "id_b")
+    clusters = _dedup.duplicate_clusters(
+        pairs, assets.select("asset_id"), id_col="asset_id"
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "asset_id", "cluster_id", "n_members"
+    )
 
 
 @register(
