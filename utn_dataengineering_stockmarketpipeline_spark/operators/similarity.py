@@ -388,16 +388,24 @@ def _train_matrix(corpus: DataFrame, id_col: str, vec_col: str,
 def assign_centroids(df: DataFrame, cent, top_n: int = 1,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding",
-                     out_col: str = "centroid") -> DataFrame:
+                     out_col: str = "centroid",
+                     sim_col: str | None = None) -> DataFrame:
     """Nearest-centroid assignment (Arrow-batched BLAS, one pass):
     each input row yields its ``top_n`` closest centroids by quantized
     cosine — ``top_n=1`` builds the inverted index, ``top_n=n_probe``
     expands queries. Ties break to the lowest centroid index (stable
-    sort on rounded sims), mirrored exactly by the SQL oracles."""
+    sort on rounded sims), mirrored exactly by the SQL oracles.
+    ``sim_col`` optionally emits the quantized (IVF_ROUND_SIM dp)
+    cosine to the assigned centroid — the same rounded value the
+    ranking itself compares, so it carries the identical cross-engine
+    exactness contract."""
     import numpy as np
     import pandas as pd
 
     bc = df.sparkSession.sparkContext.broadcast(cent)
+    schema = f"{id_col} long, {vec_col} array<float>, {out_col} int"
+    if sim_col is not None:
+        schema += f", {sim_col} double"
 
     def run(batches):
         c = bc.value
@@ -412,17 +420,16 @@ def assign_centroids(df: DataFrame, cent, top_n: int = 1,
             a = np.round(a, IVF_ROUND_VEC)
             sims = np.round(a @ c.T, IVF_ROUND_SIM)
             order = np.argsort(-sims, axis=1, kind="stable")[:, :top_n]
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy().repeat(top_n),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(top_n)],
-                    out_col: order.ravel(),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy().repeat(top_n),
+                vec_col: [v for v in pdf[vec_col] for _ in range(top_n)],
+                out_col: order.ravel(),
+            }
+            if sim_col is not None:
+                out[sim_col] = np.take_along_axis(sims, order, 1).ravel()
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        run, f"{id_col} long, {vec_col} array<float>, {out_col} int"
-    )
+    return df.select(id_col, vec_col).mapInPandas(run, schema)
 
 
 def semantic_dedup(

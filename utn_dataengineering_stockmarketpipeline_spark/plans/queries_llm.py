@@ -917,6 +917,69 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_profile_oracle_sql(n_centroids: int = 16, iters: int = 5) -> str:
+    """llm_embedding_kmeans oracle: the shared IVF assignment chain,
+    then per-assigned-pair quantized cosine and a per-cluster rollup."""
+    from ..operators.similarity import IVF_ROUND_SIM
+
+    ctes = _ivf_assign_ctes(n_centroids=n_centroids, iters=iters)
+    dot_nc = ("list_sum(list_transform(list_zip(n.v, c.v), "
+              "z -> z[1]::DOUBLE * z[2]::DOUBLE))")
+    ctes.append(f"""memb AS MATERIALIZED (
+  SELECT n.vec_id, a.c,
+         CAST(round(round({dot_nc}, {IVF_ROUND_SIM}) * 1000000)
+              AS BIGINT) AS sim_q6
+  FROM ac a
+  JOIN norm n ON n.vec_id = a.neighbor_id
+  JOIN c{iters} c ON c.c = a.c)""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT CAST(c AS INT) AS centroid,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(vec_id) AS min_member,
+       round(CAST(SUM(sim_q6) AS DOUBLE) / 1000000 / COUNT(*), 6)
+         AS mean_sim
+FROM memb GROUP BY c""")
+
+
+@register(
+    "llm_embedding_kmeans",
+    _kmeans_profile_oracle_sql(),
+    doc="standalone k-means cluster PROFILE over the embedding corpus "
+        "(size, min member id, mean member->centroid cosine) — the "
+        "clustering summary every embedding-side curation decision "
+        "reads first (cluster-balanced sampling, pruning over/under-"
+        "dense regions). Reuses the deterministic shared k-means "
+        "(similarity.train_centroids: hash-order-statistic sample, "
+        "fixed-iteration quantized Lloyd's) + one Arrow BLAS "
+        "assignment pass; the mean rides an exact BIGINT sum of "
+        "6dp-quantized sims, so no float reduction order can move it. "
+        "Oracle = the unrolled k-means CTE chain llm_ann_ivf_topk "
+        "proved out, plus a per-cluster rollup",
+    tags=("llm", "similarity", "kmeans", "curation"),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb, n_centroids=16)
+    asg = similarity.assign_centroids(emb, cent, sim_col="sim")
+    return (
+        asg.select(
+            "vec_id",
+            "centroid",
+            F.round(F.col("sim") * 1_000_000).cast("long").alias("sim_q6"),
+        )
+        .groupBy("centroid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_member"),
+            F.round(
+                F.sum("sim_q6").cast("double") / 1_000_000
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_sim"),
+        )
+    )
+
+
 def _ivfpq_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
                       n_probe: int = 4, k: int = 5, q_max: int = 10) -> str:
     """llm_ann_ivfpq_topk oracle: the shared IVF chain, then the full
