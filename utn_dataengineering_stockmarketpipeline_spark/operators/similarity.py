@@ -941,3 +941,89 @@ def embedding_outliers(df: DataFrame, k: int = 5,
             ).alias("dist"),
         )
     )
+
+
+def jl_sign_matrix(dim_out: int, dim_in: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss projection matrix:
+    sign(o, i) = parity of the first hex nibble of md5("rp_{o}_{i}") —
+    a pure function of the coordinates, so every run, every engine, and
+    the SQL oracle share the identical matrix (the same no-RNG
+    discipline as the LSH hyperplanes above). Achlioptas '01 shows ±1
+    entries satisfy the JL lemma with the same distortion bounds as
+    Gaussian entries."""
+    import hashlib
+
+    return [
+        [
+            1 if int(
+                hashlib.md5(f"rp_{o}_{i}".encode()).hexdigest()[0], 16
+            ) % 2 == 0 else -1
+            for i in range(dim_in)
+        ]
+        for o in range(dim_out)
+    ]
+
+
+def random_projection(df: DataFrame, dim_in: int = 64, dim_out: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """JL random projection — the dimensionality-reduction step that
+    makes downstream embedding work (ANN candidate generation,
+    clustering, near-dup banding) ride dim_out numbers instead of
+    dim_in: long-format output (id, proj_dim, y_q) plus the per-vector
+    norm-preservation ratio (JL's whole point — should sit near 1).
+
+    Exactness without float accumulation: components quantize to
+    integer micro-units (floor(x*1e6 + 0.5), the embedding_outliers
+    formula); each projected coordinate y_o = Σ_i ±q_i is an exact
+    int64 (|y| <= dim_in * ~5e6); the norm ratio
+    sqrt((Σ y²)/dim_out) / sqrt(Σ q²) divides deterministic doubles
+    converted from exact integers. Zero-shuffle: one codegen'd map
+    stage (nested HOF — transform over the literal matrix folding a
+    zip_with; a per-output-dim expression tree would blow codegen
+    width at dim_out=64+), one generator. At 100 TB the projection is
+    embarrassingly parallel and the output is dim_out/dim_in the width
+    of its input.
+    """
+    R = jl_sign_matrix(dim_out, dim_in)
+    r_col = F.array(*[
+        F.array(*[F.lit(v).cast("long") for v in row]) for row in R
+    ])
+    qx = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("long"),
+    )
+    y = F.transform(
+        r_col,
+        lambda row: F.aggregate(
+            F.zip_with(row, F.col("__qx"), lambda r, x: r * x),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+    def sumsq(col: str):
+        return F.aggregate(
+            F.col(col), F.lit(0).cast("long"),
+            lambda acc, v: acc + v * v,
+        )
+
+    base = df.select(F.col(id_col), qx.alias("__qx"))
+    base = base.select(id_col, "__qx", y.alias("__y"))
+    denom = F.sqrt(sumsq("__qx").cast("double"))
+    ratio = F.when(denom == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.sqrt(sumsq("__y").cast("double") / F.lit(float(dim_out)))
+            / denom,
+            6,
+        )
+    )
+    with_ratio = base.select(
+        id_col, "__y", ratio.alias("norm_ratio")
+    )
+    return with_ratio.select(
+        id_col,
+        "norm_ratio",
+        F.posexplode("__y").alias("proj_dim", "y_q"),
+    ).select(id_col, "proj_dim", "y_q", "norm_ratio")

@@ -917,6 +917,62 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _random_projection_oracle_sql(dim_out: int = 16) -> str:
+    """llm_random_projection oracle: identical literal ±1 JL matrix,
+    integer micro-unit quantization, exact int64 folds."""
+    r = similarity.jl_sign_matrix(dim_out, 64)
+    r_sql = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in r
+    ) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+           AS qx
+  FROM embeddings),
+y AS (
+  SELECT vec_id, qx,
+         list_transform({r_sql},
+           row -> CAST(list_sum(list_transform(list_zip(row, qx),
+                                               z -> z[1] * z[2]))
+                       AS BIGINT)) AS y
+  FROM q),
+r AS (
+  SELECT vec_id, y,
+         CASE WHEN list_sum(list_transform(qx, v -> v * v)) = 0 THEN 0.0
+              ELSE round(
+                sqrt(CAST(list_sum(list_transform(y, v -> v * v))
+                          AS DOUBLE) / {dim_out}) /
+                sqrt(CAST(list_sum(list_transform(qx, v -> v * v))
+                          AS DOUBLE)), 6)
+         END AS norm_ratio
+  FROM y)
+SELECT vec_id, CAST(u.o - 1 AS INT) AS proj_dim, y[u.o] AS y_q, norm_ratio
+FROM r, UNNEST(generate_series(1, {dim_out})) u(o)
+"""
+
+
+@register(
+    "llm_random_projection",
+    _random_projection_oracle_sql(),
+    doc="Johnson-Lindenstrauss random projection 64->16 "
+        "(similarity.random_projection, Achlioptas ±1 variant): the "
+        "dimensionality-reduction step that lets ANN candidate "
+        "generation / clustering / banding ride 16 numbers instead of "
+        "64, with the per-vector norm-preservation ratio (JL's "
+        "guarantee) in the output. Matrix entries are md5-parity "
+        "signs — no RNG, identical on every engine; coordinates are "
+        "exact int64 folds over micro-unit-quantized components, so "
+        "no float reduction order exists to drift. Zero-shuffle "
+        "codegen map + one generator",
+    tags=("llm", "similarity", "projection", "scale"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_projection(emb, dim_in=64, dim_out=16)
+
+
 def _kmeans_profile_oracle_sql(n_centroids: int = 16, iters: int = 5) -> str:
     """llm_embedding_kmeans oracle: the shared IVF assignment chain,
     then per-assigned-pair quantized cosine and a per-cluster rollup."""
