@@ -498,6 +498,67 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    """llm_bpe_train oracle: unrolled merge rounds as chained
+    MATERIALIZED CTEs (the IVF k-means oracle trick applied to BPE).
+    Round t: weighted adjacent-pair counts over the vocab (all symbols
+    are single chars, so pairs are substr(w, i, 2)), argmax with
+    (count DESC, pair ASC) tie-break via ORDER BY ... LIMIT 1, then
+    leftmost-non-overlapping replace() rewrites the vocab — the exact
+    loop text.train_bpe runs driver-side."""
+    syms = text.BPE_SYMBOLS
+    ctes = ["""v0 AS MATERIALIZED (
+  SELECT w, COUNT(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w)"""]
+    for t in range(n_merges):
+        ctes.append(f"""p{t} AS MATERIALIZED (
+  SELECT substr(w, CAST(i AS INT), 2) AS pair, SUM(c) AS cnt
+  FROM v{t}, UNNEST(generate_series(1, length(w) - 1)) u(i)
+  GROUP BY substr(w, CAST(i AS INT), 2))""")
+        ctes.append(f"""b{t} AS MATERIALIZED (
+  SELECT pair FROM p{t} ORDER BY cnt DESC, pair LIMIT 1)""")
+        ctes.append(f"""v{t + 1} AS MATERIALIZED (
+  SELECT replace(w, (SELECT pair FROM b{t}), '{syms[t]}') AS w,
+         SUM(c) AS c
+  FROM v{t}
+  GROUP BY replace(w, (SELECT pair FROM b{t}), '{syms[t]}'))""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {t + 1} AS merge_rank, (SELECT pair FROM b{t}) AS pair, "
+        f"'{syms[t]}' AS symbol"
+        for t in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@register(
+    "llm_bpe_train",
+    _bpe_train_oracle_sql(),
+    doc="BPE merge-table TRAINING (text.train_bpe, Sennrich '16) as an "
+        "oracled query — the induction step that produces the artifact "
+        "llm_bpe_tokens applies, closing the tokenizer loop "
+        "(train -> ship -> encode). Distributed part: ONE map-side-"
+        "combined word-frequency aggregation; the merge loop runs "
+        "driver-side over the BOUNDED distinct vocabulary "
+        "(MAX_BPE_VOCAB_ROWS, raises past it — the train-on-sample / "
+        "apply-at-scale split every real tokenizer uses). Fully "
+        "deterministic: ties break to the lexicographically smallest "
+        "pair, so the oracle's unrolled per-round CTEs (weighted pair "
+        "count -> ORDER BY cnt DESC, pair LIMIT 1 -> vocab rewrite) "
+        "reproduce the table byte-for-byte",
+    tags=("llm", "text", "bpe", "tokenizer"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = text.train_bpe(docs, n_merges=8)
+    rows = [
+        (i + 1, pair, sym) for i, (pair, sym) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank int, pair string, symbol string"
+    )
+
+
 _STOPS_SQL = "[" + ", ".join(f"'{w}'" for w in text.ENGLISH_STOPWORDS) + "]"
 
 
