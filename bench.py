@@ -128,6 +128,15 @@ BENCH_QUERIES = (
     "llm_embedding_outliers",
     "llm_substring_scrub",
     "stream_quota_admission",
+    # round-10 additions: SCD2 point-in-time read, event transition
+    # matrix, BPE training, JL random projection, k-means cluster
+    # profile, pHash duplicate clusters
+    "ref_scd2_as_of",
+    "ana_event_transitions",
+    "llm_bpe_train",
+    "llm_random_projection",
+    "llm_embedding_kmeans",
+    "llm_phash_clusters",
 )
 
 

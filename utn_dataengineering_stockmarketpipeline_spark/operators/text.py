@@ -848,12 +848,26 @@ def token_budget_selection(df: DataFrame, budget_num: int = 1,
     scale-killer. Instead the greedy cut decomposes exactly:
 
     1. per-score token totals (one narrow shuffle, | distinct scores |
-       rows — bounded by the score range, NOT corpus size);
+       rows — bounded by the score range, NOT corpus size; the corpus
+       total is a window over the SAME small relation, not a second
+       corpus pass);
     2. running totals + threshold on that small relation (the only
-       ordered window, driver-scale by construction);
-    3. scores strictly under budget join back fully (broadcast);
-       the single boundary score resolves per-doc with a window
-       partitioned BY that score (one group, LSH-cap-sized).
+       single-partition window, driver-scale by construction) yield a
+       per-score decision table: fully-selected, or the one boundary
+       score with its remaining token allowance;
+    3. ONE broadcast join back to the corpus + one narrow window
+       (partitioned by score over the already-selected rows) applies
+       both decisions — fully-selected rows pass outright, the
+       boundary group cuts at its running-sum allowance.
+
+    The r9 form ran the corpus scan (and its tokenization — the
+    dominant map cost) once per consumer: per-score agg, corpus
+    total, full-score join, boundary join = 4 passes, and the 10x
+    scale evidence showed exactly that slope (ratio 4.7). This form
+    tokenizes ONCE; the price is that the decision window covers all
+    selected rows rather than only the boundary group — a shuffle of
+    narrow (id, score, n_tokens) rows, strictly cheaper than even one
+    extra tokenizing scan of the fat corpus.
 
     The DuckDB oracle states the spec form (global ordered cumsum <=
     budget) — identical selection by construction.
@@ -872,37 +886,37 @@ def token_budget_selection(df: DataFrame, budget_num: int = 1,
     per_score = stats.groupBy("score").agg(
         F.sum("n_tokens").alias("grp_tokens")
     )
-    total = stats.agg(F.sum("n_tokens").alias("__total"))
     w = Window.orderBy(F.col("score").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
-    ps = (
-        per_score.crossJoin(F.broadcast(total))
-        .withColumn(
-            "cum_before",
-            F.coalesce(F.sum("grp_tokens").over(w), F.lit(0)),
+    wall = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    budget = F.expr(
+        f"(__grand_total * {budget_num}) div {budget_den}"
+    )
+    decisions = (
+        per_score.select(
+            "score",
+            "grp_tokens",
+            F.coalesce(F.sum("grp_tokens").over(w), F.lit(0)).alias(
+                "cum_before"
+            ),
+            F.sum("grp_tokens").over(wall).alias("__grand_total"),
         )
-        .withColumn(
-            "budget",
-            F.expr(f"(__total * {budget_num}) div {budget_den}"),
+        .filter(F.col("cum_before") < budget)
+        .select(
+            "score",
+            (F.col("cum_before") + F.col("grp_tokens") <= budget).alias(
+                "__full"
+            ),
+            (budget - F.col("cum_before")).alias("__rem"),
         )
     )
-    full_scores = ps.filter(
-        F.col("cum_before") + F.col("grp_tokens") <= F.col("budget")
-    ).select("score")
-    boundary = ps.filter(
-        (F.col("cum_before") < F.col("budget"))
-        & (F.col("cum_before") + F.col("grp_tokens") > F.col("budget"))
-    ).select("score", (F.col("budget") - F.col("cum_before")).alias("__rem"))
-
-    selected_full = stats.join(F.broadcast(full_scores), "score")
     wb = Window.partitionBy("score").orderBy(id_col)
-    selected_boundary = (
-        stats.join(F.broadcast(boundary), "score")
+    return (
+        stats.join(F.broadcast(decisions), "score")
         .withColumn("__cum", F.sum("n_tokens").over(wb))
-        .filter(F.col("__cum") <= F.col("__rem"))
-        .drop("__rem", "__cum")
-    )
-    return selected_full.unionByName(selected_boundary).select(
-        id_col, "score", "n_tokens"
+        .filter(F.col("__full") | (F.col("__cum") <= F.col("__rem")))
+        .select(id_col, "score", "n_tokens")
     )
