@@ -404,3 +404,50 @@ def test_round9_queries_plan_shapes(spark):
     # cluster key, never a global (empty-partition-spec) sort
     plan = plan_of(CATALOG["llm_dedup_keep_best"].build(spark, SF_SMOKE))
     assert "Window" in plan
+
+
+def test_round10_queries_plan_shapes(spark):
+    """Round-10 additions keep the 100 TB posture: the projection and
+    transition plans are shuffle-minimal, the SCD2 snapshot rides one
+    generator (no per-date re-scan), the k-means profile is one Arrow
+    pass + one aggregate, and token-budget selection holds its
+    two-scan shape (down from four in r9)."""
+    # random projection: zero shuffle — map stage + generator only
+    plan = plan_of(CATALOG["llm_random_projection"].build(spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    # formatted explain lists each node twice (tree + detail section)
+    assert plan.count("Scan parquet") == 2
+
+    # scd2 as-of: the three report dates ride ONE explode of a literal
+    # array — never one pass (or one join) per date
+    plan = plan_of(CATALOG["ref_scd2_as_of"].build(spark, SF_SMOKE))
+    assert plan.count("Generate") == 2
+    assert "CartesianProduct" not in plan
+
+    # event transitions: the probability normalizer windows the TINY
+    # (prev, next) aggregate, so the plan has exactly one aggregate
+    # pair below the final window, and the lag window partitions by
+    # user (no empty-partition-spec global window anywhere)
+    plan = plan_of(CATALOG["ana_event_transitions"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 2
+
+    # k-means profile: one Arrow assignment pass over the corpus, one
+    # aggregate — no join, no window
+    plan = plan_of(CATALOG["llm_embedding_kmeans"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+
+    # phash clusters: banded equi-joins, never a pair explosion
+    plan = plan_of(CATALOG["llm_phash_clusters"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # token-budget selection (r10 rewrite): exactly TWO corpus scans —
+    # the pruned text-only decision branch and the id+text join branch
+    # (the r9 form paid four)
+    plan = plan_of(
+        CATALOG["llm_token_budget_selection"].build(spark, SF_SMOKE)
+    )
+    assert plan.count("Scan parquet") == 4
+    assert "struct<text:string>" in plan  # decision branch stays pruned

@@ -864,10 +864,12 @@ def token_budget_selection(df: DataFrame, budget_num: int = 1,
     dominant map cost) once per consumer: per-score agg, corpus
     total, full-score join, boundary join = 4 passes, and the 10x
     scale evidence showed exactly that slope (ratio 4.7). This form
-    tokenizes ONCE; the price is that the decision window covers all
+    tokenizes TWICE (the decision branch column-prunes to a text-only
+    scan; the join branch reads id+text — measured 10x ratio 2.8,
+    halved); the price is that the decision window covers all
     selected rows rather than only the boundary group — a shuffle of
-    narrow (id, score, n_tokens) rows, strictly cheaper than even one
-    extra tokenizing scan of the fat corpus.
+    narrow (id, score, n_tokens) rows, strictly cheaper than the two
+    extra tokenizing scans it replaces.
 
     The DuckDB oracle states the spec form (global ordered cumsum <=
     budget) — identical selection by construction.
