@@ -459,6 +459,23 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     timed(f"bpe_encode_{factor}x",
           lambda: text_ops.bpe_token_stats(docs_nx))
 
+    # round-10 embedding operators: the JL projection is a pure
+    # codegen map (ratio should track data volume with zero shuffle
+    # growth); the k-means profile trains on a bounded sample
+    # (size-independent) and profiles via one Arrow pass + one agg
+    timed("random_projection_1x",
+          lambda: similarity.random_projection(emb_1x))
+    timed(f"random_projection_{factor}x",
+          lambda: similarity.random_projection(emb_nx))
+
+    def _kmeans_profile(emb):
+        cent = similarity.train_centroids(emb, n_centroids=16)
+        asg = similarity.assign_centroids(emb, cent, sim_col="sim")
+        return asg.groupBy("centroid").agg(F.count(F.lit(1)))
+
+    timed("kmeans_profile_1x", lambda: _kmeans_profile(emb_1x))
+    timed(f"kmeans_profile_{factor}x", lambda: _kmeans_profile(emb_nx))
+
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()
 
