@@ -85,6 +85,54 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Fixed logistic-regression weights for the classifier quality gate —
+#: the shipped artifact of an offline training job (the BPE_MERGES
+#: pattern): (bias, then one weight per feature in APPLICATION ORDER —
+#: the logit sums left-to-right in exactly this sequence on both
+#: engines, so the double arithmetic is a cross-engine identity).
+QUALITY_LOGIT_BIAS = -2.5
+QUALITY_LOGIT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("q_alpha_ratio", 3.0),
+    ("q_stopword_ratio", 2.0),
+    ("q_mean_token_len", 0.2),
+    ("q_punct_ratio", -4.0),
+    ("q_len_capped", 1.0),
+)
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Classifier-based quality gate (the GPT-3/LLaMA-style filter one
+    step past heuristic thresholds): a fixed-weight logistic model over
+    the :func:`quality_features` signals scores every document; docs
+    with positive logit pass. Output (id, logit, keep).
+
+    Deliberately TRANSCENDENTAL-FREE: the sigmoid is monotone, so
+    thresholding the LINEAR logit at 0 is the same decision as
+    thresholding the probability at 0.5 — and the logit is pure
+    rational double arithmetic (ratios of exact integer counts times
+    literal weights, summed in a fixed order), a cross-engine identity.
+    exp() is not: JVM Math.exp and DuckDB's libm routinely differ in
+    the last ulp, which a value-hash comparison would see.
+
+    Zero-shuffle codegen map stage; at 100 TB this runs fused with the
+    scan like every other gate in the curation pipeline.
+    """
+    feats = quality_features(df, text_col)
+    len_capped = (
+        F.least(F.col("q_n_tokens"), F.lit(400)).cast("double") / 400.0
+    )
+    scored = feats.withColumn("q_len_capped", len_capped)
+    z = F.lit(QUALITY_LOGIT_BIAS)
+    for name, w in QUALITY_LOGIT_WEIGHTS:
+        z = z + F.lit(w) * F.col(name)
+    return scored.select(
+        F.col(id_col),
+        F.round(z, 6).alias("logit"),
+        (z > 0).alias("keep"),
+    )
+
+
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting two ways: whitespace tokens and a BPE-ish regex
     (letter runs / digit runs / single non-space symbols) that tracks

@@ -220,6 +220,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_embedding_outliers",
     "stream_quota_admission",
     "stream_dedup_within_watermark",
+    # -- block 6: late round-10 registrations, deliberately OUTSIDE the
+    #    window (the 6 planned r10 entries fill it): full local-oracle
+    #    coverage every session via test_catalog_oracle; first into the
+    #    r11 window together with the three deferred r7 entries --
+    "llm_quality_classifier",
+    "llm_cluster_balanced_sample",
 )
 
 

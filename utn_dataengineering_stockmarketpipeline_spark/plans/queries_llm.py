@@ -2836,3 +2836,96 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_outliers(
         load_table(spark, sf_dir, "embeddings"), k=5
     )
+
+
+def _quality_classifier_oracle_sql() -> str:
+    """llm_quality_classifier oracle: the identical feature fragments
+    the llm_text_quality oracle uses, folded into the logit in the
+    SAME left-to-right weight order as text.quality_classifier — the
+    double arithmetic is then a cross-engine identity (no exp())."""
+    feats = {
+        "q_alpha_ratio":
+            f"(CAST({_ALPHA_COUNT} AS DOUBLE) / len({_TOKS}))",
+        "q_stopword_ratio":
+            f"(CAST(len(list_filter({_TOKS}, "
+            f"t -> list_contains({_STOPS_SQL}, t))) AS DOUBLE) "
+            f"/ len({_TOKS}))",
+        "q_mean_token_len":
+            f"(CAST(length(text) - len({_TOKS}) + 1 AS DOUBLE) "
+            f"/ len({_TOKS}))",
+        "q_punct_ratio":
+            f"(CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) "
+            f"/ len({_TOKS}))",
+        "q_len_capped":
+            f"(CAST(least(len({_TOKS}), 400) AS DOUBLE) / 400.0)",
+    }
+    z = str(text.QUALITY_LOGIT_BIAS)
+    for name, w in text.QUALITY_LOGIT_WEIGHTS:
+        z = f"{z} + {w} * {feats[name]}"
+    return f"""
+SELECT doc_id, round({z}, 6) AS logit, ({z}) > 0 AS keep
+FROM documents
+"""
+
+
+@register(
+    "llm_quality_classifier",
+    _quality_classifier_oracle_sql(),
+    doc="classifier-based quality gate (text.quality_classifier — the "
+        "GPT-3/LLaMA-style model filter past heuristic thresholds): "
+        "fixed-weight logistic over the Gopher/C4 feature set, shipped "
+        "as an artifact like the BPE merge table. Deliberately "
+        "transcendental-free: thresholding the LINEAR logit at 0 "
+        "equals thresholding the sigmoid at 0.5 (monotone), and the "
+        "logit is rational double arithmetic in a pinned evaluation "
+        "order — exp() differs across libm implementations in the last "
+        "ulp and would poison a value-hash. Zero-shuffle codegen map",
+    tags=("llm", "text", "quality", "curation", "classifier"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_classifier(load_table(spark, sf_dir, "documents"))
+
+
+def _cluster_balanced_sample_oracle_sql(k: int = 25, iters: int = 5) -> str:
+    """llm_cluster_balanced_sample oracle: the shared k-means
+    assignment chain + a per-cluster deterministic hash-order exact-k
+    draw (the llm_sample_k_per_stratum rule, stratified by LEARNED
+    cluster instead of a stored column)."""
+    ctes = _ivf_assign_ctes()
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, CAST(c AS INT) AS centroid
+FROM (SELECT ac.neighbor_id AS vec_id, ac.c,
+             ROW_NUMBER() OVER (
+               PARTITION BY ac.c
+               ORDER BY md5(CAST(ac.neighbor_id AS VARCHAR)),
+                        ac.neighbor_id) AS rk
+      FROM ac)
+WHERE rk <= {k}""")
+
+
+@register(
+    "llm_cluster_balanced_sample",
+    _cluster_balanced_sample_oracle_sql(),
+    doc="cluster-BALANCED diversity sampling: exact k=25 docs per "
+        "LEARNED k-means cluster (vs llm_sample_k_per_stratum's "
+        "stored-column strata) — the embedding-space coverage draw "
+        "that keeps a subsample from collapsing onto the dense modes, "
+        "standard ahead of expensive human/LLM annotation. Membership "
+        "is an md5 order statistic (deterministic, partition-"
+        "independent); the rank window partitions by cluster, so no "
+        "global sort exists. Oracle = the shared unrolled k-means "
+        "chain + the same hash-order QUALIFY draw",
+    tags=("llm", "similarity", "kmeans", "sampling", "curation"),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = similarity.train_centroids(emb, n_centroids=16)
+    asg = similarity.assign_centroids(emb, cent)
+    w = Window.partitionBy("centroid").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        asg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .select("vec_id", "centroid")
+    )
