@@ -137,6 +137,8 @@ BENCH_QUERIES = (
     "llm_random_projection",
     "llm_embedding_kmeans",
     "llm_phash_clusters",
+    "llm_quality_classifier",
+    "llm_cluster_balanced_sample",
 )
 
 
