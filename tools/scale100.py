@@ -137,6 +137,11 @@ def main() -> None:
                                        dim=64, k=5),
          lambda: similarity.ivfpq_topk(corpus=emb_nx, queries=q10,
                                        dim=64, k=5))
+    # r10: JL projection — pure codegen map, should be ~linear with
+    # zero shuffle growth (the plan guard pins Exchange-free)
+    pair("random_projection",
+         lambda: similarity.random_projection(emb_1x),
+         lambda: similarity.random_projection(emb_nx))
     # SemDeDup under its documented k ~ n / target-cluster-size policy
     # (semantic_dedup docstring): per-cluster pair cost stays flat
     pair("semantic_dedup",
