@@ -53,6 +53,16 @@ def main() -> int:
                     help="sf dir(s); default sf0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--skip-entry", action="store_true")
+    ap.add_argument("--engine-session", action="store_true",
+                    help="use the engine's get_spark() session instead of a "
+                         "vanilla one. The vanilla session mirrors the "
+                         "driver's t2 gate (which runs at sf0.01); at sf0.1+ "
+                         "its 1 GB default heap makes big window partitions "
+                         "spill and the frame processor's spilled-row "
+                         "re-iteration goes quadratic (join_asof_next_price "
+                         "measured 30+ min) — results are identical, only "
+                         "the memory sizing differs, so larger-SF sweeps "
+                         "should pass this flag")
     args = ap.parse_args()
     sf_dirs = args.sf or ["/root/testdata/sf0.01"]
     only = set(args.only.split(",")) if args.only else None
@@ -60,8 +70,13 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder.master("local[8]")
-             .appName("verify-sweep").getOrCreate())
+    if args.engine_session:
+        from utn_dataengineering_stockmarketpipeline_spark.session import get_spark
+
+        spark = get_spark("verify-sweep")
+    else:
+        spark = (SparkSession.builder.master("local[8]")
+                 .appName("verify-sweep").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
