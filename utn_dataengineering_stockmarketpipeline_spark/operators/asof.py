@@ -97,13 +97,26 @@ def asof_join(
             F.col(right_time).cast("timestamp").alias("__rt"),
         ).alias("__rrow"),
     )
-    base = Window.partitionBy("__k").orderBy("__t", "__side")
+    # Both directions run a RUNNING frame ([unboundedPreceding, current])
+    # — the only window frame Spark evaluates incrementally (one pass,
+    # O(partition)). The forward lookup sorts DESCENDING and carries
+    # with last(): "nearest row at-or-after current in ascending order"
+    # IS "last non-null seen at-or-before current in the exactly
+    # reversed order", tie markers included. The direct formulation —
+    # first() over [current, unboundedFollowing] — looks symmetric but
+    # is NOT: Spark's UnboundedFollowingWindowFunctionFrame re-scans
+    # from each row to partition end, O(partition²) aggregate updates
+    # (and once the partition spills, each step re-walks the spill
+    # file: a sf0.1 per-ticker partition measured 30+ min under a 1 GB
+    # heap vs sub-second for the reversed running frame).
     if fwd:
-        w = base.rowsBetween(0, Window.unboundedFollowing)
-        carry = F.first("__rrow", ignorenulls=True).over(w)
+        base = Window.partitionBy("__k").orderBy(
+            F.col("__t").desc(), F.col("__side").desc()
+        )
     else:
-        w = base.rowsBetween(Window.unboundedPreceding, 0)
-        carry = F.last("__rrow", ignorenulls=True).over(w)
+        base = Window.partitionBy("__k").orderBy("__t", "__side")
+    w = base.rowsBetween(Window.unboundedPreceding, 0)
+    carry = F.last("__rrow", ignorenulls=True).over(w)
     carried = l_tagged.unionByName(r_tagged).select(
         "__side",
         "__t",
