@@ -139,6 +139,8 @@ BENCH_QUERIES = (
     "llm_phash_clusters",
     "llm_quality_classifier",
     "llm_cluster_balanced_sample",
+    "llm_prototype_pruning",
+    "llm_heavy_hitters_cms",
 )
 
 

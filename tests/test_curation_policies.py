@@ -127,3 +127,66 @@ def test_embedding_outliers_rank_is_dense_per_group(spark):
     out = similarity.embedding_outliers(emb, k=5).filter("label = 7")
     ranks = sorted(r["outlier_rank"] for r in out.collect())
     assert ranks == [1, 2, 3, 4, 5]
+
+
+# ---- round-10 continuation: prototype pruning + CMS heavy hitters ----
+
+
+def test_prototype_pruning_drop_set_matches_rank_order(spark):
+    # two separated groups; verify per cluster: exactly (size*25) div 100
+    # rows drop, and they are the FIRST rows in (sim micro-unit desc, id)
+    # order — the operator's documented integer rank policy.
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 9)]
+    rows += [(100 + i, [0.0, 0.0, 1.0, 0.002 * i]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.prototype_pruning(emb, drop_pct=25, n_centroids=2)
+    got = out.collect()
+    assert len(got) == len(rows)
+    by_c = {}
+    for r in got:
+        by_c.setdefault(r["centroid"], []).append(r)
+    assert len(by_c) == 2
+    for members in by_c.values():
+        drop_n = (len(members) * 25) // 100
+        ranked = sorted(
+            members,
+            key=lambda r: (-round(r["proto_sim"] * 1_000_000), r["vec_id"]),
+        )
+        dropped = {r["vec_id"] for r in members if not r["is_kept"]}
+        assert dropped == {r["vec_id"] for r in ranked[:drop_n]}
+
+
+def test_prototype_pruning_small_cluster_keeps_all(spark):
+    # size 3 -> (3*25) div 100 = 0 dropped.
+    rows = [(i, [1.0, 0.1 * i]) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.prototype_pruning(emb, drop_pct=25, n_centroids=1)
+    assert all(r["is_kept"] for r in out.collect())
+
+
+def test_cms_never_underestimates_and_finds_planted_hitter(spark):
+    docs = spark.createDataFrame(
+        [(1, "hot pair " * 30), (2, "aa bb cc dd ee ff gg hh"),
+         (3, "hot pair cold one")],
+        "doc_id long, text string",
+    )
+    out = text.cms_heavy_hitters(docs, threshold_permille=10).collect()
+    by_term = {r["term"]: r for r in out}
+    assert "hot pair" in by_term          # the planted heavy bigram
+    for r in out:
+        assert r["est_count"] >= r["exact_count"]
+        assert r["overestimate"] == r["est_count"] - r["exact_count"]
+
+
+def test_cms_narrow_sketch_shows_collisions(spark):
+    # w=2, d=1: three distinct bigrams into two buckets — pigeonhole
+    # forces a collision, so SOME reported estimate strictly exceeds
+    # its exact count (the overestimate CMS trades for bounded memory).
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd"), (3, "ee ff")],
+        "doc_id long, text string",
+    )
+    out = text.cms_heavy_hitters(docs, d=1, w=2, threshold_permille=1)
+    rows = out.collect()
+    assert len(rows) == 3
+    assert any(r["overestimate"] > 0 for r in rows)

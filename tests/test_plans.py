@@ -451,3 +451,21 @@ def test_round10_queries_plan_shapes(spark):
     )
     assert plan.count("Scan parquet") == 4
     assert "struct<text:string>" in plan  # decision branch stays pruned
+
+
+def test_round10_continuation_plan_shapes(spark):
+    # prototype pruning: ONE Arrow assignment pass + one narrow rank
+    # window on centroid — no join exists at all (unlike SemDeDup
+    # there is no in-cluster pair term)
+    plan = plan_of(CATALOG["llm_prototype_pruning"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 2
+
+    # CMS heavy hitters: the d*w-row sketch and the 1-row total both
+    # come back as BROADCAST joins — the only shuffle over unbounded
+    # data is the map-side-combined bigram count
+    plan = plan_of(CATALOG["llm_heavy_hitters_cms"].build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2

@@ -1024,3 +1024,60 @@ def random_projection(df: DataFrame, dim_in: int = 64, dim_out: int = 16,
         run,
         f"{id_col} long, proj_dim int, y_q long, norm_ratio double",
     )
+
+
+def prototype_pruning(
+    corpus: DataFrame,
+    drop_pct: int = 25,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_rows: int = 65_536,
+) -> DataFrame:
+    """Prototypicality-based data pruning (Sorscher et al. '22,
+    "Beyond neural scaling laws", arXiv:2206.14486): cluster the
+    embedding space with the shared deterministic k-means, rank each
+    cluster's members by cosine to their OWN centroid (the paper's
+    self-supervised prototypicality metric), and drop the most
+    prototypical ``drop_pct`` percent per cluster — the redundant,
+    "easy" core of each mode — keeping the hard boundary examples that
+    actually move the loss. The complement of SemDeDup: that pass
+    removes near-DUPLICATES; this one thins dense-but-distinct regions.
+
+    Returns every corpus row as ``(id, centroid, proto_sim, is_kept)``
+    — the audit form (decision visible, like :func:`semantic_dedup`).
+    ``proto_sim`` is the IVF_ROUND_SIM-quantized cosine to the assigned
+    centroid; the rank compares its exact micro-unit integer
+    (``round(sim·1e6)`` as BIGINT, id tiebreak), so no float ever
+    decides an order and the DuckDB oracle replays it verbatim.
+    ``drop_pct`` is an integer percentage; the per-cluster drop count
+    is ``(size · drop_pct) div 100`` — exact integer arithmetic on both
+    engines.
+
+    Scale plan: ONE Arrow-batched BLAS assignment pass (no pair join at
+    all — unlike SemDeDup there is no quadratic in-cluster term), then
+    one narrow (id, centroid, sim_q) shuffle for the per-cluster rank
+    window. With fixed k the cluster partitions grow with n — at real
+    scale raise ``n_centroids`` ~ n/target (the operator's documented
+    k∝n policy, same as :func:`semantic_dedup`)."""
+    cent = train_centroids(corpus, n_centroids, id_col, vec_col,
+                           train_sample_rows)
+    asg = assign_centroids(corpus, cent, 1, id_col, vec_col,
+                           sim_col="proto_sim")
+    narrow = asg.select(
+        id_col, "centroid", "proto_sim",
+        F.round(F.col("proto_sim") * 1_000_000).cast("long").alias("__simq"),
+    )
+    w = Window.partitionBy("centroid").orderBy(
+        F.col("__simq").desc(), F.col(id_col)
+    )
+    wc = Window.partitionBy("centroid")
+    return (
+        narrow.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "is_kept",
+            F.col("__rk") > F.expr(f"(__n * {int(drop_pct)}) div 100"),
+        )
+        .select(id_col, "centroid", "proto_sim", "is_kept")
+    )

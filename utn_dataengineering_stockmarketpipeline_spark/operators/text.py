@@ -970,3 +970,90 @@ def token_budget_selection(df: DataFrame, budget_num: int = 1,
         .filter(F.col("__full") | (F.col("__cum") <= F.col("__rem")))
         .select(id_col, "score", "n_tokens")
     )
+
+
+def cms_heavy_hitters(df: DataFrame, d: int = 4, w: int = 256,
+                      threshold_permille: int = 1,
+                      text_col: str = "text") -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan '05)
+    over word BIGRAMS: estimate per-bigram frequencies through a
+    ``d × w`` counter sketch and report every bigram whose ESTIMATE
+    reaches ``threshold_permille``‰ of the corpus bigram count, next
+    to its exact count and the sketch's error-bound audit — the
+    frequent-items primitive (stop-phrase induction, hot-key
+    detection, boilerplate discovery) in its honest audit form, like
+    ``ana_approx_sketches``: the approximation SHIPS with its exact
+    companion and a within-bounds boolean. Bigrams, not unigrams,
+    because the key space must EXCEED the sketch width for the
+    operator to mean anything: collisions are the thing CMS trades
+    for bounded memory, and the audit columns show them happening.
+
+    Hash row ``i`` buckets a bigram by the engine's md5 identity on
+    ``'{i}:' || term`` (% w) — deterministic, so the DuckDB oracle
+    replays the sketch verbatim and the whole output hash-matches.
+    CMS never underestimates; ``within_bound`` checks the additive
+    overestimate against ``ceil(3N/w)`` (≥ the e·N/w Markov bound —
+    3 keeps the arithmetic integer; exceeding it has probability
+    < e^-d per row pair). Thresholding the ESTIMATE, not the exact
+    count, mirrors production use: no false negatives vs the same
+    threshold on exact counts (collision-inflated near-threshold
+    keys surface with a visibly positive ``overestimate``).
+
+    Plan: the bigram build is a zero-shuffle HOF transform; ONE
+    corpus-scale map-side-combined count shuffle follows, and every
+    later step reads the bounded distinct-bigram relation. Because
+    each hash is a pure function of the key, sketch counters are
+    derived FROM that count relation (``CMS[i][b] = Σ_{h_i(t)=b}
+    count(t)`` — identical to hashing the raw stream), so the d·w-row
+    sketch costs one tiny aggregation, broadcasts back for the
+    min-of-d lookup, and the corpus total rides a broadcast 1-row
+    cross join. At true stream scale the sketch updates directly off
+    the token stream and the exact companion (the only reason the
+    full count exists) is dropped — the estimate column and bound
+    audit are unchanged.
+
+    Returns ``(term, est_count, exact_count, overestimate,
+    within_bound)`` — all counter arithmetic BIGINT, no float
+    anywhere."""
+    ts = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.when(
+        F.size(ts) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ts) - 1),
+            lambda i: F.concat(F.element_at(ts, i), F.lit(" "),
+                               F.element_at(ts, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = df.select(F.explode(grams).alias("term"))
+    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    buckets = F.array(*[
+        (F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("term"))),
+                        1, 15), 16, 10).cast("bigint") % F.lit(w)
+        ) for i in range(d)
+    ])
+    hb = tc.select(
+        "term", "exact_count",
+        F.posexplode(buckets).alias("i", "b"),
+    )
+    sk = hb.groupBy("i", "b").agg(F.sum("exact_count").alias("cms"))
+    est = (
+        hb.join(F.broadcast(sk), ["i", "b"])
+        .groupBy("term")
+        .agg(F.max("exact_count").alias("exact_count"),
+             F.min("cms").alias("est_count"))
+    )
+    totals = tc.agg(F.sum("exact_count").alias("n"))
+    return (
+        est.crossJoin(F.broadcast(totals))
+        .filter(F.col("est_count")
+                >= F.greatest(F.expr(f"(n * {int(threshold_permille)}) div 1000"),
+                              F.lit(1)))
+        .select(
+            "term", "est_count", "exact_count",
+            (F.col("est_count") - F.col("exact_count")).alias("overestimate"),
+            (F.col("est_count")
+             <= F.col("exact_count") + F.expr(f"(3 * n + {w - 1}) div {w}")
+             ).alias("within_bound"),
+        )
+    )

@@ -226,6 +226,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     #    r11 window together with the three deferred r7 entries --
     "llm_quality_classifier",
     "llm_cluster_balanced_sample",
+    "llm_prototype_pruning",
+    "llm_heavy_hitters_cms",
 )
 
 

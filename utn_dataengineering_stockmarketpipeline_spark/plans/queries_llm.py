@@ -2929,3 +2929,110 @@ def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 25)
         .select("vec_id", "centroid")
     )
+
+
+def _prototype_pruning_oracle_sql(drop_pct: int = 25, iters: int = 5) -> str:
+    """llm_prototype_pruning oracle: the shared k-means chain with a
+    sim-carrying final assignment, then the identical per-cluster
+    micro-unit-integer prototypicality rank and integer drop count."""
+    from ..operators.similarity import IVF_ROUND_SIM
+
+    ctes = _ivf_assign_ctes()
+    dot_nc = ("list_sum(list_transform(list_zip(n.v, c.v), "
+              "z -> z[1]::DOUBLE * z[2]::DOUBLE))")
+    # `ac` drops the sim; re-derive the rk=1 assignment keeping it
+    ctes.append(f"""acs AS MATERIALIZED (
+  SELECT vec_id, c, sim FROM (
+    SELECT n.vec_id, c.c, round({dot_nc}, {IVF_ROUND_SIM}) AS sim,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
+    FROM norm n CROSS JOIN c{iters} c) WHERE rk = 1)""")
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT vec_id, CAST(c AS INT) AS centroid, sim AS proto_sim,
+       rk > (n * {drop_pct}) // 100 AS is_kept
+FROM (SELECT vec_id, c, sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY c
+               ORDER BY CAST(round(sim * 1000000) AS BIGINT) DESC,
+                        vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY c) AS n
+      FROM acs)""")
+
+
+@register(
+    "llm_prototype_pruning",
+    _prototype_pruning_oracle_sql(),
+    doc="prototypicality-based data PRUNING (similarity."
+        "prototype_pruning; Sorscher et al. '22, arXiv:2206.14486): "
+        "rank each learned cluster's members by cosine to their own "
+        "centroid and drop the most prototypical 25% per cluster — "
+        "thins the redundant 'easy' core of each embedding mode, "
+        "keeping the hard boundary examples. The complement of "
+        "SemDeDup (near-duplicate removal): no pair join exists at "
+        "all — ONE Arrow BLAS assignment pass + one narrow rank "
+        "window on centroid. The rank compares round(sim*1e6) as "
+        "BIGINT with id tiebreak and the drop count is (size*25) div "
+        "100 — integer arithmetic end-to-end, so the unrolled k-means "
+        "oracle replays the selection exactly",
+    tags=("llm", "similarity", "kmeans", "curation", "pruning"),
+)
+def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.prototype_pruning(
+        load_table(spark, sf_dir, "embeddings"), drop_pct=25
+    )
+
+
+_CMS_ORACLE_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT list_filter(string_split(text, ' '), t -> t != '') AS ts
+  FROM documents),
+tok AS MATERIALIZED (
+  SELECT ts[i] || ' ' || ts[i + 1] AS term
+  FROM toks, unnest(range(1, len(ts))) r(i)),
+tc AS MATERIALIZED (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY term),
+hb AS MATERIALIZED (
+  SELECT term, exact_count, i,
+         ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || term), 1, 15))
+           ::BIGINT % 256 AS b
+  FROM tc CROSS JOIN range(0, 4) r(i)),
+sk AS MATERIALIZED (
+  SELECT i, b, CAST(SUM(exact_count) AS BIGINT) AS cms
+  FROM hb GROUP BY i, b),
+est AS (
+  SELECT hb.term,
+         CAST(MAX(hb.exact_count) AS BIGINT) AS exact_count,
+         CAST(MIN(sk.cms) AS BIGINT) AS est_count
+  FROM hb JOIN sk USING (i, b) GROUP BY hb.term),
+tot AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n FROM tc)
+SELECT term, est_count, exact_count,
+       est_count - exact_count AS overestimate,
+       est_count <= exact_count + (3 * n + 255) // 256 AS within_bound
+FROM est CROSS JOIN tot
+WHERE est_count >= GREATEST((n * 1) // 1000, 1)
+"""
+
+
+@register(
+    "llm_heavy_hitters_cms",
+    _CMS_ORACLE_SQL,
+    doc="count-min-sketch heavy hitters (text.cms_heavy_hitters; "
+        "Cormode & Muthukrishnan '05) over word bigrams: a 4x256 "
+        "counter sketch built on the md5 bucket identity estimates "
+        "every bigram's frequency; bigrams whose ESTIMATE reaches "
+        "1 permille of the corpus ship with exact companion, "
+        "overestimate, and a ceil(3N/w) bound audit — the "
+        "ana_approx_sketches contract, but hash-green because the "
+        "sketch itself is deterministic integer arithmetic both "
+        "engines replay verbatim. The ~930-bigram key space exceeds "
+        "the 256-bucket width, so collisions (the thing CMS trades "
+        "for bounded memory) actually occur and the audit columns "
+        "show them. ONE corpus-scale count shuffle; sketch counters "
+        "derive from the bounded distinct-bigram relation (each hash "
+        "is a pure key function), broadcast back for the min-of-d "
+        "lookup; total on a broadcast 1-row cross join",
+    tags=("llm", "text", "sketch", "frequency"),
+)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
