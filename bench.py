@@ -141,6 +141,8 @@ BENCH_QUERIES = (
     "llm_cluster_balanced_sample",
     "llm_prototype_pruning",
     "llm_heavy_hitters_cms",
+    "llm_temperature_resample",
+    "ana_join_key_skew",
 )
 
 

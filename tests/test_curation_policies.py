@@ -190,3 +190,48 @@ def test_cms_narrow_sketch_shows_collisions(spark):
     rows = out.collect()
     assert len(rows) == 3
     assert any(r["overestimate"] > 0 for r in rows)
+
+
+def test_temperature_resample_realizes_targets_exactly(spark):
+    # 40-doc dominant source vs 10-doc rare source, budget 30:
+    # T=2 weights flatten the imbalance; per-source copy counts must
+    # take exactly two adjacent values (base epochs + 0/1 extra) and
+    # sum to the rounded per-source target.
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = text.temperature_resample(docs, budget=30).collect()
+    assert len(out) == 50                      # audit form: every doc
+    import math
+    w_big, w_small = round(math.sqrt(40), 9), round(math.sqrt(10), 9)
+    z = w_big + w_small
+    for src, n, w in (("big", 40, w_big), ("small", 10, w_small)):
+        target = round(30 * w / z)             # the operator's formula
+        copies = sorted(r["n_copies"] for r in out if r["source"] == src)
+        assert sum(copies) == target
+        assert set(copies) <= {target // n, target // n + 1}
+        assert copies.count(target // n + 1) == target % n
+
+
+def test_temperature_resample_is_deterministic(spark):
+    rows = [(i, "a" if i % 3 else "b") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(map(tuple, text.temperature_resample(docs).collect()))
+    b = sorted(map(tuple, text.temperature_resample(
+        docs.repartition(7)).collect()))
+    assert a == b                              # partition-independent draw
+
+
+def test_key_skew_profile_planted_hot_key(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+
+    rows = [(1,)] * 100 + [(k,) for k in range(2, 51) for _ in range(2)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = skew.key_skew_profile(df, key="user_id", top_k=3).collect()
+    assert len(out) == 3
+    hot = out[0] if out[0]["user_id"] == 1 else next(
+        r for r in out if r["user_id"] == 1)
+    assert hot["cnt"] == 100
+    assert hot["p50_cnt"] == 2                 # 49 of 50 keys sit at 2
+    assert hot["p99_cnt"] == 100               # the hot key IS the p99
+    assert hot["ratio_to_p50"] == 50.0
+    assert hot["share_permille"] == (100 * 1000) // 198

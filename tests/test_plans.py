@@ -469,3 +469,19 @@ def test_round10_continuation_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") + plan.count(
         "BroadcastNestedLoopJoin") >= 2
+
+
+def test_round10_continuation_plan_shapes_2(spark):
+    # temperature resample: the |sources|-row target relation comes
+    # back as a BROADCAST join; no sort-merge exchange anywhere
+    plan = plan_of(CATALOG["llm_temperature_resample"].build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # join-key skew profile: hottest keys ride a distributed top-k
+    # (TakeOrdered), never a global sort; summary relations attach as
+    # broadcast nested-loop 1-row joins, not real cartesians over data
+    plan = plan_of(CATALOG["ana_join_key_skew"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -80,3 +80,61 @@ def salted_distinct_count(
         .agg(F.countDistinct(value).alias("__part"))
     )
     return phase1.groupBy(key).agg(F.sum("__part").alias("n_distinct"))
+
+
+def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight a 100 TB join runs
+    BEFORE choosing between a plain shuffle join, :func:`salted_join`,
+    or AQE skew splitting: per-key frequencies, the p50/p99 key
+    frequency, and the ``top_k`` hottest keys with their ratio to the
+    median. A hot key whose ratio is 100× means one reduce task gets
+    100× the median partition's rows — this report is the evidence.
+
+    Returns the ``top_k`` hottest keys as ``(key, cnt,
+    share_permille, p50_cnt, p99_cnt, ratio_to_p50)`` — the summary
+    percentiles ride every row (audit style), all integer arithmetic
+    except the final 6dp ratio.
+
+    Plan: ONE map-side-combined count shuffle builds the per-key
+    relation; the percentiles come from the counts-OF-counts relation
+    (|distinct frequency values| rows — Zipf-tiny however large the
+    corpus, the same observation :func:`~..operators.windows.
+    exact_row_number` rests on), cumulated with a window over that
+    tiny relation and broadcast back; the hottest keys are a
+    distributed top-k (TakeOrdered), never a global sort. Exact
+    percentile-disc semantics: p50 = smallest frequency whose
+    cumulative key count reaches ceil(0.5 · n_keys) — integer on both
+    engines."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    cc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_at"))
+    wcum = Window.orderBy("cnt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # the window's ordered partition is the counts-of-counts relation:
+    # tiny by Zipf, so the single-partition global window is bounded
+    cum = cc.withColumn("cum", F.sum("n_at").over(wcum))
+    pct = (
+        cum.crossJoin(F.broadcast(total))
+        .select(
+            F.min(F.when(F.col("cum") * 2 >= F.col("n_keys"), F.col("cnt"))
+                  ).alias("p50_cnt"),
+            F.min(F.when(F.col("cum") * 100 >= F.col("n_keys") * 99,
+                         F.col("cnt"))).alias("p99_cnt"),
+        )
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col(key)).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pct))
+        .select(
+            key, "cnt",
+            F.expr("(cnt * 1000) div n_rows").alias("share_permille"),
+            "p50_cnt", "p99_cnt",
+            F.round(F.col("cnt") / F.col("p50_cnt"), 6).alias("ratio_to_p50"),
+        )
+    )

@@ -1057,3 +1057,66 @@ def cms_heavy_hitters(df: DataFrame, d: int = 4, w: int = 256,
              ).alias("within_bound"),
         )
     )
+
+
+def temperature_resample(df: DataFrame, budget: int = 100_000,
+                         id_col: str = "doc_id",
+                         source_col: str = "source") -> DataFrame:
+    """Realize a T=2 temperature mix EXACTLY: turn the per-source
+    target counts of the mix-weight computation (the
+    ``llm_mix_temperature`` relation — p ∝ n^(1/2) over a ``budget``
+    of documents) into per-document COPY counts whose per-source sum
+    equals the target to the row. The action half of the mix loop,
+    like ``train_bpe`` → ``bpe_encode`` closed the tokenizer loop:
+    weights alone don't train a model; an epoch plan does.
+
+    Per source with ``n`` docs and target ``t``: every doc gets
+    ``t div n`` copies (upsampled rare sources repeat whole epochs —
+    the standard multilingual practice), and the ``t mod n``
+    remainder docs getting one extra copy are the first ``t mod n``
+    in ``(md5(id), id)`` order — the engine's deterministic draw
+    (:func:`sample_k_per_stratum`'s rule), so any engine picks the
+    same docs and Σ n_copies == target EXACTLY, per source.
+    Downsampling (t < n) is the same formula: 0 base copies, the
+    remainder IS the sample.
+
+    Returns every corpus row as ``(id, source, n_copies)`` — audit
+    form (``n_copies = 0`` rows show what the draw excluded).
+
+    Plan: the target relation is |sources| rows (one partial-agg
+    shuffle + broadcast); the remainder draw is one rank window
+    partitioned by source. At 100 TB the per-source window partitions
+    are the hot spot — the exact fix is the boundary decomposition of
+    :func:`token_budget_selection` applied to md5-prefix buckets
+    (count per (source, 256-bucket) relation picks the boundary
+    bucket; only that bucket ranks); at driver SFs the direct window
+    is the honest measured form."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    sq = counts.withColumn(
+        "w_raw", F.round(F.sqrt(F.col("n_docs").cast("double")), 9)
+    )
+    tot = sq.agg(
+        F.sum(F.col("w_raw").cast("decimal(18,9)")).cast("double").alias("z")
+    )
+    targets = (
+        sq.crossJoin(F.broadcast(tot))
+        .select(
+            source_col, "n_docs",
+            F.round(F.lit(budget) * F.col("w_raw") / F.col("z"))
+            .cast("bigint").alias("target"),
+        )
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.select(id_col, source_col)
+        .join(F.broadcast(targets), source_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            id_col, source_col,
+            (F.expr("target div n_docs")
+             + F.when(F.col("__rk") <= F.expr("target % n_docs"), 1)
+                .otherwise(0)).alias("n_copies"),
+        )
+    )

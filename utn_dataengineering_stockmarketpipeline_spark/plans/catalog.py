@@ -228,6 +228,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_cluster_balanced_sample",
     "llm_prototype_pruning",
     "llm_heavy_hitters_cms",
+    "llm_temperature_resample",
+    "ana_join_key_skew",
 )
 
 

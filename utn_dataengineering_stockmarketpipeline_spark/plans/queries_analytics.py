@@ -1604,3 +1604,53 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@register(
+    "ana_join_key_skew",
+    """
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts),
+cc AS (
+  SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_at
+  FROM counts GROUP BY cnt),
+cum AS (
+  SELECT cnt,
+         SUM(n_at) OVER (ORDER BY cnt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cc),
+pct AS (
+  SELECT MIN(CASE WHEN cum * 2 >= n_keys THEN cnt END) AS p50_cnt,
+         MIN(CASE WHEN cum * 100 >= n_keys * 99 THEN cnt END) AS p99_cnt
+  FROM cum CROSS JOIN tot),
+top AS (
+  SELECT user_id, cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10)
+SELECT user_id, cnt, (cnt * 1000) // n_rows AS share_permille,
+       p50_cnt, p99_cnt,
+       round(CAST(cnt AS DOUBLE) / p50_cnt, 6) AS ratio_to_p50
+FROM top CROSS JOIN tot CROSS JOIN pct
+""",
+    doc="join-key skew diagnostic (operators/skew.key_skew_profile): "
+        "the pre-flight a 100 TB join runs before choosing plain "
+        "shuffle vs salted_join vs AQE skew splitting — the 10 "
+        "hottest events.user_id keys with per-mille share, exact "
+        "percentile-disc p50/p99 key frequencies, and the hot-key-"
+        "to-median ratio (100x ratio = one reduce task gets 100x the "
+        "median partition). ONE map-side-combined count shuffle; "
+        "percentiles from the Zipf-tiny counts-OF-counts relation "
+        "(the exact_row_number observation) cumulated and broadcast "
+        "back; hottest keys via distributed top-k, never a global "
+        "sort. Integer arithmetic except the final 6dp ratio",
+    tags=("analytics", "skew", "diagnostics", "scale"),
+)
+def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.key_skew_profile(
+        load_table(spark, sf_dir, "events"), key="user_id", top_k=10
+    )

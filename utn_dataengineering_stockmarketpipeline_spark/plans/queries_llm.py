@@ -3036,3 +3036,49 @@ WHERE est_count >= GREATEST((n * 1) // 1000, 1)
 )
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.cms_heavy_hitters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_temperature_resample",
+    """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  GROUP BY source),
+sq AS (
+  SELECT source, n_docs,
+         ROUND(SQRT(CAST(n_docs AS DOUBLE)), 9) AS w_raw
+  FROM counts),
+tot AS (
+  SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,9))) AS DOUBLE) AS z FROM sq),
+tgt AS (
+  SELECT source, n_docs,
+         CAST(ROUND(100000 * (w_raw / z)) AS BIGINT) AS target
+  FROM sq CROSS JOIN tot),
+rk AS (
+  SELECT d.doc_id, d.source, t.n_docs, t.target,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+  FROM documents d JOIN tgt t USING (source))
+SELECT doc_id, source,
+       target // n_docs
+         + CASE WHEN rk <= target % n_docs THEN 1 ELSE 0 END AS n_copies
+FROM rk
+""",
+    doc="temperature-mix RESAMPLE action (text.temperature_resample): "
+        "realizes llm_mix_temperature's per-source targets as exact "
+        "per-document copy counts — base epochs = target div n (rare "
+        "sources repeat whole epochs, the multilingual standard), the "
+        "target mod n remainder docs with one extra copy drawn by the "
+        "engine's (md5(id), id) order statistic, so SUM(n_copies) per "
+        "source equals the target TO THE ROW and any engine picks the "
+        "same docs. Closes the mixing loop the way bpe_train->encode "
+        "closed the tokenizer loop. Audit form (n_copies = 0 rows "
+        "show exclusions); |sources|-row target relation broadcast "
+        "back; the per-source rank window's 100 TB decomposition (the "
+        "token-budget boundary-bucket trick) is documented on the "
+        "operator",
+    tags=("llm", "sampling", "mix", "curation"),
+)
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.temperature_resample(load_table(spark, sf_dir, "documents"))
