@@ -143,6 +143,7 @@ BENCH_QUERIES = (
     "llm_heavy_hitters_cms",
     "llm_temperature_resample",
     "ana_join_key_skew",
+    "stream_scd2_apply",
 )
 
 

@@ -617,3 +617,26 @@ def test_quota_tws_matches_applyinpandas_twin(spark, events_split, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_scd2_apply_version_chains(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+    from conftest import SF_SMOKE
+
+    rows = CATALOG["stream_scd2_apply"].build(spark, SF_SMOKE).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["market_stockid"], []).append(r)
+    assert len(by_key) == 5
+    for key, versions in by_key.items():
+        versions.sort(key=lambda r: r["valid_from"])
+        nasdaq = any("(legacy)" in v["market_companyname"] for v in versions)
+        assert len(versions) == (3 if nasdaq else 2)
+        # half-open chain: each close date is the next version's open date
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert not a["is_current"]
+        assert versions[-1]["is_current"]
+        assert versions[-1]["valid_to"] is None
+        assert versions[0]["market_companyname"].endswith("(v0)")
+        assert not versions[-1]["market_companyname"].endswith(")")

@@ -230,6 +230,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_heavy_hitters_cms",
     "llm_temperature_resample",
     "ana_join_key_skew",
+    "stream_scd2_apply",
 )
 
 

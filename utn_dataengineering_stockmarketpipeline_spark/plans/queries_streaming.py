@@ -743,3 +743,151 @@ def q_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         collected,
         "doc_id long, dup_of long, n_corpus_hits long, is_dup boolean",
     )
+
+
+# --- streaming SCD2 dimension maintenance -----------------------------------
+
+_MKT_COLS = ("market_stockid", "market_companyname", "market_country",
+             "market_exchange", "market_currency", "market_stockisin")
+
+_SCD2_STREAM_DATES = ("2024-01-01", "2024-02-01", "2024-03-01")
+
+
+def _scd2_stream_oracle() -> str:
+    from .reference_tables import with_reference_ctes
+
+    return with_reference_ctes("""
+SELECT market_stockid,
+       market_companyname || ' (v0)' AS market_companyname,
+       market_country, market_exchange, market_currency, market_stockisin,
+       DATE '2024-01-01' AS valid_from,
+       CASE WHEN market_exchange = 'NASDAQ' THEN DATE '2024-02-01'
+            ELSE DATE '2024-03-01' END AS valid_to,
+       FALSE AS is_current
+FROM markets
+UNION ALL
+SELECT market_stockid, market_companyname || ' (legacy)', market_country,
+       market_exchange, market_currency, market_stockisin,
+       DATE '2024-02-01', DATE '2024-03-01', FALSE
+FROM markets WHERE market_exchange = 'NASDAQ'
+UNION ALL
+SELECT market_stockid, market_companyname, market_country, market_exchange,
+       market_currency, market_stockisin,
+       DATE '2024-03-01', CAST(NULL AS DATE), TRUE
+FROM markets
+""")
+
+
+@register(
+    "stream_scd2_apply",
+    _scd2_stream_oracle(),
+    doc="STREAMING SCD2 dimension maintenance: successive dimension "
+        "snapshots arrive as a rate-limited file stream "
+        "(maxFilesPerTrigger=1 — one snapshot per micro-batch, oldest "
+        "first) and foreachBatch chains operators/scd.scd2_apply over "
+        "an evolving current state; the drained state must equal the "
+        "hand-derived chained batch merge (v0 versions close when "
+        "NASDAQ names go '(legacy)' at d2, everything re-versions to "
+        "fresh names at d3). The CDC-ingest shape of a warehouse "
+        "dimension: each batch's load_date rides IN the snapshot "
+        "file, so ordering semantics are data-driven, not trigger-"
+        "driven. Test-harness drain materializes the bounded dim "
+        "state per batch (like the other streaming drains' collect); "
+        "at 100 TB the state is a warehouse table and foreachBatch "
+        "MERGEs into it (the scd0_sink pattern) — scd2_apply itself "
+        "already shuffles only (key, md5) pairs",
+    tags=("streaming", "scd2", "warehouse", "cdc"),
+)
+def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..operators.scd import scd2_apply
+    from .reference_tables import markets
+
+    mk_rows = sorted(
+        markets(spark, sf_dir).select(*_MKT_COLS).collect(),
+        key=lambda r: r["market_stockid"],
+    )  # bounded: the 5-ticker reference dimension
+
+    def snap_name(r, tag):
+        base = r["market_companyname"]
+        if tag == "v0":
+            return base + " (v0)"
+        if tag == "legacy":
+            return (base + " (legacy)"
+                    if r["market_exchange"] == "NASDAQ" else base + " (v0)")
+        return base
+
+    tmp = tempfile.mkdtemp(prefix="scd2stream_")
+    try:
+        import datetime as dt
+        now = int(__import__("time").time())
+        for i, (tag, ld) in enumerate(
+            zip(("v0", "legacy", "fresh"), _SCD2_STREAM_DATES)
+        ):
+            cols = {c: [r[c] for r in mk_rows] for c in _MKT_COLS}
+            cols["market_companyname"] = [snap_name(r, tag) for r in mk_rows]
+            cols["load_date"] = pa.array(
+                [dt.date.fromisoformat(ld)] * len(mk_rows), pa.date32()
+            )
+            path = os.path.join(tmp, f"snap{i}.parquet")
+            pq.write_table(pa.table(cols), path)
+            # FileStreamSource orders by modification time: pin it
+            os.utime(path, (now - 100 + 50 * i, now - 100 + 50 * i))
+
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in _MKT_COLS]
+            + [T.StructField("load_date", T.DateType())]
+        )
+        empty_state = spark.createDataFrame(
+            [],
+            T.StructType(
+                [T.StructField(c, T.StringType()) for c in _MKT_COLS]
+                + [
+                    T.StructField("valid_from", T.DateType()),
+                    T.StructField("valid_to", T.DateType()),
+                    T.StructField("is_current", T.BooleanType()),
+                ]
+            ),
+        )
+        state_box = [empty_state]
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            lds = [
+                r[0] for r in batch_df.select("load_date").distinct().collect()
+            ]
+            if not lds:
+                return
+            assert len(lds) == 1, f"snapshot files merged into one batch: {lds}"
+            new_state = scd2_apply(
+                batch_df.select(*_MKT_COLS),
+                state_box[0],
+                key="market_stockid",
+                tracked=["market_companyname"],
+                load_date=str(lds[0]),
+            )
+            # materialize the bounded dim state so the next batch's merge
+            # reads data, not an ever-deepening lineage
+            state_box[0] = spark.createDataFrame(
+                new_state.collect(), schema=new_state.schema
+            )
+
+        with _capped_state_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(tmp)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return state_box[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
