@@ -144,6 +144,7 @@ BENCH_QUERIES = (
     "llm_temperature_resample",
     "ana_join_key_skew",
     "stream_scd2_apply",
+    "stream_heavy_hitters",
 )
 
 

@@ -1015,6 +1015,23 @@ def cms_heavy_hitters(df: DataFrame, d: int = 4, w: int = 256,
     Returns ``(term, est_count, exact_count, overestimate,
     within_bound)`` — all counter arithmetic BIGINT, no float
     anywhere."""
+    tc = (
+        bigram_terms(df, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    hb = tc.select(
+        "term", "exact_count",
+        F.posexplode(cms_bucket_array(d, w)).alias("i", "b"),
+    )
+    sk = hb.groupBy("i", "b").agg(F.sum("exact_count").alias("cms"))
+    return cms_report(tc, sk, d, w, threshold_permille)
+
+
+def bigram_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word bigrams as ``(term)`` rows — a guarded zero-shuffle HOF
+    transform (docs under 2 tokens yield nothing; empty tokens from
+    repeated spaces are filtered before pairing)."""
     ts = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     grams = F.when(
         F.size(ts) >= 2,
@@ -1024,19 +1041,33 @@ def cms_heavy_hitters(df: DataFrame, d: int = 4, w: int = 256,
                                F.element_at(ts, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tok = df.select(F.explode(grams).alias("term"))
-    tc = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
-    buckets = F.array(*[
+    return df.select(F.explode(grams).alias("term"))
+
+
+def cms_bucket_array(d: int, w: int) -> Column:
+    """The ``d`` CMS bucket hashes of the ``term`` column as an array —
+    md5 of ``'{i}:' || term`` % w, the engine's cross-engine hash
+    identity (DuckDB replays it verbatim in the oracles)."""
+    return F.array(*[
         (F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("term"))),
                         1, 15), 16, 10).cast("bigint") % F.lit(w)
         ) for i in range(d)
     ])
+
+
+def cms_report(tc: DataFrame, sk: DataFrame, d: int, w: int,
+               threshold_permille: int) -> DataFrame:
+    """The CMS heavy-hitter report tail shared by the batch operator
+    and the streaming merge drain: min-of-d sketch lookup per distinct
+    term, estimate threshold, exact companion and bound audit.
+    ``tc`` = (term, exact_count); ``sk`` = (i, b, cms) sketch counters
+    — from one aggregation (batch) or summed micro-batch partials
+    (streaming; CMS is linear, so the merge is exact)."""
     hb = tc.select(
         "term", "exact_count",
-        F.posexplode(buckets).alias("i", "b"),
+        F.posexplode(cms_bucket_array(d, w)).alias("i", "b"),
     )
-    sk = hb.groupBy("i", "b").agg(F.sum("exact_count").alias("cms"))
     est = (
         hb.join(F.broadcast(sk), ["i", "b"])
         .groupBy("term")

@@ -231,6 +231,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_temperature_resample",
     "ana_join_key_skew",
     "stream_scd2_apply",
+    "stream_heavy_hitters",
 )
 
 

@@ -891,3 +891,104 @@ def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return state_box[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _register_stream_heavy_hitters() -> None:
+    """Registered via a helper so the oracle can be imported from
+    queries_llm AFTER that module is loaded (same SQL string verbatim:
+    the streaming drain must converge to the batch CMS answer — the
+    stream_events_hourly / stream_incremental_dedup contract)."""
+    from .queries_llm import _CMS_ORACLE_SQL
+
+    @register(
+        "stream_heavy_hitters",
+        _CMS_ORACLE_SQL,
+        doc="STREAMING count-min heavy hitters: the corpus arrives as "
+            "a 3-file stream (maxFilesPerTrigger=1), each micro-batch "
+            "builds its partial d*w sketch DIRECTLY off its bigram "
+            "stream (no per-term counting — the true streaming-CMS "
+            "update) and the driver merges partials by plain addition: "
+            "CMS is LINEAR, so the merged sketch is bit-equal to the "
+            "batch sketch and the drained report hash-matches the "
+            "batch llm_heavy_hitters_cms oracle verbatim. The exact-"
+            "companion columns come from one batch read after the "
+            "drain (the audit anchor, exactly what a nightly "
+            "reconciliation job does); the 1024-int sketch state is "
+            "the only thing that crosses micro-batches — the "
+            "mergeable-sketch property that makes CMS the streaming "
+            "frequency primitive",
+        tags=("streaming", "sketch", "frequency", "incremental"),
+    )
+    def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators import text as tx
+        from ..sources.parquet import load_table
+
+        d, w = 4, 256
+        table = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        tmp = tempfile.mkdtemp(prefix="cmsstream_")
+        try:
+            now = int(_time.time())
+            doc_mod = table.column("doc_id").to_numpy() % 3
+            for k in range(3):
+                part = table.filter(pa.array(doc_mod == k))
+                path = os.path.join(tmp, f"part{k}.parquet")
+                pq.write_table(part, path)
+                os.utime(path, (now - 90 + 30 * k, now - 90 + 30 * k))
+
+            acc: dict[tuple[int, int], int] = {}
+            n_batches = [0]
+
+            def handle(batch_df: DataFrame, batch_id: int) -> None:
+                n_batches[0] += 1
+                part_sk = (
+                    tx.bigram_terms(batch_df, "text")
+                    .select(
+                        F.posexplode(tx.cms_bucket_array(d, w)).alias("i", "b")
+                    )
+                    .groupBy("i", "b")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                )
+                for r in part_sk.collect():  # <= d*w = 1024 rows per batch
+                    key = (r["i"], r["b"])
+                    acc[key] = acc.get(key, 0) + r["c"]
+
+            with _capped_state_partitions(spark, 8):
+                q = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(tmp)
+                    .writeStream.foreachBatch(handle)
+                    .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            assert n_batches[0] == 3, f"expected 3 micro-batches, got {n_batches[0]}"
+
+            sk = spark.createDataFrame(
+                [(i, b, c) for (i, b), c in sorted(acc.items())],
+                "i int, b bigint, cms long",
+            )
+            tc = (
+                tx.bigram_terms(
+                    load_table(spark, sf_dir, "documents"), "text"
+                )
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("exact_count"))
+            )
+            return tx.cms_report(tc, sk, d, w, threshold_permille=1)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+_register_stream_heavy_hitters()
