@@ -484,6 +484,32 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     timed("kmeans_profile_1x", lambda: _kmeans_profile(emb_1x))
     timed(f"kmeans_profile_{factor}x", lambda: _kmeans_profile(emb_nx))
 
+    # round-10 continuation operators: CMS is one map-side-combined
+    # count shuffle + vocabulary-sized tail (near-linear in tokens);
+    # prototype pruning follows the SemDeDup k∝n centroid policy (one
+    # Arrow assignment pass + a narrow rank window, no pair term at
+    # all); the temperature resample's cost is the per-source rank
+    # window over narrow (id, source) rows
+    timed("cms_heavy_hitters_1x",
+          lambda: text_ops.cms_heavy_hitters(docs_1x))
+    timed(f"cms_heavy_hitters_{factor}x",
+          lambda: text_ops.cms_heavy_hitters(docs_nx))
+    timed("prototype_pruning_1x",
+          lambda: similarity.prototype_pruning(emb_1x, n_centroids=16))
+    timed(f"prototype_pruning_{factor}x",
+          lambda: similarity.prototype_pruning(emb_nx,
+                                               n_centroids=16 * factor))
+    def _with_source(df):
+        # replicas carry only (doc_id, text); derive a 10-source mix
+        return df.withColumn(
+            "source", F.concat(F.lit("src"), (F.col("doc_id") % 10))
+        )
+
+    timed("temperature_resample_1x",
+          lambda: text_ops.temperature_resample(_with_source(docs_1x)))
+    timed(f"temperature_resample_{factor}x",
+          lambda: text_ops.temperature_resample(_with_source(docs_nx)))
+
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()
 
