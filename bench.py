@@ -145,6 +145,9 @@ BENCH_QUERIES = (
     "ana_join_key_skew",
     "stream_scd2_apply",
     "stream_heavy_hitters",
+    "llm_shard_assignment",
+    "llm_ngram_novelty",
+    "ana_skyline_suppliers",
 )
 
 

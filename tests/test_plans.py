@@ -485,3 +485,26 @@ def test_round10_continuation_plan_shapes_2(spark):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_round10_tail_plan_shapes(spark):
+    # shard assignment: exactly ONE exchange (hash by shard) feeds the
+    # rank window — never a global single-partition sort, no join
+    plan = plan_of(CATALOG["llm_shard_assignment"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 1  # detail-section operator ids
+    assert "Window" in plan
+
+    # n-gram novelty: first-occurrence attribution is a min-window BY
+    # HASH — no self-join of the pairs relation anywhere
+    plan = plan_of(CATALOG["llm_ngram_novelty"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+
+    # skyline: Arrow local prune + final sweep (two MapInPandas), the
+    # supplier dim broadcast; no sort-merge exchange, no dominance
+    # cartesian — the O(n^2) form lives only in the oracle
+    plan = plan_of(CATALOG["ana_skyline_suppliers"].build(spark, SF_SMOKE))
+    assert plan.count(") MapInPandas") == 2  # detail-section operator ids
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

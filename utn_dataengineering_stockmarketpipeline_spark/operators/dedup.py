@@ -268,6 +268,44 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_novelty(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: ``(id, n_grams, novel_grams,
+    novelty)`` where ``novel_grams`` counts the doc's DISTINCT k-gram
+    hashes first seen in this document (global min id over the gram)
+    and ``novelty = novel_grams / n_grams``.
+
+    Curation signal: low-novelty documents are re-hashes of earlier
+    corpus content even when no single document is a near-duplicate —
+    the ordering-aware complement of pairwise dedup (a doc stitched
+    from ten earlier docs has high max-Jaccard ~0.1 but novelty ~0).
+    Id order stands in for ingest order, so the score is deterministic
+    and incremental: appending documents never changes earlier scores.
+
+    Scale: three narrow shuffles over 8-byte gram hashes — distinct
+    (id, h) pairs, a min-window partitioned BY HASH (first-occurrence
+    attribution; no self-join back to the pairs), and the per-doc
+    count aggregation. Nothing is quadratic and no stage is
+    single-partition; the novelty ratio is a division of exact ints so
+    the DuckDB oracle matches bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    pairs = shingle_hash_rows(df, text_col, id_col, k).select(id_col, "h").distinct()
+    first = F.min(id_col).over(Window.partitionBy("h"))
+    return (
+        pairs.withColumn("first_id", first)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_id") == F.col(id_col), 1).otherwise(0)
+            ).alias("novel_grams"),
+        )
+        .withColumn("novelty", F.col("novel_grams") / F.col("n_grams"))
+    )
+
+
 def simhash_values(df: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", bits: int = 16) -> DataFrame:
     """(id, simhash): Charikar fingerprint via explode → bit-vote sums.

@@ -647,6 +647,37 @@ def train_val_test_split(df: DataFrame, id_col: str = "doc_id",
     return df.withColumn("split", split)
 
 
+def shard_assignment(df: DataFrame, n_shards: int = 8,
+                     seed: str = "shard-42",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global training shuffle: ``(id, shard, position)``.
+
+    Training jobs need the corpus in a reproducible pseudo-random order,
+    materialized as N shard files each internally ordered — no engine
+    ``rand()``, no ``zipWithIndex``. The shuffle key is the 60-bit md5
+    of ``seed:id`` (stable across runs, engines, and cluster sizes);
+    ``shard = key mod N`` and ``position = row_number`` within the
+    shard ordered by ``(key, id)`` (the id tiebreak makes the order
+    total even on the measure-zero chance of a 60-bit collision).
+
+    Scale: one shuffle, partitioned BY SHARD — the window is
+    ``partitionBy(shard)``, never a global sort. Parallelism equals
+    n_shards, so production sets n_shards ≫ executors (1024+ shards
+    for a 100 TB corpus ≈ 100 GB each); the per-shard sort is Spark's
+    spillable external sort. Downstream writers emit one file per
+    shard partition (``repartition(shard).sortWithinPartitions``).
+    """
+    from ..functions.hashing import md5_prefix64
+
+    key = md5_prefix64(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return (
+        df.select(F.col(id_col), key.alias("shuffle_key"))
+        .withColumn("shard", F.col("shuffle_key") % F.lit(n_shards))
+        .withColumn("position", F.row_number().over(w).cast("bigint"))
+    )
+
+
 def vocabulary(df: DataFrame, text_col: str = "text",
                min_count: int = 1) -> DataFrame:
     """Frequency-ranked term vocabulary: ``(term, term_id, count)``

@@ -232,6 +232,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_join_key_skew",
     "stream_scd2_apply",
     "stream_heavy_hitters",
+    "llm_shard_assignment",
+    "llm_ngram_novelty",
+    "ana_skyline_suppliers",
 )
 
 

@@ -1654,3 +1654,45 @@ def q_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew.key_skew_profile(
         load_table(spark, sf_dir, "events"), key="user_id", top_k=10
     )
+
+
+@register(
+    "ana_skyline_suppliers",
+    """
+WITH m AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+              AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY l_suppkey),
+j AS (
+  SELECT s_suppkey, s_name, revenue, s_acctbal
+  FROM m JOIN supplier ON l_suppkey = s_suppkey)
+SELECT s_suppkey, s_name, revenue, s_acctbal FROM j a
+WHERE NOT EXISTS (
+  SELECT 1 FROM j b
+  WHERE b.revenue >= a.revenue AND b.s_acctbal >= a.s_acctbal
+    AND (b.revenue > a.revenue OR b.s_acctbal > a.s_acctbal))
+""",
+    doc="supplier Pareto front maximizing (revenue, acctbal) via the "
+        "two-stage distributed skyline (operators/skyline.py): exact "
+        "per-partition fronts in one zero-shuffle Arrow sweep collapse "
+        "the input to a tiny candidate set, then one identical sweep "
+        "over the centralized candidates (single-partition exchange of "
+        "the PRUNED set only). The oracle is the O(n^2) NOT "
+        "EXISTS dominance form the distributed plan replaces; decimal "
+        "revenue sums keep the dominance comparisons engine-exact",
+    tags=("analytics", "skyline", "scale"),
+)
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    m = li.groupBy("l_suppkey").agg(F.sum(rev).cast("double").alias("revenue"))
+    j = m.join(F.broadcast(s), m["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey", "s_name", "revenue", "s_acctbal"
+    )
+    return skyline_2d(j, "revenue", "s_acctbal")

@@ -3082,3 +3082,61 @@ FROM rk
 )
 def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.temperature_resample(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_shard_assignment",
+    """
+WITH k AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shard-42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shuffle_key % 8
+         ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+FROM k
+""",
+    doc="deterministic global training shuffle (text.shard_assignment): "
+        "shard = md5(seed:id) mod N, position = rank within the shard — "
+        "the reproducible corpus-ordering step every training job needs, "
+        "with no engine rand() and no zipWithIndex. The window is "
+        "partitioned BY SHARD so there is never a global sort; at 100 TB "
+        "n_shards is set >> executors (1024+) and the per-shard rank is "
+        "Spark's spillable external sort, one file per shard on write",
+    tags=("llm", "sampling", "shuffle"),
+)
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.shard_assignment(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_ngram_novelty",
+    f"""
+WITH {_HS_CTES.strip()},
+pairs AS (
+  SELECT DISTINCT doc_id, h
+  FROM (SELECT doc_id, unnest(hs) AS h FROM hsh)),
+attr AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS first_id FROM pairs)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_grams,
+       CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM attr GROUP BY doc_id
+""",
+    doc="per-document n-gram novelty (dedup.ngram_novelty): fraction of "
+        "the doc's distinct 3-gram hashes first seen in THIS doc (global "
+        "min id per gram) — catches corpus re-hash content pairwise "
+        "dedup can't (a doc stitched from ten earlier docs has max "
+        "Jaccard ~0.1 but novelty ~0), and is append-incremental: new "
+        "docs never change earlier scores. Three narrow int shuffles "
+        "(distinct pairs, min-window BY HASH, per-doc agg); novelty is "
+        "exact-int division so the oracle matches bit-for-bit",
+    tags=("llm", "dedup", "quality"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_novelty(load_table(spark, sf_dir, "documents"))
