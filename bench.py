@@ -148,6 +148,8 @@ BENCH_QUERIES = (
     "llm_shard_assignment",
     "llm_ngram_novelty",
     "ana_skyline_suppliers",
+    "ana_ks_drift",
+    "llm_token_fertility",
 )
 
 
@@ -512,6 +514,37 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
           lambda: text_ops.temperature_resample(_with_source(docs_1x)))
     timed(f"temperature_resample_{factor}x",
           lambda: text_ops.temperature_resample(_with_source(docs_nx)))
+
+    # round-10 tail: shard assignment is a pure map + shard-partitioned
+    # rank (expect ~linear); novelty is three narrow int shuffles
+    # (expect ~linear); the skyline's two-stage prune should stay
+    # near-FLAT in the final stage — candidates are O(partitions x
+    # per-partition front), not O(n) — so wall tracks the scan
+    timed("shard_assignment_1x", lambda: text_ops.shard_assignment(docs_1x))
+    timed(f"shard_assignment_{factor}x",
+          lambda: text_ops.shard_assignment(docs_nx))
+    timed("ngram_novelty_1x", lambda: dedup.ngram_novelty(docs_1x))
+    timed(f"ngram_novelty_{factor}x", lambda: dedup.ngram_novelty(docs_nx))
+
+    from utn_dataengineering_stockmarketpipeline_spark.functions.hashing import (
+        md5_prefix64,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    def _points(docs):
+        # independent-ish dims -> expected front O(log n): the shape
+        # the local prune is designed for
+        return docs.select(
+            "doc_id",
+            F.length("text").cast("double").alias("x"),
+            (md5_prefix64(F.col("doc_id").cast("string")) % 1000000)
+            .cast("double").alias("y"),
+        )
+
+    timed("skyline_1x", lambda: skyline_2d(_points(docs_1x), "x", "y"))
+    timed(f"skyline_{factor}x", lambda: skyline_2d(_points(docs_nx), "x", "y"))
 
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()

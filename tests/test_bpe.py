@@ -85,3 +85,28 @@ def test_symbol_collision_raises(spark):
 
     with pytest.raises(ValueError, match="collides"):
         text.train_bpe(docs, n_merges=2)
+
+
+def test_token_fertility_aggregates_doc_stats(spark):
+    """llm_token_fertility is exactly the per-language aggregate of
+    bpe_token_stats, and fertility >= 1 (every word is >= 1 subword)."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+    from utn_dataengineering_stockmarketpipeline_spark.operators import text
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.lang: r for r in CATALOG["llm_token_fertility"].build(spark, sf).collect()}
+    stats = text.bpe_token_stats(load_table(spark, sf, "documents")).collect()
+    agg: dict[str, list[int]] = {}
+    for r in stats:
+        a = agg.setdefault(r.lang, [0, 0, 0])
+        a[0] += 1
+        a[1] += r.ws_tokens
+        a[2] += r.bpe_tokens
+    assert set(got) == set(agg)
+    for lang, (n, ws, bpe) in agg.items():
+        r = got[lang]
+        assert (r.n_docs, r.ws_tokens, r.bpe_tokens) == (n, ws, bpe)
+        assert r.fertility >= 1.0

@@ -508,3 +508,21 @@ def test_round10_tail_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks_drift_reuses_the_counts_exchange(spark):
+    # ks_drift derives groups/values/total AND the join probe from ONE
+    # per-(group, value) counts relation; the explicit null filter
+    # keeps all four consumer branches canonically identical so the
+    # runtime plan reuses the single counts exchange instead of
+    # re-running the corpus scan+agg per consumer (visible only in the
+    # EXECUTED plan — AQE materializes reuse at runtime)
+    df = CATALOG["ana_ks_drift"].build(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 3
+
+    # fertility: one scan, one map-side-combined aggregation — nothing else
+    plan = plan_of(CATALOG["llm_token_fertility"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count(") Exchange") == 1

@@ -121,3 +121,40 @@ def test_oracle_mirrors_default_bucket_cap():
         sql = CATALOG[name].oracle
         assert f"<= {dedup.DEFAULT_MAX_BUCKET_SIZE}" in sql, name
         assert "QUALIFY COUNT(*) OVER (PARTITION BY band, bucket)" in sql, name
+
+
+def test_ks_drift_planted_shift(spark):
+    """Group 'b' is a pure location shift of 'a'; group 'c' equals the
+    pooled rest — KS must rank b's drift high and c's low, and the
+    statistic must equal the brute-force two-sample definition."""
+    rows = (
+        [("a", v) for v in (1, 1, 2, 2, 3)]
+        + [("b", v) for v in (8, 8, 9, 9, 10)]
+        + [("c", v) for v in (1, 2, 3, 8, 9, 10)]
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import ks_drift
+
+    got = {r.source: r for r in ks_drift(df, "n_chars", "source").collect()}
+
+    def brute(g):
+        gv = sorted(v for s, v in rows if s == g)
+        rv = sorted(v for s, v in rows if s != g)
+        vals = sorted({v for _, v in rows})
+        return max(
+            abs(
+                sum(1 for x in gv if x <= t) * len(rv)
+                - sum(1 for x in rv if x <= t) * len(gv)
+            )
+            for t in vals
+        ) / (len(gv) * len(rv))
+
+    for g in ("a", "b", "c"):
+        assert abs(float(got[g].ks) - brute(g)) < 5e-7  # ks is round(.,6)
+        assert int(got[g].ks_num) == round(
+            brute(g) * got[g].n_docs * (len(rows) - got[g].n_docs)
+        )
+    # a and b are mirror images around the pool -> equal drift; c is
+    # drawn from the pooled rest -> low drift
+    assert got["b"].ks == got["a"].ks > got["c"].ks
+    assert float(got["c"].ks) < 0.2

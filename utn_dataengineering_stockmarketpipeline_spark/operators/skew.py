@@ -138,3 +138,80 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
             F.round(F.col("cnt") / F.col("p50_cnt"), 6).alias("ratio_to_p50"),
         )
     )
+
+
+def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift per group: for every
+    group g, ``ks = max over values v of |CDF_g(v) - CDF_rest(v)|``
+    against the REST of the corpus — ``(group, n_docs, ks_num, ks)``.
+
+    The data-quality monitor run per ingest source: a source whose
+    value distribution (document length, quality score, ...) drifts
+    from the corpus is the one to quarantine before it skews training.
+    Exact, not sampled: the statistic is computed as the integer
+    ``max |cum_g * n_rest - cum_rest * n_g|`` (DECIMAL(38,0) products
+    — two 1e11-row corpora would overflow int64) with ONE double
+    division at the end, so the DuckDB oracle matches bit-for-bit.
+
+    Scale: per-(group, value) counts are one map-side-combined shuffle;
+    everything after runs on the counts GRID — |groups| x |distinct
+    values|, bounded by the VALUE DOMAIN (the counts-of-counts
+    observation), never the corpus. The only unpartitioned window
+    cumulates the distinct-values relation; per-group CDFs ride a
+    window partitioned by group.
+    """
+    from pyspark.sql import Window
+
+    # Explicit null exclusion does double duty: it defines the op over
+    # non-null (group, value) rows, and it makes every consumer branch
+    # canonically IDENTICAL — the left join below pushes isnotnull
+    # filters into its build side, and without this filter those
+    # filtered branches would not match the groups/vals/tot branches,
+    # defeating Spark's exchange reuse (one counts shuffle feeds all
+    # four consumers instead of four scan+agg re-runs).
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        counts.groupBy(value_col)
+        .agg(F.sum("c").alias("v_cnt"))
+        .withColumn("cum_all", F.sum("v_cnt").over(w_all))
+    )
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    grid = (
+        groups.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vals))
+        .join(counts, [group_col, value_col], "left")
+        .withColumn("g_c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_g = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(19,0)"
+    cum_g = F.sum("g_c").over(w_g)
+    diff = F.abs(
+        cum_g.cast(dec) * (F.col("n") - F.col("n_g")).cast(dec)
+        - (F.col("cum_all") - cum_g).cast(dec) * F.col("n_g").cast(dec)
+    )
+    return (
+        grid.select(group_col, "n_g", "n", diff.alias("d"))
+        .groupBy(group_col, "n_g", "n")
+        .agg(F.max("d").alias("ks_num"))
+        .select(
+            group_col,
+            F.col("n_g").alias("n_docs"),
+            "ks_num",
+            F.round(
+                F.col("ks_num").cast("double")
+                / (
+                    F.col("n_g").cast("double")
+                    * (F.col("n") - F.col("n_g")).cast("double")
+                ),
+                6,
+            ).alias("ks"),
+        )
+    )

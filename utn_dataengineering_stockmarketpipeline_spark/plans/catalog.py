@@ -235,6 +235,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_shard_assignment",
     "llm_ngram_novelty",
     "ana_skyline_suppliers",
+    "ana_ks_drift",
+    "llm_token_fertility",
 )
 
 

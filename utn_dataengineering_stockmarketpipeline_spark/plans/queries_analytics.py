@@ -1696,3 +1696,54 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "revenue", "s_acctbal"
     )
     return skyline_2d(j, "revenue", "s_acctbal")
+
+
+@register(
+    "ana_ks_drift",
+    """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vcum AS (
+  SELECT v, v_cnt, CAST(SUM(v_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+cums AS (
+  SELECT g.source, g.n_g, t.n, vc.cum_all,
+         CAST(SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY vc.v) AS BIGINT) AS cum_g
+  FROM grp g CROSS JOIN tot t CROSS JOIN vcum vc
+  LEFT JOIN counts c ON c.source = g.source AND c.v = vc.v),
+diffs AS (
+  SELECT source, n_g, n,
+         ABS(CAST(cum_g AS DECIMAL(19,0)) * CAST(n - n_g AS DECIMAL(19,0))
+           - CAST(cum_all - cum_g AS DECIMAL(19,0))
+             * CAST(n_g AS DECIMAL(19,0))) AS d
+  FROM cums)
+SELECT source, n_g AS n_docs, MAX(d) AS ks_num,
+       round(CAST(MAX(d) AS DOUBLE)
+             / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE)), 6) AS ks
+FROM diffs GROUP BY source, n_g, n
+""",
+    doc="per-source exact two-sample Kolmogorov-Smirnov drift of the "
+        "document-length distribution vs the REST of the corpus "
+        "(skew.ks_drift) — the ingest-quality monitor that flags which "
+        "source to quarantine before it skews training. Integer "
+        "statistic (max |cum_g*n_rest - cum_rest*n_g|, DECIMAL(38,0) "
+        "products for 1e11-row honesty) with ONE final double division; "
+        "everything past the one count shuffle runs on the |sources| x "
+        "|distinct values| grid — bounded by the VALUE DOMAIN, never "
+        "the corpus; the only unpartitioned window cumulates the tiny "
+        "distinct-values relation",
+    tags=("analytics", "drift", "quality", "scale"),
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.ks_drift(
+        load_table(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )

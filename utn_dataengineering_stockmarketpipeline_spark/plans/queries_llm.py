@@ -3140,3 +3140,42 @@ FROM attr GROUP BY doc_id
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_fertility",
+    f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len({_TOKS})) AS BIGINT) AS ws_tokens,
+       CAST(SUM(list_sum(list_transform({_TOKS},
+                                        w -> {_bpe_len_sql('w')})))
+            AS BIGINT) AS bpe_tokens,
+       round(CAST(SUM(list_sum(list_transform({_TOKS},
+                                              w -> {_bpe_len_sql('w')})))
+                  AS DOUBLE)
+             / CAST(SUM(len({_TOKS})) AS BIGINT), 6) AS fertility
+FROM documents GROUP BY lang
+""",
+    doc="per-language tokenizer fertility (BPE subwords per whitespace "
+        "word) — the multilingual-curation metric that decides whether "
+        "a tokenizer taxes some languages with longer sequences (and "
+        "therefore smaller effective context) than others; composes "
+        "text.bpe_token_stats' zero-shuffle codegen encode with one "
+        "|langs|-row aggregate. Exact BIGINT sums, one final 6dp "
+        "division",
+    tags=("llm", "text", "bpe", "tokenizer"),
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text.bpe_token_stats(load_table(spark, sf_dir, "documents"))
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("ws_tokens"),
+            F.sum("bpe_tokens").alias("bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6),
+        )
+    )
