@@ -546,6 +546,22 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     timed("skyline_1x", lambda: skyline_2d(_points(docs_1x), "x", "y"))
     timed(f"skyline_{factor}x", lambda: skyline_2d(_points(docs_nx), "x", "y"))
 
+    # KS drift: one counts shuffle, then grid work bounded by the VALUE
+    # DOMAIN (|sources| x |distinct lengths| is the same at 1x and 10x)
+    # -> wall should track the scan, near-flat past it
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+
+    def _sourced(docs):
+        return docs.select(
+            F.length("text").alias("n_chars"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 10)).alias("source"),
+        )
+
+    timed("ks_drift_1x",
+          lambda: skew.ks_drift(_sourced(docs_1x), "n_chars", "source"))
+    timed(f"ks_drift_{factor}x",
+          lambda: skew.ks_drift(_sourced(docs_nx), "n_chars", "source"))
+
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()
 

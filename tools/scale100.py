@@ -92,6 +92,43 @@ def main() -> None:
     pair("bpe_encode",
          lambda: text_ops.bpe_token_stats(docs_1x),
          lambda: text_ops.bpe_token_stats(docs_nx))
+    # r10 tail: shard assignment (map + shard-partitioned rank — the
+    # per-shard sort is the only super-linear term), KS drift (grid
+    # bounded by the VALUE DOMAIN — identical at 1x and 100x, so wall
+    # tracks the count scan), 2-D skyline (candidates stay O(log n)
+    # per partition)
+    pair("shard_assignment",
+         lambda: text_ops.shard_assignment(docs_1x),
+         lambda: text_ops.shard_assignment(docs_nx))
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skyline import (
+        skyline_2d,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.functions.hashing import (
+        md5_prefix64,
+    )
+
+    def _sourced(docs):
+        return docs.select(
+            F.length("text").alias("n_chars"),
+            F.concat(F.lit("src"), (F.col("doc_id") % 10)).alias("source"),
+        )
+
+    pair("ks_drift",
+         lambda: skew.ks_drift(_sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.ks_drift(_sourced(docs_nx), "n_chars", "source"))
+
+    def _points(docs):
+        return docs.select(
+            "doc_id",
+            F.length("text").cast("double").alias("x"),
+            (md5_prefix64(F.col("doc_id").cast("string")) % 1000000)
+            .cast("double").alias("y"),
+        )
+
+    pair("skyline",
+         lambda: skyline_2d(_points(docs_1x), "x", "y"),
+         lambda: skyline_2d(_points(docs_nx), "x", "y"))
     for df in (docs_1x, docs_nx):
         df.unpersist()
 
@@ -108,6 +145,12 @@ def main() -> None:
     pair("minhash_pipeline_scrambled",
          lambda: dedup.minhash_candidates(sc_1x),
          lambda: dedup.minhash_candidates(sc_nx))
+    # r10 tail: novelty on SCRAMBLED replicas so the distinct-gram set
+    # genuinely grows 100x (exact copies would reuse the 1x gram set
+    # and understate the min-window shuffle)
+    pair("ngram_novelty",
+         lambda: dedup.ngram_novelty(sc_1x),
+         lambda: dedup.ngram_novelty(sc_nx))
 
     def _assets(docs):
         return multimodal.synthetic_assets(
