@@ -150,3 +150,57 @@ def test_training_shards_max_records_splits_but_preserves_content(
     assert all(pq.read_metadata(f).num_rows <= 5 for f in files)
     back = spark.read.parquet(out)
     assert back.count() == docs.count()
+
+
+def test_training_shards_seeded_shuffle_matches_shard_assignment(
+    spark, tmp_path
+):
+    """shuffle_seed export: in-file order IS text.shard_assignment's
+    (key, id) order, reruns are byte-identical, a new seed permutes."""
+    from pathlib import Path
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import text
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = str(tmp_path / "shuffled")
+    write_training_shards(docs, out, n_shards=4, shuffle_seed="epoch-0")
+
+    expect: dict[int, list[int]] = {}
+    for r in sorted(
+        text.shard_assignment(docs, n_shards=4, seed="epoch-0").collect(),
+        key=lambda r: (r.shard, r.position),
+    ):
+        expect.setdefault(r.shard, []).append(r.doc_id)
+    for s, ids in expect.items():
+        pdf = (
+            spark.read.parquet(str(Path(out) / f"shard={s}"))
+            .select("doc_id")
+            .toPandas()
+        )
+        assert list(pdf["doc_id"]) == ids  # file order = assignment order
+    # the key column itself must not leak into the files
+    assert "__k" not in spark.read.parquet(out).columns
+
+    out_rerun = str(tmp_path / "shuffled_rerun")
+    write_training_shards(
+        docs.repartition(7), out_rerun, n_shards=4, shuffle_seed="epoch-0"
+    )
+    for s in expect:
+        a = spark.read.parquet(str(Path(out) / f"shard={s}")).select("doc_id").toPandas()
+        b = spark.read.parquet(str(Path(out_rerun) / f"shard={s}")).select("doc_id").toPandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+
+    out_e1 = str(tmp_path / "epoch1")
+    write_training_shards(docs, out_e1, n_shards=4, shuffle_seed="epoch-1")
+    flat0 = [i for s in sorted(expect) for i in expect[s]]
+    flat1 = [
+        r.doc_id
+        for s in sorted(expect)
+        for r in spark.read.parquet(str(Path(out_e1) / f"shard={s}"))
+        .select("doc_id").collect()
+    ]
+    assert sorted(flat0) == sorted(flat1)  # same corpus
+    assert flat0 != flat1  # different epoch permutation

@@ -568,3 +568,75 @@ def test_embedding_outliers_match_integer_bruteforce(spark, rows):
         for rank, i in enumerate(ranked, start=1):
             want[(lab, rank)] = i
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    parts=st.integers(min_value=1, max_value=5),
+)
+@SLOW
+def test_skyline_matches_dominance_bruteforce(spark, pts, parts):
+    """skyline_2d == the O(n²) dominance definition, for any point
+    multiset (heavy coordinate ties by construction: values in [0,8])
+    and any partitioning."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(
+        rows, "id long, x double, y double"
+    ).repartition(parts)
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    brute = sorted(
+        i
+        for i, x, y in rows
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y) for _, bx, by in rows
+        )
+    )
+    assert got == brute
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=30,
+    ).filter(lambda rs: len({g for g, _ in rs}) >= 2),
+)
+@SLOW
+def test_ks_drift_matches_two_sample_definition(spark, rows):
+    """ks_drift == the textbook sup-norm two-sample statistic for every
+    group-vs-rest split of any value multiset."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        ks_drift,
+    )
+
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r.source: r for r in ks_drift(df, "n_chars", "source").collect()}
+    vals = sorted({v for _, v in rows})
+    for g in {s for s, _ in rows}:
+        gv = [v for s, v in rows if s == g]
+        rv = [v for s, v in rows if s != g]
+        if not rv:
+            continue  # single-group split: n_rest = 0, ks undefined
+        num = max(
+            abs(
+                sum(1 for x in gv if x <= t) * len(rv)
+                - sum(1 for x in rv if x <= t) * len(gv)
+            )
+            for t in vals
+        )
+        assert int(got[g].ks_num) == num
+        assert abs(float(got[g].ks) - num / (len(gv) * len(rv))) < 5e-7

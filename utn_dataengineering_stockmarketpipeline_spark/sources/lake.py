@@ -117,6 +117,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     sort_col: str | None = None,
     max_records_per_file: int | None = None,
+    shuffle_seed: str | None = None,
 ) -> DataFrame:
     """Export a curated corpus as TRAINING SHARDS — the end of the
     pipeline: the file layout a data-loader actually consumes.
@@ -143,15 +144,38 @@ def write_training_shards(
     could disagree with the files if any upstream stage is
     nondeterministic). Callers persist it next to the shards.
 
+    ``shuffle_seed`` switches the layout from content-addressed to the
+    SEEDED TRAINING SHUFFLE (operators/text.shard_assignment): shard
+    and in-file order both derive from md5(seed:id), so the export IS
+    the reproducible pseudo-random corpus order a training job reads
+    sequentially — same seed → byte-identical layout, new seed → a
+    fresh epoch permutation with no extra pass. The content-addressed
+    default stays right for checkpoint-stable incremental re-exports
+    (membership survives corpus growth; the seeded order deliberately
+    does not — reshuffling is its purpose).
+
     100 TB: one full shuffle (the export's unavoidable cost), then
     map-side sorted writes; the manifest is one scan of the output's
     shard column (parquet prunes everything else).
     """
-    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
-    sharded = df.withColumn("shard", shard)
+    if shuffle_seed is not None:
+        from ..functions.hashing import md5_prefix64
+
+        key = md5_prefix64(
+            F.concat(F.lit(f"{shuffle_seed}:"), F.col(id_col).cast("string"))
+        )
+        sharded = df.withColumn("__k", key).withColumn(
+            "shard", (F.col("__k") % F.lit(n_shards)).cast("int")
+        )
+        order: list = ["shard", "__k", id_col]
+    else:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+        sharded = df.withColumn("shard", shard)
+        order = ["shard", sort_col or id_col]
     writer = (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", sort_col or id_col)
+        .sortWithinPartitions(*order)
+        .drop("__k")
         .write.mode("overwrite")
         .partitionBy("shard")
     )
