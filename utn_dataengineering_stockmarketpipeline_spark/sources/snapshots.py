@@ -1,0 +1,168 @@
+"""Versioned dataset snapshots on plain parquet — publish / read /
+rollback / vacuum.
+
+Training corpora ship as RELEASES: v7 trains a model, v8 adds a crawl,
+and when v8 turns out contaminated the pipeline must serve v7 again
+five minutes later. Table formats solve this with ACID logs; this
+module provides the honest plain-parquet subset that needs no extra
+dependency, built on ONE primitive every Hadoop-compatible filesystem
+gives atomically: file CREATE.
+
+Layout:  <root>/v=<n>/...parquet        (immutable once committed)
+         <root>/v=<n>/_COMMITTED       (marker, created LAST)
+         <root>/v=<n>/_ROLLED_BACK     (tombstone, beats the marker)
+
+Commit protocol: data writes go to a brand-new ``v=<n>`` directory
+(never touching published versions), then the empty ``_COMMITTED``
+marker is created as the final act. Readers resolve "current" as the
+highest version whose marker exists without a tombstone, so a crashed
+or in-flight publish is simply invisible — no pointer file to swap, no
+rename-overwrite races, no window where readers see partial data.
+Rollback CREATES a tombstone (again a bare atomic create) rather than
+deleting anything; the bad version stays on disk for forensics until
+``vacuum`` reclaims it. Version numbers never reuse a directory —
+``publish`` always allocates max(existing)+1, tombstoned or not.
+
+Concurrency contract: single writer (the pipeline scheduler), any
+number of readers — the lake reality these jobs run under. Two racing
+writers could allocate the same version; a real deployment serializes
+publishes (or moves to a table format), and the docstring says so
+rather than pretending otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VDIR = re.compile(r"^v=(\d+)$")
+
+
+def _fs(spark: SparkSession, root: str):
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    return jvm, path.getFileSystem(spark._jsc.hadoopConfiguration()), path
+
+
+def _versions(spark: SparkSession, root: str) -> dict[int, dict]:
+    """All version dirs under root: {n: {"committed": bool,
+    "rolled_back": bool, "path": str}}."""
+    jvm, fs, p_root = _fs(spark, root)
+    out: dict[int, dict] = {}
+    if not fs.exists(p_root):
+        return out
+    for status in fs.listStatus(p_root):
+        name = status.getPath().getName()
+        m = _VDIR.match(name)
+        if not m or not status.isDirectory():
+            continue
+        vpath = status.getPath()
+        out[int(m.group(1))] = {
+            "path": str(vpath),
+            "committed": fs.exists(
+                jvm.org.apache.hadoop.fs.Path(vpath, "_COMMITTED")
+            ),
+            "rolled_back": fs.exists(
+                jvm.org.apache.hadoop.fs.Path(vpath, "_ROLLED_BACK")
+            ),
+        }
+    return out
+
+
+def snapshot_versions(spark: SparkSession, root: str) -> list[dict]:
+    """Version inventory, ascending: [{version, committed, rolled_back,
+    is_current, path}]. Cheap — pure directory metadata, no data scan."""
+    vs = _versions(spark, root)
+    cur = current_version(spark, root)
+    return [
+        {"version": n, "is_current": n == cur, **vs[n]} for n in sorted(vs)
+    ]
+
+
+def current_version(spark: SparkSession, root: str) -> int | None:
+    """Highest committed, non-tombstoned version; None if nothing is
+    published."""
+    live = [
+        n
+        for n, v in _versions(spark, root).items()
+        if v["committed"] and not v["rolled_back"]
+    ]
+    return max(live) if live else None
+
+
+def publish_snapshot(
+    df: DataFrame,
+    root: str,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Write ``df`` as the next snapshot version and commit it; returns
+    the version number. The new version is invisible to readers until
+    the final marker create, so a mid-write crash leaves the table
+    exactly as it was (vacuum reclaims the orphan directory later)."""
+    spark = df.sparkSession
+    vs = _versions(spark, root)
+    n = max(vs) + 1 if vs else 1
+    vdir = f"{root.rstrip('/')}/v={n}"
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(vdir)
+    jvm, fs, _ = _fs(spark, root)
+    fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_COMMITTED")).close()
+    return n
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the current snapshot (default) or a pinned ``version`` —
+    pinning works for any committed version, including tombstoned ones
+    still on disk (reproducing an old training run needs exactly that)."""
+    vs = _versions(spark, root)
+    if version is None:
+        version = current_version(spark, root)
+        if version is None:
+            raise FileNotFoundError(f"no committed snapshot under {root}")
+    elif version not in vs or not vs[version]["committed"]:
+        raise FileNotFoundError(f"snapshot v={version} not committed under {root}")
+    return spark.read.parquet(f"{root.rstrip('/')}/v={version}")
+
+
+def rollback(spark: SparkSession, root: str, to_version: int) -> None:
+    """Make ``to_version`` current by tombstoning every committed
+    version above it. Pure atomic marker creates — nothing is deleted,
+    and re-publishing after a rollback allocates a FRESH version number
+    (the tombstoned history stays readable by pin until vacuumed)."""
+    vs = _versions(spark, root)
+    if to_version not in vs or not vs[to_version]["committed"] or vs[
+        to_version
+    ]["rolled_back"]:
+        raise ValueError(f"cannot roll back to non-live version {to_version}")
+    jvm, fs, _ = _fs(spark, root)
+    for n, v in vs.items():
+        if n > to_version and v["committed"] and not v["rolled_back"]:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(v["path"], "_ROLLED_BACK")
+            ).close()
+
+
+def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
+    """Reclaim disk: delete tombstoned versions, orphaned (never
+    committed) directories, and committed history beyond the newest
+    ``keep_last`` live versions. NEVER deletes the current version;
+    returns the versions removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1: the current version stays")
+    vs = _versions(spark, root)
+    live = sorted(
+        n for n, v in vs.items() if v["committed"] and not v["rolled_back"]
+    )
+    keep = set(live[-keep_last:])
+    jvm, fs, _ = _fs(spark, root)
+    removed = []
+    for n, v in sorted(vs.items()):
+        if n not in keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(v["path"]), True)
+            removed.append(n)
+    return removed
