@@ -88,3 +88,56 @@ def test_two_cycle_incremental_pipeline(spark, dbs, tmp_path):
     assert r["stock_date_fmt"] == "15-01-2024"
     assert r["market_companyname"] == "Co AAA"
     assert r["market_exchange"] == "NYSE"
+
+
+def test_corpus_release_end_to_end(spark, tmp_path):
+    """The LLM-corpus release flow, end to end on real files: curated
+    catalog query -> seeded-shuffle shard export -> atomic snapshot
+    publish -> (bad release) -> rollback serves the previous version.
+
+    Each stage is an already-verified unit; this pins the COMPOSITION —
+    schemas line up, the export consumes the curation output, the
+    snapshot layer versions the export manifest + shards together."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+    from utn_dataengineering_stockmarketpipeline_spark.sources import (
+        snapshots as sn,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_training_shards,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = str(tmp_path / "corpus_releases")
+
+    # release 1: curated survivors joined back to their text
+    kept = CATALOG["llm_curation_pipeline"].build(spark, sf).select("doc_id")
+    docs = load_table(spark, sf, "documents").join(kept, "doc_id")
+    n_curated = docs.count()
+    assert 0 < n_curated < load_table(spark, sf, "documents").count()
+
+    shards1 = str(tmp_path / "shards_v1")
+    manifest1 = write_training_shards(
+        docs, shards1, n_shards=4, shuffle_seed="release-1"
+    )
+    v1 = sn.publish_snapshot(manifest1, root)
+    assert sn.read_snapshot(spark, root).agg({"n_docs": "sum"}).first()[0] == n_curated
+
+    # release 2: a (deliberately bad) empty-gate release
+    shards2 = str(tmp_path / "shards_v2")
+    manifest2 = write_training_shards(
+        docs.limit(3), shards2, n_shards=4, shuffle_seed="release-2"
+    )
+    v2 = sn.publish_snapshot(manifest2, root)
+    assert sn.current_version(spark, root) == v2
+    assert sn.read_snapshot(spark, root).agg({"n_docs": "sum"}).first()[0] == 3
+
+    # rollback: the previous release is immediately current again,
+    # and its shard files still reproduce the curated corpus exactly
+    sn.rollback(spark, root, to_version=v1)
+    assert sn.read_snapshot(spark, root).agg({"n_docs": "sum"}).first()[0] == n_curated
+    back = spark.read.parquet(shards1)
+    assert back.count() == n_curated
+    assert back.select("doc_id").distinct().count() == n_curated
