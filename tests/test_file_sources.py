@@ -204,3 +204,18 @@ def test_training_shards_seeded_shuffle_matches_shard_assignment(
     ]
     assert sorted(flat0) == sorted(flat1)  # same corpus
     assert flat0 != flat1  # different epoch permutation
+
+
+def test_training_shards_rejects_sort_col_with_shuffle_seed(spark, tmp_path):
+    import pytest
+
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError, match="conflict"):
+        write_training_shards(
+            docs, str(tmp_path / "x"), n_shards=2,
+            sort_col="n_chars", shuffle_seed="epoch-0",
+        )

@@ -123,3 +123,26 @@ def test_skyline_matches_bruteforce_on_hash_points(spark):
     }
     got = {r.id for r in skyline_2d(df, "x", "y").collect()}
     assert got == brute
+
+
+def test_skyline_exact_across_arrow_batches(spark):
+    """Regression: the GLOBAL stage must sweep the candidate UNION, not
+    each Arrow batch independently. Two anti-correlated staircases
+    where staircase B pointwise dominates staircase A, with the Arrow
+    batch size forced to 10 so the candidates span many batches — a
+    per-batch global sweep leaks all 30 dominated A points."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.confscope import (
+        scoped_sql_conf,
+    )
+
+    pts = []
+    for i in range(30):  # staircase A: (i, 29-i)
+        pts.append((i, float(i), float(29 - i)))
+    for i in range(30):  # staircase B: (i+0.5, 30.5-i) dominates A pointwise
+        pts.append((100 + i, float(i) + 0.5, float(30 - i) + 0.5))
+    df = spark.createDataFrame(pts, "id long, x double, y double").repartition(8)
+    with scoped_sql_conf(
+        spark, **{"spark.sql.execution.arrow.maxRecordsPerBatch": "10"}
+    ):
+        got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    assert got == sorted(range(100, 130))

@@ -158,3 +158,18 @@ def test_ks_drift_planted_shift(spark):
     # drawn from the pooled rest -> low drift
     assert got["b"].ks == got["a"].ks > got["c"].ks
     assert float(got["c"].ks) < 0.2
+
+
+def test_ks_drift_excludes_whole_corpus_group(spark):
+    """A group that IS the whole corpus has no rest to drift from:
+    excluded (n_rest = 0 would divide by zero), other groups intact."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import ks_drift
+
+    lone = spark.createDataFrame(
+        [("a", 1), ("a", 2)], "source string, n_chars long"
+    )
+    assert ks_drift(lone, "n_chars", "source").count() == 0
+    two = spark.createDataFrame(
+        [("a", 1), ("b", 9)], "source string, n_chars long"
+    )
+    assert ks_drift(two, "n_chars", "source").count() == 2

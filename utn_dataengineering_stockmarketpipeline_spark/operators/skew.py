@@ -201,6 +201,10 @@ def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         grid.select(group_col, "n_g", "n", diff.alias("d"))
         .groupBy(group_col, "n_g", "n")
         .agg(F.max("d").alias("ks_num"))
+        # a group that IS the whole corpus has no "rest" to drift from:
+        # n_rest = 0 would divide by zero (engine-divergent NULL/NaN),
+        # so the degenerate split is excluded — mirrored in the oracle
+        .filter(F.col("n_g") < F.col("n"))
         .select(
             group_col,
             F.col("n_g").alias("n_docs"),

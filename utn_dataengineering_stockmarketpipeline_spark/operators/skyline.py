@@ -10,24 +10,34 @@ two-stage prune:
    sort by (x desc, y desc), a point survives iff its x-group's max y
    strictly exceeds the running max y of all strictly-greater-x
    groups. Any point dominated within a partition is dominated
-   globally, so dropping it is safe; at corpus scale this collapses
-   billions of rows to (roughly) the union of per-partition fronts —
-   the candidate set is tiny because a random partition's front is
-   O(log n) in expectation for independent dimensions.
+   globally, so dropping it is safe — and that stays true per ARROW
+   BATCH (a batch is just a finer partition), so the local stage
+   sweeps batches independently, never buffering a partition. At
+   corpus scale this collapses billions of rows to (roughly) the
+   union of per-partition fronts — tiny, because a random partition's
+   front is O(log n) in expectation for independent dimensions.
 2. **Global exact skyline**: centralize the candidates into ONE task
    (a single-partition exchange over the pruned set only — never the
-   input) and run the identical sweep once more. The final front is
-   the front of the candidate union, so the result is exact. If the
-   candidate set ever outgrew one task (it is O(partitions × per-
-   partition front), and 2-D fronts of random data are O(log n) in
-   expectation), the same prune composes as a tree reduction —
-   repartition to k, prune, repeat.
+   input) and sweep the candidate UNION. Here per-batch sweeping
+   would be WRONG — a candidate dominated only by a point in another
+   Arrow batch would survive — so the global stage concatenates its
+   iterator before the one final sweep; the buffered set is the
+   pruned candidates, bounded as below. If the candidate set ever
+   outgrew one task (it is O(partitions × per-partition front)), the
+   conservative per-batch prune composes as a tree reduction —
+   repartition to k, prune, repeat — before the final exact pass.
 
 Both stages are set-deterministic: the output is exactly the skyline
-of the input regardless of partitioning, so a DuckDB ``NOT EXISTS``
-dominance oracle matches row-for-row. Ties are points, not bugs —
-coordinate-duplicate rows of an undominated point are ALL on the
-front (dominance requires a strict inequality).
+of the input regardless of partitioning or batch boundaries, so a
+DuckDB ``NOT EXISTS`` dominance oracle matches row-for-row. Ties are
+points, not bugs — coordinate-duplicate rows of an undominated point
+are ALL on the front (dominance requires a strict inequality).
+
+Input contract: finite, non-null coordinates. NULL/NaN dominance is
+three-valued-logic quicksand (SQL's NOT EXISTS keeps every NULL row
+as vacuously undominated; pandas comparisons drop them) — callers
+gate nullable metrics before calling, as the supplier query's decimal
+sums do by construction.
 """
 
 from __future__ import annotations
@@ -60,15 +70,28 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     """Skyline of ``df`` maximizing ``(x_col, y_col)``; keeps all columns."""
     schema = df.schema
 
-    def prune(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def prune_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # conservative: per-batch fronts only DROP dominated rows, so
+        # streaming batch-by-batch (no buffering) is safe here
         for pdf in it:
             out = _local_front(pdf, x_col, y_col)
             if not out.empty:
                 yield out
 
-    cand = df.mapInPandas(prune, schema)
+    def prune_all(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # exact: the FINAL front needs cross-batch dominance, so the
+        # (already-pruned, bounded) candidate set concatenates before
+        # the one sweep — per-batch sweeping here would leak points
+        # dominated only by another batch
+        batches = [pdf for pdf in it if not pdf.empty]
+        if not batches:
+            return
+        out = _local_front(pd.concat(batches, ignore_index=True), x_col, y_col)
+        if not out.empty:
+            yield out
+
+    cand = df.mapInPandas(prune_batches, schema)
     # Global stage: the front of the candidate UNION is the global
-    # front, so one more identical sweep over the centralized (tiny)
-    # candidate set finishes exactly — one lineage, no second scan of
-    # the input, no dominance join.
-    return cand.repartition(1).mapInPandas(prune, schema)
+    # front — one lineage, no second scan of the input, no dominance
+    # join.
+    return cand.repartition(1).mapInPandas(prune_all, schema)

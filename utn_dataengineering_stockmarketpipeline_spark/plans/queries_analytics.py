@@ -1726,7 +1726,7 @@ diffs AS (
 SELECT source, n_g AS n_docs, MAX(d) AS ks_num,
        round(CAST(MAX(d) AS DOUBLE)
              / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE)), 6) AS ks
-FROM diffs GROUP BY source, n_g, n
+FROM diffs WHERE n_g < n GROUP BY source, n_g, n
 """,
     doc="per-source exact two-sample Kolmogorov-Smirnov drift of the "
         "document-length distribution vs the REST of the corpus "

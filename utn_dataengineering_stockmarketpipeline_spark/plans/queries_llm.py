@@ -3086,11 +3086,10 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_shard_assignment",
-    """
+    f"""
 WITH k AS (
   SELECT doc_id,
-         ('0x' || substr(md5('shard-42:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-           AS shuffle_key
+         {_h60("'shard-42:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
   FROM documents)
 SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
        CAST(ROW_NUMBER() OVER (

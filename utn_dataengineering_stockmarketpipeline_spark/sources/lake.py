@@ -159,6 +159,11 @@ def write_training_shards(
     shard column (parquet prunes everything else).
     """
     if shuffle_seed is not None:
+        if sort_col is not None:
+            raise ValueError(
+                "sort_col and shuffle_seed conflict: the seeded shuffle "
+                "OWNS the in-file order (that is its purpose) — pass one"
+            )
         from ..functions.hashing import md5_prefix64
 
         key = md5_prefix64(

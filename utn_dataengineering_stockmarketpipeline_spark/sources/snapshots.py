@@ -70,11 +70,17 @@ def _versions(spark: SparkSession, root: str) -> dict[int, dict]:
     return out
 
 
+def _current(vs: dict[int, dict]) -> int | None:
+    live = [n for n, v in vs.items() if v["committed"] and not v["rolled_back"]]
+    return max(live) if live else None
+
+
 def snapshot_versions(spark: SparkSession, root: str) -> list[dict]:
     """Version inventory, ascending: [{version, committed, rolled_back,
-    is_current, path}]. Cheap — pure directory metadata, no data scan."""
+    is_current, path}]. Cheap — pure directory metadata, no data scan,
+    ONE filesystem listing (object-store requests are the cost here)."""
     vs = _versions(spark, root)
-    cur = current_version(spark, root)
+    cur = _current(vs)
     return [
         {"version": n, "is_current": n == cur, **vs[n]} for n in sorted(vs)
     ]
@@ -83,12 +89,7 @@ def snapshot_versions(spark: SparkSession, root: str) -> list[dict]:
 def current_version(spark: SparkSession, root: str) -> int | None:
     """Highest committed, non-tombstoned version; None if nothing is
     published."""
-    live = [
-        n
-        for n, v in _versions(spark, root).items()
-        if v["committed"] and not v["rolled_back"]
-    ]
-    return max(live) if live else None
+    return _current(_versions(spark, root))
 
 
 def publish_snapshot(
@@ -121,7 +122,7 @@ def read_snapshot(
     still on disk (reproducing an old training run needs exactly that)."""
     vs = _versions(spark, root)
     if version is None:
-        version = current_version(spark, root)
+        version = _current(vs)
         if version is None:
             raise FileNotFoundError(f"no committed snapshot under {root}")
     elif version not in vs or not vs[version]["committed"]:
