@@ -42,9 +42,12 @@ def asof_join(
     next-quote / next-fill lookup. Right columns come back null when no
     matching row exists (LEFT ASOF semantics, matching DuckDB's
     ``ASOF LEFT JOIN`` with the corresponding inequality). Same
-    one-shuffle union-window plan either way — forward just flips the
-    window frame to [current, unbounded following] and carries with
-    ``first`` instead of ``last``.
+    one-shuffle union-window plan either way — forward sorts the union
+    DESCENDING so the carry stays a RUNNING ``last`` over
+    [unbounded preceding, current] (never a [current, unbounded
+    following] frame + ``first``, whose UnboundedFollowing frame
+    re-iterates the frame per row: O(partition²) when it spills —
+    see the inline comment at the window construction).
 
     Right rows must be unique per (key, time) — the stock-bar contract;
     with duplicates the carried value is the max-sorting one.

@@ -1051,10 +1051,7 @@ def cms_heavy_hitters(df: DataFrame, d: int = 4, w: int = 256,
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("exact_count"))
     )
-    hb = tc.select(
-        "term", "exact_count",
-        F.posexplode(cms_bucket_array(d, w)).alias("i", "b"),
-    )
+    hb = _cms_term_buckets(tc, d, w)
     sk = hb.groupBy("i", "b").agg(F.sum("exact_count").alias("cms"))
     return cms_report(tc, sk, d, w, threshold_permille)
 
@@ -1073,6 +1070,17 @@ def bigram_terms(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return df.select(F.explode(grams).alias("term"))
+
+
+def _cms_term_buckets(tc: DataFrame, d: int, w: int) -> DataFrame:
+    """Each distinct term exploded to its ``d`` sketch coordinates:
+    ``(term, exact_count, i, b)`` — the ONE definition of the
+    term→bucket expansion, shared by the sketch build and the
+    min-of-d lookup so the two can never desynchronize."""
+    return tc.select(
+        "term", "exact_count",
+        F.posexplode(cms_bucket_array(d, w)).alias("i", "b"),
+    )
 
 
 def cms_bucket_array(d: int, w: int) -> Column:
@@ -1095,10 +1103,7 @@ def cms_report(tc: DataFrame, sk: DataFrame, d: int, w: int,
     ``tc`` = (term, exact_count); ``sk`` = (i, b, cms) sketch counters
     — from one aggregation (batch) or summed micro-batch partials
     (streaming; CMS is linear, so the merge is exact)."""
-    hb = tc.select(
-        "term", "exact_count",
-        F.posexplode(cms_bucket_array(d, w)).alias("i", "b"),
-    )
+    hb = _cms_term_buckets(tc, d, w)
     est = (
         hb.join(F.broadcast(sk), ["i", "b"])
         .groupBy("term")
