@@ -15,7 +15,10 @@ Round-11 window (45 + 5 pin):
 
 Usage:  python tools/next_rotation.py   (idempotent; run once, commit,
 then plan exactly 5 new registrations or re-pin _WINDOW_PIN to
-50 - planned, per the driver-window-budget memory rule)
+50 - planned, per the driver-window-budget memory rule.
+Candidate for one of the 5: ana_expectations_report over
+operators/expectations.py — already built and pytest-verified,
+needs only the oracle + registration)
 """
 
 from __future__ import annotations
