@@ -73,3 +73,12 @@ def test_guards(spark):
         ex.quality_report(df, {})
     with pytest.raises(ValueError, match="already exists"):
         ex.tag_violations(df.withColumn("violations", F.lit("x")), _rules())
+
+
+def test_rule_names_with_quotes_are_safe(spark):
+    rules = {"price isn't null": F.col("price").isNotNull()}
+    rep = ex.quality_report(_df(spark), rules).collect()
+    assert rep[0].rule == "price isn't null"
+    assert rep[0].n_violations == 1  # id 4
+    _, bad = ex.quarantine_split(_df(spark), rules)
+    assert {r.id for r in bad.collect()} == {4}

@@ -73,3 +73,12 @@ def test_align_extra_column_policy(spark):
         align_to_schema(src, TARGET, on_extra="error")
     with pytest.raises(ValueError, match="drop"):
         align_to_schema(src, TARGET, on_extra="quarantine")
+
+
+def test_align_rejects_long_to_double(spark):
+    """long -> double silently rounds past 2^53 (big IDs, ns epochs):
+    NOT a lossless widening, must raise."""
+    target = StructType([StructField("id", DoubleType(), True)])
+    src = spark.createDataFrame([(1_700_000_000_123_456_789,)], "id long")
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        align_to_schema(src, target)

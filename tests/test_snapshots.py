@@ -83,8 +83,20 @@ def test_vacuum_retention_never_touches_current(spark, tmp_path):
     removed = sn.vacuum(spark, root, keep_last=2)
     # gone: v1 (beyond retention), v4 (tombstoned), v9 (orphan)
     assert removed == [1, 4, 9]
-    assert sorted(p.name for p in Path(root).iterdir()) == ["v=2", "v=3"]
+    assert sorted(p.name for p in Path(root).iterdir()) == [
+        "_retired", "v=2", "v=3",
+    ]
+    retired = sorted(
+        p.name
+        for p in (Path(root) / "_retired").iterdir()
+        if not p.name.startswith(".")  # local-FS .crc sidecars
+    )
+    assert retired == ["v=1", "v=4", "v=9"]
     assert sn.current_version(spark, root) == 3
     assert sn.read_snapshot(spark, root).count() == 10
     with pytest.raises(ValueError):
         sn.vacuum(spark, root, keep_last=0)
+    # vacuumed numbers are BURNED: the next publish allocates past the
+    # highest version ever seen (v9 orphan was reclaimed), never reusing
+    # a number some consumer may have pinned
+    assert sn.publish_snapshot(_df(spark, "r5"), root) == 10

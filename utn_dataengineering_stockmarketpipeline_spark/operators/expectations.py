@@ -68,12 +68,24 @@ def quality_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         for i, rule in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{name}', __v_{i}" for i, name in enumerate(rules)
+    # unpivot via explode of literal structs — rule names ride F.lit,
+    # never an interpolated SQL string (names with quotes stay names,
+    # not parse errors or injected expressions)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col(f"__v_{i}").alias("n_violations"),
+            )
+            for i, name in enumerate(rules)
+        ]
     )
     return wide.select(
-        F.expr(f"stack({len(rules)}, {stack_args}) as (rule, n_violations)"),
-        F.col("__n").alias("n_rows"),
+        F.explode(pairs).alias("p"), F.col("__n").alias("n_rows")
+    ).select(
+        F.col("p.rule").alias("rule"),
+        F.col("p.n_violations").alias("n_violations"),
+        "n_rows",
     ).select(
         "rule",
         "n_violations",

@@ -134,6 +134,11 @@ def scd2_as_of(
     """
     from pyspark.sql import functions as F
 
+    if "as_of" in versioned.columns:
+        raise ValueError(
+            "versioned table already has an 'as_of' column — rename it "
+            "before the snapshot read (the output's leading column)"
+        )
     dates = F.explode(
         F.array(*[F.lit(d).cast("date") for d in as_of_dates])
     ).alias("as_of")

@@ -1085,13 +1085,14 @@ def _cms_term_buckets(tc: DataFrame, d: int, w: int) -> DataFrame:
 
 def cms_bucket_array(d: int, w: int) -> Column:
     """The ``d`` CMS bucket hashes of the ``term`` column as an array —
-    md5 of ``'{i}:' || term`` % w, the engine's cross-engine hash
-    identity (DuckDB replays it verbatim in the oracles)."""
+    md5_prefix64 of ``'{i}:' || term`` % w, the engine's ONE
+    cross-engine hash identity (functions/hashing.py; DuckDB replays
+    it verbatim in the oracles)."""
+    from ..functions.hashing import md5_prefix64
+
     return F.array(*[
-        (F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("term"))),
-                        1, 15), 16, 10).cast("bigint") % F.lit(w)
-        ) for i in range(d)
+        md5_prefix64(F.concat(F.lit(f"{i}:"), F.col("term"))) % F.lit(w)
+        for i in range(d)
     ])
 
 
@@ -1147,8 +1148,10 @@ def temperature_resample(df: DataFrame, budget: int = 100_000,
     Downsampling (t < n) is the same formula: 0 base copies, the
     remainder IS the sample.
 
-    Returns every corpus row as ``(id, source, n_copies)`` — audit
-    form (``n_copies = 0`` rows show what the draw excluded).
+    Returns every NON-NULL-source corpus row as ``(id, source,
+    n_copies)`` — audit form (``n_copies = 0`` rows show what the draw
+    excluded; NULL-source rows are excluded from both the weights and
+    the output, see the filter below).
 
     Plan: the target relation is |sources| rows (one partial-agg
     shuffle + broadcast); the remainder draw is one rank window
@@ -1158,6 +1161,10 @@ def temperature_resample(df: DataFrame, budget: int = 100_000,
     (count per (source, 256-bucket) relation picks the boundary
     bucket; only that bucket ranks); at driver SFs the direct window
     is the honest measured form."""
+    # NULL sources are excluded up front (mirrored in the oracle): an
+    # un-filtered NULL group would earn weight in z yet never match the
+    # final equi-join, silently deflating every real source's target
+    df = df.filter(F.col(source_col).isNotNull())
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
     sq = counts.withColumn(
         "w_raw", F.round(F.sqrt(F.col("n_docs").cast("double")), 9)

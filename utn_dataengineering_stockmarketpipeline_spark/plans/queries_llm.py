@@ -3043,6 +3043,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH counts AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  WHERE source IS NOT NULL
   GROUP BY source),
 sq AS (
   SELECT source, n_docs,

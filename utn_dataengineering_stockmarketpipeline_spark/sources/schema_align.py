@@ -9,9 +9,10 @@ module makes the contract explicit:
 - missing target columns (nullable) are added as typed NULLs — the
   standard additive-evolution case;
 - matching columns are reordered and, where needed, WIDENED along the
-  lossless ladder (byte→short→int→long, float→double, int-family→
-  long→double, date→timestamp) — and only widened: a lossy narrowing
-  (long→int, double→float, string→anything) raises instead of
+  lossless ladder (byte→short→int→long, float→double, byte/short/int→
+  double, date→timestamp) — and ONLY lossless: narrowings (long→int,
+  double→float, string→anything) AND long→double (exact only below
+  2^53 — silent rounding for big int64 IDs) raise instead of
   truncating data at 2 a.m.;
 - extra source columns are dropped or rejected per ``on_extra``;
 - a missing NON-nullable target column always raises — inventing
@@ -40,12 +41,16 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# lossless widening ladders: source type -> types it may widen TO
+# lossless widening ladders: source type -> types it may widen TO.
+# long -> double is deliberately ABSENT: doubles hold only 53 mantissa
+# bits, so int64 values past 2^53 (snowflake IDs, nanosecond epochs)
+# would round silently — exactly the truncation this module promises
+# to raise on. Every ladder below is exact for the source type's FULL
+# range (int32 max < 2^53).
 _WIDENS_TO: dict[type, tuple[type, ...]] = {
     ByteType: (ShortType, IntegerType, LongType, DoubleType),
     ShortType: (IntegerType, LongType, DoubleType),
     IntegerType: (LongType, DoubleType),
-    LongType: (DoubleType,),  # documented: exact only below 2^53
     FloatType: (DoubleType,),
     DateType: (TimestampType,),
 }

@@ -20,8 +20,12 @@ or in-flight publish is simply invisible — no pointer file to swap, no
 rename-overwrite races, no window where readers see partial data.
 Rollback CREATES a tombstone (again a bare atomic create) rather than
 deleting anything; the bad version stays on disk for forensics until
-``vacuum`` reclaims it. Version numbers never reuse a directory —
-``publish`` always allocates max(existing)+1, tombstoned or not.
+``vacuum`` reclaims it. Version numbers are NEVER reused, even after
+``vacuum`` deletes the highest directories: vacuum first writes an
+empty ``<root>/_retired/v=<n>`` marker per removed version (atomic
+create, before the delete — crash-safe), and ``publish`` allocates
+``max(existing ∪ retired) + 1``, so a pinned "v4" can never silently
+resolve to different data than the v4 that was once published.
 
 Concurrency contract: single writer (the pipeline scheduler), any
 number of readers — the lake reality these jobs run under. Two racing
@@ -70,6 +74,20 @@ def _versions(spark: SparkSession, root: str) -> dict[int, dict]:
     return out
 
 
+def _retired(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers vacuum has reclaimed — the allocator floor."""
+    jvm, fs, _ = _fs(spark, root)
+    rdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/_retired")
+    if not fs.exists(rdir):
+        return []
+    out = []
+    for status in fs.listStatus(rdir):
+        m = _VDIR.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
 def _current(vs: dict[int, dict]) -> int | None:
     live = [n for n, v in vs.items() if v["committed"] and not v["rolled_back"]]
     return max(live) if live else None
@@ -103,7 +121,8 @@ def publish_snapshot(
     exactly as it was (vacuum reclaims the orphan directory later)."""
     spark = df.sparkSession
     vs = _versions(spark, root)
-    n = max(vs) + 1 if vs else 1
+    floor = max(_retired(spark, root), default=0)
+    n = max(max(vs, default=0), floor) + 1
     vdir = f"{root.rstrip('/')}/v={n}"
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -161,9 +180,14 @@ def vacuum(spark: SparkSession, root: str, keep_last: int = 2) -> list[int]:
     )
     keep = set(live[-keep_last:])
     jvm, fs, _ = _fs(spark, root)
+    rdir = f"{root.rstrip('/')}/_retired"
     removed = []
     for n, v in sorted(vs.items()):
         if n not in keep:
+            # retire-marker BEFORE delete: even a crash between the two
+            # leaves the number burned, so publish can never reuse it
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(rdir))
+            fs.create(jvm.org.apache.hadoop.fs.Path(f"{rdir}/v={n}")).close()
             fs.delete(jvm.org.apache.hadoop.fs.Path(v["path"]), True)
             removed.append(n)
     return removed
