@@ -329,6 +329,9 @@ def _kmeans_centroids(mat, n_centroids: int, iters: int = 5):
     cluster, and the SQL oracle compute identical centroids."""
     import numpy as np
 
+    import math
+
+    scale = 10 ** IVF_ROUND_VEC
     cent = mat[:n_centroids].copy()
     for _ in range(iters):
         # cosine (rows normalized); round before argmax so the winning
@@ -340,10 +343,23 @@ def _kmeans_centroids(mat, n_centroids: int, iters: int = 5):
         for c in range(n_centroids):
             members = mat[assign == c]
             if len(members):
-                m = members.sum(axis=0)
-                norm = np.linalg.norm(m)
-                if norm > 0:
-                    cent[c] = np.round(m / norm, IVF_ROUND_SIM)
+                # EXACT member sums: components are IVF_ROUND_VEC-dp
+                # quanta, so the micro-unit integers are exact and the
+                # sum is order-independent — a float sum here (numpy
+                # pairwise vs the oracle's parallel SQL SUM) wobbles in
+                # the last ulp and can flip a 6dp centroid quantum
+                # (observed as a run-to-run oracle flake in r10). The
+                # norm comes from the same integers via python's
+                # unbounded ints (mi² sums pass 2^63); float(nsq) and
+                # DuckDB's VARCHAR->DOUBLE route are both correctly
+                # rounded, so sqrt sees the identical double.
+                mi = np.rint(members * scale).astype(np.int64).sum(axis=0)
+                nsq = sum(int(x) * int(x) for x in mi)
+                if nsq > 0:
+                    cent[c] = np.round(
+                        mi.astype(np.float64) / math.sqrt(float(nsq)),
+                        IVF_ROUND_SIM,
+                    )
     return cent
 
 
@@ -638,6 +654,7 @@ def _kmeans_euclid(mat, n_codes: int, iters: int = PQ_ITERS):
     import numpy as np
 
     cb = mat[:n_codes].copy()
+    scale = 10 ** IVF_ROUND_VEC
     for _ in range(iters):
         d = np.round(
             ((mat[:, None, :] - cb[None, :, :]) ** 2).sum(-1), IVF_ROUND_SIM
@@ -646,7 +663,16 @@ def _kmeans_euclid(mat, n_codes: int, iters: int = PQ_ITERS):
         for kk in range(n_codes):
             members = mat[assign == kk]
             if len(members):
-                cb[kk] = np.round(members.mean(axis=0), IVF_ROUND_SIM)
+                # exact micro-unit integer sums (see _kmeans_centroids:
+                # float member sums are summation-order-dependent and
+                # flaked against the oracle's parallel SQL SUM); the
+                # mean divides by the exact double n*scale on both
+                # engines
+                mi = np.rint(members * scale).astype(np.int64).sum(axis=0)
+                cb[kk] = np.round(
+                    mi.astype(np.float64) / (len(members) * float(scale)),
+                    IVF_ROUND_SIM,
+                )
     return cb
 
 

@@ -904,13 +904,24 @@ def _ivf_assign_ctes(dim: int = 64, n_centroids: int = 16,
            ROW_NUMBER() OVER (PARTITION BY n.vec_id
              ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
     FROM norm n CROSS JOIN c{t} c) WHERE rk = 1)""")
+        # EXACT integer member sums (micro-units of 1e-{IVF_ROUND_VEC}):
+        # a double SUM here is parallel-aggregation-order-dependent in
+        # DuckDB and wobbled a 6dp centroid quantum run-to-run (r10
+        # flake); the norm rides HUGEINT squares with a VARCHAR->DOUBLE
+        # hop because both that route and python's float(int) are
+        # correctly rounded (plain HUGEINT->DOUBLE is not)
         ctes.append(f"""s{t} AS MATERIALIZED (
-  SELECT c, i, SUM(v[i]) AS s
+  SELECT c, i, SUM(CAST(round(v[i] * {10 ** IVF_ROUND_VEC}) AS BIGINT)) AS s
   FROM a{t} CROSS JOIN range(1, {dim + 1}) r(i) GROUP BY c, i)""")
         ctes.append(f"""u{t} AS MATERIALIZED (
-  SELECT s.c, list(round(s.s / n.nrm, {IVF_ROUND_SIM}) ORDER BY s.i) AS v
-  FROM s{t} s JOIN (SELECT c, sqrt(SUM(s * s)) AS nrm
-                    FROM s{t} GROUP BY c) n USING (c)
+  SELECT s.c,
+         list(round(CAST(s.s AS DOUBLE) / n.nrm, {IVF_ROUND_SIM})
+              ORDER BY s.i) AS v
+  FROM s{t} s
+  JOIN (SELECT c,
+               sqrt(CAST(CAST(SUM(CAST(s AS HUGEINT) * s) AS VARCHAR)
+                         AS DOUBLE)) AS nrm
+        FROM s{t} GROUP BY c) n USING (c)
   WHERE n.nrm > 0 GROUP BY s.c)""")
         ctes.append(f"""c{t + 1} AS MATERIALIZED (
   SELECT co.c, COALESCE(u.v, co.v) AS v
@@ -1107,7 +1118,7 @@ def _ivfpq_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
     exactness contract as the IVF oracle: every compared value is
     quantized, so the unrolled SQL computes the identical index."""
     from ..operators.similarity import (
-        IVF_ROUND_SIM, PQ_CODES, PQ_ITERS, PQ_M,
+        IVF_ROUND_SIM, IVF_ROUND_VEC, PQ_CODES, PQ_ITERS, PQ_M,
     )
 
     m, n_codes, pq_iters = PQ_M, PQ_CODES, PQ_ITERS
@@ -1136,11 +1147,16 @@ def _ivfpq_oracle_sql(dim: int = 64, n_centroids: int = 16, iters: int = 5,
            ROW_NUMBER() OVER (PARTITION BY x.vec_id
              ORDER BY round({dist}, {IVF_ROUND_SIM}) ASC, cb.k) AS rk
     FROM r{s} x CROSS JOIN cb{s}_{t} cb) WHERE rk = 1)""")
+            # exact micro-unit integer sums — see _ivf_assign_ctes
             ctes.append(f"""ps{s}_{t} AS MATERIALIZED (
-  SELECT k, i, SUM(rs[i]) AS sm, COUNT(*) AS n
+  SELECT k, i,
+         SUM(CAST(round(rs[i] * {10 ** IVF_ROUND_VEC}) AS BIGINT)) AS sm,
+         COUNT(*) AS n
   FROM pa{s}_{t} CROSS JOIN range(1, {sub + 1}) rr(i) GROUP BY k, i)""")
             ctes.append(f"""pu{s}_{t} AS MATERIALIZED (
-  SELECT k, list(round(sm / n, {IVF_ROUND_SIM}) ORDER BY i) AS v
+  SELECT k, list(round(CAST(sm AS DOUBLE)
+                       / (n * {10 ** IVF_ROUND_VEC}.0), {IVF_ROUND_SIM})
+                 ORDER BY i) AS v
   FROM ps{s}_{t} GROUP BY k)""")
             ctes.append(f"""cb{s}_{t + 1} AS MATERIALIZED (
   SELECT co.k, COALESCE(u.v, co.v) AS v
