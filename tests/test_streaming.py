@@ -640,3 +640,56 @@ def test_stream_scd2_apply_version_chains(spark):
         assert versions[-1]["valid_to"] is None
         assert versions[0]["market_companyname"].endswith("(v0)")
         assert not versions[-1]["market_companyname"].endswith(")")
+
+
+def test_quarantine_sink_matches_batch_split(spark, events_split, tmp_path):
+    """Streaming quality gate == batch quarantine_split over the same
+    rows, regardless of micro-batch boundaries; quarantined rows keep
+    their violation tags and clean rows reach the serving sink."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        expectations as ex,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.streaming.ingest import (
+        quarantine_sink,
+        stream_parquet,
+    )
+
+    _, d1, d2 = events_split
+    schema = spark.read.parquet(d1).schema
+    # own stream dir (the fixture is module-scoped and shared — never
+    # mutate it): the two fixture drops plus a planted violating drop
+    # so the quarantine side provably routes
+    base = tmp_path / "feed"
+    spark.read.parquet(d1).coalesce(1).write.parquet(str(base / "drop1"))
+    spark.read.parquet(d2).coalesce(1).write.parquet(str(base / "drop2"))
+    bad_rows = spark.read.parquet(d1).limit(3).withColumn("value", F.lit(-5.0))
+    bad_rows.coalesce(1).write.parquet(str(base / "drop3"))
+    batch_all = spark.read.parquet(f"{base}/drop*")
+
+    rules = {
+        "value_nonneg": F.col("value") >= 0,
+        "type_known": F.col("event_type").isin(
+            "view", "click", "purchase", "error", "signup"
+        ),
+    }
+    q = quarantine_sink(
+        stream_parquet(spark, f"{base}/drop*", schema, max_files_per_trigger=1),
+        rules,
+        str(tmp_path / "clean"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    b_clean, b_bad = ex.quarantine_split(batch_all, rules)
+    s_clean = spark.read.parquet(str(tmp_path / "clean"))
+    s_bad = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert s_clean.count() == b_clean.count()
+    assert "violations" not in s_clean.columns
+    got = sorted(
+        (r.event_id, tuple(sorted(r.violations))) for r in s_bad.collect()
+    )
+    want = sorted(
+        (r.event_id, tuple(sorted(r.violations))) for r in b_bad.collect()
+    )
+    assert got == want and len(got) >= 3

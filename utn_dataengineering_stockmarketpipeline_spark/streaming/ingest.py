@@ -338,3 +338,37 @@ def run_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def quarantine_sink(
+    stream: DataFrame,
+    rules: dict[str, Any],
+    clean_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming data-quality gate: every micro-batch splits through
+    operators/expectations.quarantine_split — clean rows append to the
+    serving sink, violating rows (WITH their violation tags) to the
+    quarantine sink for triage. The ingestion shape every production
+    feed runs: bad rows must neither poison the serving table nor
+    vanish.
+
+    Row verdicts are pure projections (micro-batch-independent), so
+    the drained (clean, quarantine) pair equals the batch split of the
+    union of all inputs regardless of how files batch — the
+    stream==batch convergence contract the other drains pin. Returns
+    the started availableNow query."""
+    from ..operators.expectations import quarantine_split
+
+    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+        clean, bad = quarantine_split(batch, rules)
+        clean.write.mode("append").parquet(clean_path)
+        bad.write.mode("append").parquet(quarantine_path)
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
