@@ -640,3 +640,36 @@ def test_ks_drift_matches_two_sample_definition(spark, rows):
         )
         assert int(got[g].ks_num) == num
         assert abs(float(got[g].ks) - num / (len(gv) * len(rv))) < 5e-7
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10_000),
+                 min_size=1, max_size=40, unique=True),
+    n_shards=st.integers(min_value=1, max_value=6),
+)
+@SLOW
+def test_shard_assignment_matches_hashlib(spark, ids, n_shards):
+    """shard/position == an independent hashlib recompute of the
+    md5(seed:id) order statistic, for any id set and shard count."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        shard_assignment,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: (r.shard, r.position)
+        for r in shard_assignment(df, n_shards=n_shards).collect()
+    }
+
+    def key(i):
+        return int(hashlib.md5(f"shard-42:{i}".encode()).hexdigest()[:15], 16)
+
+    want = {}
+    by_shard: dict[int, list] = {}
+    for i in ids:
+        by_shard.setdefault(key(i) % n_shards, []).append(i)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda i: (key(i), i))
+        for pos, i in enumerate(members, start=1):
+            want[i] = (shard, pos)
+    assert got == want
