@@ -146,3 +146,17 @@ def test_skyline_exact_across_arrow_batches(spark):
     ):
         got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
     assert got == sorted(range(100, 130))
+
+
+def test_new_ops_handle_empty_input(spark):
+    """Degenerate corpus: every round-10 tail operator returns an empty
+    result (not an error) on zero rows."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import ks_drift
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.ngram_novelty(docs).count() == 0
+    assert text.shard_assignment(docs).count() == 0
+    pts = spark.createDataFrame([], "id long, x double, y double")
+    assert skyline_2d(pts, "x", "y").count() == 0
+    src = spark.createDataFrame([], "source string, n_chars long")
+    assert ks_drift(src, "n_chars", "source").count() == 0
