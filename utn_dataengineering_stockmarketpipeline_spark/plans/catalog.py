@@ -56,75 +56,45 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-10 rotation (freshness after r9: r6×5 / r7×42 / r8×50 / r9×50):
-#   1. the five r6-stale overflow deferrals from round 9 (oldest cohort,
-#      promised first-in-line), then 39 of the 42 r7-stale entries,
-#   2. (pin) the 6 new round-10 registrations slot in here:
-#      44 + 6 = exactly the 50-query window,
-#   3. the three deferred r7 entries head the tail (trivial deterministic
-#      plan/pivot queries with pytest + every-session local-oracle
-#      coverage — first into the r11 window), then the r8-green set,
-#      then the r9-green set (freshest evidence, safely outside).
+# Round-11 rotation (freshness after r10: r7×3 / r8×50 / r9×50 / r10×50
+# + 13 late-r10 registrations never driver-verified):
+#   1. the three deferred r7 entries (oldest cohort, promised
+#      first-in-line), then the thirteen late round-10 registrations
+#      (local-oracle green at all SFs but no driver row yet — highest
+#      verification priority), then 34 of the 50 r8-stale entries (29 in the fixed head,
+#      5 in the sliding 46-50 slots new registrations trade against)
+#      (16 defer: 11 trivial deterministic ana_* plans plus
+#      trivial map ops (calendar_gaps, embedding_norms, doc_fingerprint,
+#      embedding_quantize) and the chunker UDTF twin — pytest +
+#      every-session local-oracle covered; ana_sketches_exact and
+#      ana_bloom_pruned_join stay in-window: one anchors the rows-only
+#      sketch entry, the other's identity rides runtime-filter
+#      planning),
+#   2. (pin) the 5 new round-11 registrations slot in here:
+#      45 + 5 = exactly the 50-query window,
+#   3. the 11 deferred r8 ana_* entries head the tail (first into the
+#      r12 window), then the r9-green set, then the r10-green set
+#      (freshest evidence, safely outside).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 1: the five r6-stale round-9 deferrals (oldest cohort) --
-    "ana_price_histogram",
-    "ana_set_ops",
-    "ref_markets_table",
-    "ref_scalar_functions",
-    "ref_stock_prices_table",
-    # -- block 2: r7-stale cohort (42 minus the three deferrals below) --
-    "ana_approx_sketches",
-    "ana_chi_square_lang_source",
-    "ana_cube_returns",
-    "ana_grouping_sets",
-    "ana_market_share",
-    "ana_nation_flow",
-    "ana_priority_late_orders",
-    "ana_quantity_percentiles",
-    "ana_referential_orphans",
-    "join_asof_tolerance_price",
-    "llm_bigram_logprob",
-    "llm_boilerplate_ngrams",
-    "llm_containment_pairs",
-    "llm_contamination",
-    "llm_dedup_exact",
-    "llm_length_deciles",
-    "llm_minhash_lsh_pairs",
-    "llm_minhash_signatures",
-    "llm_multimodal_features",
-    "llm_ngram_jaccard_pairs",
-    "llm_simhash",
-    "llm_simhash_near_pairs",
-    "llm_split_assignment",
-    "llm_text_quality",
-    "llm_token_entropy",
-    "llm_token_stats",
-    "llm_unigram_logprob",
-    "llm_vocabulary",
-    "ref_bollinger_bands",
-    "ref_ema20",
-    "ref_ema20_chunked",
-    "ref_macd",
-    "ref_ohlc_incremental",
-    "ref_rolling_beta",
-    "ref_scd1_markets",
-    "ref_scd2_markets",
-    "ref_stochastic_14",
-    "ref_unpivot_ohlc",
-    "stream_static_enrich",
-    # -- (pin = 44: new round-10 registrations slot in here) --
-    # -- block 3: deferred r7-stale (trivial deterministic plan/pivot
-    #    queries, pytest + local-oracle covered; first into r11) --
+    # -- block 1: deferred r7-stale (oldest; trivial plan/pivot) --
     "llm_resize_plan",
     "llm_frame_sample_plan",
     "ana_pivot_status",
-    # -- block 4: r8-green tail --
-    "ana_big_orders",
-    "ana_funnel_conversion",
-    "ana_important_parts",
-    "ana_min_cost_supplier",
-    "ana_retention_cohorts",
-    "ana_sole_late_supplier",
+    # -- block 2: late round-10 registrations (never driver-verified) --
+    "llm_quality_classifier",
+    "llm_cluster_balanced_sample",
+    "llm_prototype_pruning",
+    "llm_heavy_hitters_cms",
+    "llm_temperature_resample",
+    "ana_join_key_skew",
+    "stream_scd2_apply",
+    "stream_heavy_hitters",
+    "llm_shard_assignment",
+    "llm_ngram_novelty",
+    "ana_skyline_suppliers",
+    "ana_ks_drift",
+    "llm_token_fertility",
+    # -- block 3: r8-stale cohort minus the 11 ana_* deferrals --
     "join_asof_next_price",
     "join_asof_price_at_ship",
     "join_ffill_calendar",
@@ -133,11 +103,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_ann_ivf_topk",
     "llm_cosine_topk",
     "llm_doc_chunks",
-    "llm_doc_fingerprint",
     "llm_doc_profile",
     "llm_embedding_near_dup",
-    "llm_embedding_norms",
-    "llm_embedding_quantize",
     "llm_lang_id",
     "llm_pii_scrub",
     "llm_repetition_ratio",
@@ -155,21 +122,36 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_dup_clusters",
     "llm_dedup_keep_one",
     "llm_curation_pipeline",
+    "ana_sketches_exact",
+    "ana_bloom_pruned_join",
+    # -- (pin = 45: new round-11 registrations slot in HERE; the five
+    #    entries below ride slots 46-50 only while fewer than five
+    #    register — each new registration trades one of them out) --
+    "llm_semantic_dedup",
+    "llm_semantic_clusters",
+    "llm_dsir_weights",
+    "llm_curation_embedding",
+    "stream_incremental_dedup",
+    # -- block 4: deferred r8-stale entries (trivial deterministic
+    #    plans / the chunker twin, pytest + local-oracle covered;
+    #    first into r12) --
+    "llm_doc_fingerprint",
+    "llm_embedding_quantize",
+    "ref_calendar_gaps",
+    "llm_embedding_norms",
+    "llm_doc_chunks_udtf",
+    "ana_big_orders",
+    "ana_funnel_conversion",
+    "ana_important_parts",
+    "ana_min_cost_supplier",
+    "ana_retention_cohorts",
+    "ana_sole_late_supplier",
     "ana_pagerank_suppliers",
     "ana_data_profile",
     "ana_distinct_users_salted",
     "ana_events_hourly",
     "ana_first_touch",
-    "ref_calendar_gaps",
-    "ana_sketches_exact",
-    "ana_bloom_pruned_join",
-    "llm_semantic_dedup",
-    "llm_semantic_clusters",
-    "llm_dsir_weights",
-    "llm_curation_embedding",
-    "llm_doc_chunks_udtf",
-    "stream_incremental_dedup",
-    # -- block 5: r9-green tail (freshest evidence) --
+    # -- block 5: r9-green tail --
     "ana_lapsed_customers",
     "ana_lead_lag",
     "ana_order_priority",
@@ -220,30 +202,66 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_embedding_outliers",
     "stream_quota_admission",
     "stream_dedup_within_watermark",
-    # -- block 6: late round-10 registrations, deliberately OUTSIDE the
-    #    window (the 6 planned r10 entries fill it): full local-oracle
-    #    coverage every session via test_catalog_oracle; first into the
-    #    r11 window together with the three deferred r7 entries --
-    "llm_quality_classifier",
-    "llm_cluster_balanced_sample",
-    "llm_prototype_pruning",
-    "llm_heavy_hitters_cms",
-    "llm_temperature_resample",
-    "ana_join_key_skew",
-    "stream_scd2_apply",
-    "stream_heavy_hitters",
-    "llm_shard_assignment",
-    "llm_ngram_novelty",
-    "ana_skyline_suppliers",
-    "ana_ks_drift",
-    "llm_token_fertility",
+    # -- block 6: r10-green tail (freshest evidence) --
+    "ana_price_histogram",
+    "ana_set_ops",
+    "ref_markets_table",
+    "ref_scalar_functions",
+    "ref_stock_prices_table",
+    "ana_approx_sketches",
+    "ana_chi_square_lang_source",
+    "ana_cube_returns",
+    "ana_grouping_sets",
+    "ana_market_share",
+    "ana_nation_flow",
+    "ana_priority_late_orders",
+    "ana_quantity_percentiles",
+    "ana_referential_orphans",
+    "join_asof_tolerance_price",
+    "llm_bigram_logprob",
+    "llm_boilerplate_ngrams",
+    "llm_containment_pairs",
+    "llm_contamination",
+    "llm_dedup_exact",
+    "llm_length_deciles",
+    "llm_minhash_lsh_pairs",
+    "llm_minhash_signatures",
+    "llm_multimodal_features",
+    "llm_ngram_jaccard_pairs",
+    "llm_simhash",
+    "llm_simhash_near_pairs",
+    "llm_split_assignment",
+    "llm_text_quality",
+    "llm_token_entropy",
+    "llm_token_stats",
+    "llm_unigram_logprob",
+    "llm_vocabulary",
+    "ref_bollinger_bands",
+    "ref_ema20",
+    "ref_ema20_chunked",
+    "ref_macd",
+    "ref_ohlc_incremental",
+    "ref_rolling_beta",
+    "ref_scd1_markets",
+    "ref_scd2_markets",
+    "ref_stochastic_14",
+    "ref_unpivot_ohlc",
+    "stream_static_enrich",
+    "ref_scd2_as_of",
+    "ana_event_transitions",
+    "llm_bpe_train",
+    "llm_random_projection",
+    "llm_embedding_kmeans",
+    "llm_phash_clusters",
 )
 
 
-# New (unlisted) queries slot in after the must-verify head (the five
-# r6-stale deferrals + 39 of the 42 r7-stale entries).
-# 44 + 6 planned round-10 registrations = the full 50-query window.
-_WINDOW_PIN = 44
+# New (unlisted) queries slot in after the must-verify head (three r7
+# deferrals + thirteen late-r10 + 29 r8-stale).
+# 45 + 5 planned round-11 registrations = the full 50-query window
+# (each new registration trades out one of the 5 sliding r8 entries
+# in slots 46-50).
+_WINDOW_PIN = 45
 
 
 def _apply_driver_order() -> None:
