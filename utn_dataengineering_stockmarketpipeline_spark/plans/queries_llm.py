@@ -3069,7 +3069,7 @@ tot AS (
   SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,9))) AS DOUBLE) AS z FROM sq),
 tgt AS (
   SELECT source, n_docs,
-         CAST(ROUND(100000 * (w_raw / z)) AS BIGINT) AS target
+         CAST(ROUND((100000 * w_raw) / z) AS BIGINT) AS target
   FROM sq CROSS JOIN tot),
 rk AS (
   SELECT d.doc_id, d.source, t.n_docs, t.target,

@@ -357,14 +357,23 @@ def quarantine_sink(
     Row verdicts are pure projections (micro-batch-independent), so
     the drained (clean, quarantine) pair equals the batch split of the
     union of all inputs regardless of how files batch — the
-    stream==batch convergence contract the other drains pin. Returns
-    the started availableNow query."""
+    stream==batch convergence contract the other drains pin. Each
+    micro-batch lands in its own ``batch_id=N`` partition directory
+    with OVERWRITE (not a bare append): foreachBatch is at-least-once,
+    so a crash between the two writes replays the batch, and the
+    replay must land on the same target, not duplicate it. Readers see
+    ``batch_id`` as a discovered partition column (provenance for
+    free). Returns the started availableNow query."""
     from ..operators.expectations import quarantine_split
 
-    def write_batch(batch: DataFrame, _batch_id: int) -> None:
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
         clean, bad = quarantine_split(batch, rules)
-        clean.write.mode("append").parquet(clean_path)
-        bad.write.mode("append").parquet(quarantine_path)
+        clean.write.mode("overwrite").parquet(
+            f"{clean_path}/batch_id={batch_id}"
+        )
+        bad.write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch_id={batch_id}"
+        )
 
     return (
         stream.writeStream.foreachBatch(write_batch)
