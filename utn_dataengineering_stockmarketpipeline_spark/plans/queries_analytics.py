@@ -1747,3 +1747,50 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), value_col="n_chars",
         group_col="source",
     )
+
+
+@register(
+    "ana_expectations_report",
+    """
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN NOT COALESCE(value <= 90, FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_value,
+         CAST(SUM(CASE WHEN NOT COALESCE(event_type <> 'error', FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_err,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_user,
+         CAST(SUM(CASE WHEN NOT COALESCE(props LIKE '{%', FALSE)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS v_props
+  FROM events)
+SELECT rule, n_violations, n_rows,
+       (n_rows - n_violations) * 1000 / n_rows AS pass_permille
+FROM (
+  SELECT 'value_le_90' AS rule, v_value AS n_violations, n_rows FROM base
+  UNION ALL SELECT 'not_error', v_err, n_rows FROM base
+  UNION ALL SELECT 'user_known', v_user, n_rows FROM base
+  UNION ALL SELECT 'props_object', v_props, n_rows FROM base)
+""",
+    doc="declarative data-quality gate report "
+        "(operators/expectations.quality_report): per-rule violation "
+        "counts + pass permille over the events feed in ONE "
+        "map-side-combined aggregation pass for any number of rules — "
+        "never a scan per rule — then a driver-free stack/explode "
+        "unpivot of the 1-row wide result. NULL rule verdicts count as "
+        "violations (allow-list gate, SQL CHECK semantics). Two rules "
+        "fire on this feed (value cap, no-error-events), two pass "
+        "clean — the report shows both shapes. Graduates the "
+        "expectations layer from pytest-only to oracle-backed",
+    tags=("analytics", "quality", "expectations"),
+)
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as ex
+
+    events = load_table(spark, sf_dir, "events")
+    rules = {
+        "value_le_90": F.col("value") <= 90,
+        "not_error": F.col("event_type") != "error",
+        "user_known": F.col("user_id").isNotNull(),
+        "props_object": F.col("props").startswith("{"),
+    }
+    return ex.quality_report(events, rules)

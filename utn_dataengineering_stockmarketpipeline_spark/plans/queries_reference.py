@@ -1552,3 +1552,72 @@ def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ref_snapshot_versions",
+    """
+WITH c AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS all_rows,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+              AS BIGINT) AS f_rows,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority LIKE '1-%')
+              AS BIGINT) AS p1_rows,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0)
+              AS BIGINT) AS big_rows
+  FROM orders)
+SELECT CAST(1 AS INT) AS version, TRUE AS committed,
+       FALSE AS rolled_back, FALSE AS is_current, all_rows AS n_rows
+FROM c
+UNION ALL SELECT 2, TRUE, FALSE, FALSE, f_rows FROM c
+UNION ALL SELECT 3, TRUE, TRUE, FALSE, p1_rows FROM c
+UNION ALL SELECT 4, TRUE, FALSE, TRUE, big_rows FROM c
+""",
+    doc="versioned-release manifest (sources/snapshots.py): publishes "
+        "four deterministic orders-derived snapshots into a fresh lake "
+        "— full corpus (v1), status-F slice (v2), priority-1 slice "
+        "(v3), then ROLLBACK to v2 (tombstoning v3) and a re-publish "
+        "that must allocate a FRESH v4 (never reusing the tombstoned "
+        "number) — and returns the manifest each state transition "
+        "produces: (version, committed, rolled_back, is_current, "
+        "n_rows), with n_rows read back through read_snapshot's "
+        "pinned-version path so the oracle match proves the published "
+        "bytes, not just the bookkeeping. The atomic-marker commit "
+        "protocol (data first, _COMMITTED create LAST; rollback is a "
+        "tombstone create, never a delete) is what makes each row's "
+        "flags deterministic. First driver row for the round-10 "
+        "release layer",
+    tags=("reference", "release", "snapshots"),
+)
+def q_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources import snapshots as snap
+
+    root = tempfile.mkdtemp(prefix="snaplake_")
+    orders = load_table(spark, sf_dir, "orders")
+    snap.publish_snapshot(orders, root)
+    snap.publish_snapshot(orders.filter(F.col("o_orderstatus") == "F"), root)
+    snap.publish_snapshot(
+        orders.filter(F.col("o_orderpriority").startswith("1-")), root
+    )
+    snap.rollback(spark, root, 2)
+    snap.publish_snapshot(
+        orders.filter(F.col("o_totalprice") > 100000.0), root
+    )
+    parts = [
+        snap.read_snapshot(spark, root, m["version"])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit(m["version"]).alias("version"),
+            F.lit(m["committed"]).alias("committed"),
+            F.lit(m["rolled_back"]).alias("rolled_back"),
+            F.lit(m["is_current"]).alias("is_current"),
+            "n_rows",
+        )
+        for m in snap.snapshot_versions(spark, root)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
