@@ -3195,3 +3195,58 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("bpe_tokens") / F.col("ws_tokens"), 6),
         )
     )
+
+
+@register(
+    "llm_ccnet_buckets",
+    """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
+counts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
+tot AS (SELECT COUNT(*) AS total FROM tok2),
+scored AS (
+  SELECT doc_id,
+         round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
+  FROM tok2 JOIN counts USING (term) CROSS JOIN tot
+  GROUP BY doc_id)
+SELECT d.doc_id, d.lang, s.avg_neg_logprob,
+       CASE NTILE(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_neg_logprob, d.doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS ppl_bucket
+FROM documents d JOIN scored s USING (doc_id)
+""",
+    doc="CCNet-style perplexity bucketing (Wenzek et al. '19): every "
+        "document lands in its language's head / middle / tail tercile "
+        "of the unigram-LM score (text.unigram_logprob — low = fluent/"
+        "boilerplate, high = rare-token gibberish), the standard "
+        "pretraining-corpus partition (train on head+middle, audit "
+        "tail). Terciles are per-LANGUAGE so no language is globally "
+        "judged by another's fluency scale; the ntile rides one "
+        "lang-partitioned window over the rounded score with doc_id "
+        "tiebreak (total order -> engine-independent buckets). At "
+        "100 TB the per-language window decomposes by the same "
+        "256-bucket boundary trick as token_budget_selection "
+        "(documented there); the LM side is the Zipf-small unigram "
+        "table join",
+    tags=("llm", "text", "quality", "lm", "curation"),
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.unigram_logprob(docs)
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored.select("doc_id", "avg_neg_logprob"), "doc_id")
+        .withColumn("__t", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "lang",
+            "avg_neg_logprob",
+            F.when(F.col("__t") == 1, "head")
+            .when(F.col("__t") == 2, "middle")
+            .otherwise("tail")
+            .alias("ppl_bucket"),
+        )
+    )

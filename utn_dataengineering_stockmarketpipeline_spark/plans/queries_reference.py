@@ -1621,3 +1621,89 @@ def q_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "ref_var_historical",
+    with_reference_ctes("""
+SELECT stock_ticker, n_days, var95_ppm, cvar95_ppm
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  r2 AS (SELECT * FROM rets WHERE ret_ppm IS NOT NULL),
+  st AS (
+    SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n_days,
+           GREATEST(1, CAST(CEIL(COUNT(*) * 0.05) AS BIGINT)) AS k
+    FROM r2 GROUP BY stock_ticker),
+  rk AS (
+    SELECT r2.*, ROW_NUMBER() OVER (
+             PARTITION BY stock_ticker
+             ORDER BY ret_ppm, stock_date) AS rn
+    FROM r2)
+  SELECT rk.stock_ticker, st.n_days,
+         MAX(CASE WHEN rn = k THEN ret_ppm END) AS var95_ppm,
+         CAST(SUM(ret_ppm) AS DOUBLE) / COUNT(*) AS cvar95_ppm
+  FROM rk JOIN st USING (stock_ticker)
+  WHERE rn <= k
+  GROUP BY rk.stock_ticker, st.n_days)
+"""),
+    doc="per-ticker 95% historical value-at-risk + expected shortfall "
+        "over the daily-return series (extends the "
+        "ref_daily_returns/drawdown risk family; the reference computes "
+        "none of these but its stock domain is exactly where they "
+        "live). Returns quantize to integer parts-per-million "
+        "(ROUND((close/lag - 1)*1e6)) so the 5th-percentile statistic "
+        "is a DISCRETE order statistic — the k = max(1, ceil(0.05 n)) "
+        "smallest return, picked by a deterministic (value, date) "
+        "row_number, never an interpolated float percentile whose "
+        "lower+(upper-lower)*f association differs across engines — "
+        "and CVaR is the exact-integer SUM of the k tail returns over "
+        "k (one double division at the end). Plan: one lag window, one "
+        "per-ticker count agg broadcast back, one rank window over the "
+        "same partitioning, map-side-combined tail aggregation — at "
+        "100 TB everything partitions by ticker; no global sort, no "
+        "float accumulation",
+    tags=("reference", "risk", "window", "quantile"),
+)
+def q_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    rets = sp.select(
+        "stock_ticker",
+        "stock_date",
+        F.round(
+            (F.col("stock_close") / F.lag("stock_close").over(w) - 1)
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("ret_ppm"),
+    ).filter(F.col("ret_ppm").isNotNull())
+    stats = rets.groupBy("stock_ticker").agg(
+        F.count(F.lit(1)).alias("n_days")
+    ).withColumn(
+        "k",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("n_days") * F.lit(0.05)),
+        ),
+    )
+    wr = Window.partitionBy("stock_ticker").orderBy("ret_ppm", "stock_date")
+    ranked = rets.withColumn("rn", F.row_number().over(wr))
+    return (
+        ranked.join(F.broadcast(stats), "stock_ticker")
+        .filter(F.col("rn") <= F.col("k"))
+        .groupBy("stock_ticker", "n_days")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("k"), F.col("ret_ppm"))
+            ).alias("var95_ppm"),
+            (F.sum("ret_ppm").cast("double") / F.count(F.lit(1))).alias(
+                "cvar95_ppm"
+            ),
+        )
+        .select("stock_ticker", "n_days", "var95_ppm", "cvar95_ppm")
+    )

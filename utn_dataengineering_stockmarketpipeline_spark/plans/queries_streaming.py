@@ -992,3 +992,72 @@ def _register_stream_heavy_hitters() -> None:
 
 
 _register_stream_heavy_hitters()
+
+
+@register(
+    "stream_quarantine_gate",
+    """
+WITH v AS (
+  SELECT CASE WHEN NOT COALESCE(value <= 90, FALSE)
+              THEN 1 ELSE 0 END AS v_value,
+         CASE WHEN NOT COALESCE(event_type <> 'error', FALSE)
+              THEN 1 ELSE 0 END AS v_err
+  FROM events)
+SELECT 'value_le_90' AS rule,
+       CAST(SUM(v_value) AS BIGINT) AS n_rows
+FROM v
+UNION ALL
+SELECT 'not_error', CAST(SUM(v_err) AS BIGINT) FROM v
+UNION ALL
+SELECT '__clean__',
+       CAST(COUNT(*) FILTER (WHERE v_value = 0 AND v_err = 0) AS BIGINT)
+FROM v
+""",
+    doc="streaming data-quality quarantine gate end-to-end "
+        "(streaming/ingest.quarantine_sink over "
+        "operators/expectations.quarantine_split): the events feed "
+        "streams through the foreachBatch gate, clean rows land in the "
+        "serving sink, violators land tagged in the quarantine sink — "
+        "each micro-batch into its own batch_id=N partition with "
+        "OVERWRITE, so the at-least-once replay of a crashed batch is "
+        "idempotent. The result reads BOTH sinks back: per-rule "
+        "quarantined-row counts from the violation tags plus the "
+        "__clean__ serving count, which must equal the batch split of "
+        "the same rows (row verdicts are pure projections, so "
+        "stream==batch regardless of file batching). Graduates the "
+        "r10 quarantine gate from pytest-only to oracle-backed",
+    tags=("streaming", "quality", "expectations", "quarantine"),
+)
+def q_stream_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.ingest import quarantine_sink
+
+    base = tempfile.mkdtemp(prefix="quarantine_gate_")
+    clean_dir = f"{base}/clean"
+    quarantine_dir = f"{base}/quarantine"
+    rules = {
+        "value_le_90": F.col("value") <= 90,
+        "not_error": F.col("event_type") != "error",
+    }
+    with _streaming_events_conf(spark):
+        q = quarantine_sink(
+            _events_stream(spark, sf_dir).drop("ts"),
+            rules,
+            clean_dir,
+            quarantine_dir,
+            f"{base}/ckpt",
+        )
+        q.awaitTermination()
+    bad = spark.read.parquet(quarantine_dir)
+    per_rule = (
+        bad.select(F.explode("violations").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    clean = (
+        spark.read.parquet(clean_dir)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("__clean__").alias("rule"), "n_rows")
+    )
+    return per_rule.unionByName(clean)
