@@ -84,7 +84,7 @@ def test_vacuum_retention_never_touches_current(spark, tmp_path):
     # gone: v1 (beyond retention), v4 (tombstoned), v9 (orphan)
     assert removed == [1, 4, 9]
     assert sorted(p.name for p in Path(root).iterdir()) == [
-        "_retired", "v=2", "v=3",
+        "_claims", "_retired", "v=2", "v=3",
     ]
     retired = sorted(
         p.name
@@ -100,3 +100,44 @@ def test_vacuum_retention_never_touches_current(spark, tmp_path):
     # highest version ever seen (v9 orphan was reclaimed), never reusing
     # a number some consumer may have pinned
     assert sn.publish_snapshot(_df(spark, "r5"), root) == 10
+
+
+def test_concurrent_publishers_get_distinct_versions(spark, tmp_path):
+    """Two interleaved publishers serialize through the create-exclusive
+    claim marker: writer A claims v=2 (then stalls mid-write), writer B
+    publishes concurrently and must land on v=3 — not collide with A's
+    claimed-but-uncommitted number. Both publishes succeed with
+    DISTINCT versions; a claimed number whose writer crashes is burned
+    forever (allocator floor), never handed to a later publisher."""
+    root = str(tmp_path / "corpus")
+    sn.publish_snapshot(_df(spark, "r1"), root)
+
+    # writer A: claims the next number, stalls before writing data
+    n_a = sn._claim_version(spark, root)
+    assert n_a == 2
+
+    # writer B: full publish while A is mid-flight -> fresh number
+    assert sn.publish_snapshot(_df(spark, "rB"), root) == 3
+
+    # the CAS itself: a second exclusive create of an existing claim
+    # loses (raises) — that is the entire race arbitration
+    jvm, fs, _ = sn._fs(spark, root)
+    with pytest.raises(Exception):
+        fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/_claims/v=3"), False
+        ).close()
+
+    # writer A resumes: writes its claimed dir and commits; history is
+    # v1 < v2(A) < v3(B), current = highest committed = 3
+    vdir = f"{root}/v={n_a}"
+    _df(spark, "rA").write.parquet(vdir)
+    fs.create(jvm.org.apache.hadoop.fs.Path(vdir, "_COMMITTED")).close()
+    assert sn.current_version(spark, root) == 3
+    assert (
+        sn.read_snapshot(spark, root, version=2)
+        .select("release").first()[0] == "rA"
+    )
+
+    # a claimer that crashes before writing burns its number
+    assert sn._claim_version(spark, root) == 4  # never written
+    assert sn.publish_snapshot(_df(spark, "r5"), root) == 5

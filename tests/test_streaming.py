@@ -693,3 +693,35 @@ def test_quarantine_sink_matches_batch_split(spark, events_split, tmp_path):
         (r.event_id, tuple(sorted(r.violations))) for r in b_bad.collect()
     )
     assert got == want and len(got) >= 3
+
+
+def test_quarantine_sink_replay_is_idempotent(spark, events_split, tmp_path):
+    """A replayed micro-batch (foreachBatch is at-least-once) must not
+    duplicate already-written rows: each batch lands in its own
+    batch_id=N partition with OVERWRITE, so re-processing the same
+    batches onto the same sinks leaves counts unchanged. Simulated by
+    draining the identical single-drop stream twice — second run with a
+    FRESH checkpoint (so batch 0 genuinely re-executes) but the same
+    sink directories."""
+    from utn_dataengineering_stockmarketpipeline_spark.streaming.ingest import (
+        quarantine_sink,
+        stream_parquet,
+    )
+
+    _, d1, _ = events_split
+    schema = spark.read.parquet(d1).schema
+    rules = {"value_nonneg": F.col("value") >= 0}
+    clean_dir, q_dir = str(tmp_path / "clean"), str(tmp_path / "quarantine")
+    for run in ("ckpt_a", "ckpt_b"):
+        q = quarantine_sink(
+            stream_parquet(spark, f"{d1}/*.parquet", schema),
+            rules,
+            clean_dir,
+            q_dir,
+            str(tmp_path / run),
+        )
+        q.awaitTermination()
+    n_src = spark.read.parquet(d1).count()
+    n_clean = spark.read.parquet(clean_dir).count()
+    n_bad = spark.read.parquet(q_dir).count()
+    assert n_clean + n_bad == n_src

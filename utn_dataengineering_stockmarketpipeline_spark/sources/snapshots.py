@@ -27,11 +27,16 @@ create, before the delete — crash-safe), and ``publish`` allocates
 ``max(existing ∪ retired) + 1``, so a pinned "v4" can never silently
 resolve to different data than the v4 that was once published.
 
-Concurrency contract: single writer (the pipeline scheduler), any
-number of readers — the lake reality these jobs run under. Two racing
-writers could allocate the same version; a real deployment serializes
-publishes (or moves to a table format), and the docstring says so
-rather than pretending otherwise.
+Concurrency contract: any number of readers, and CONCURRENT writers
+serialize through the version allocator — ``publish`` claims its
+number with a create-exclusive ``<root>/_claims/v=<n>`` marker (the
+same atomic-create primitive as the commit marker), so two racing
+publishers land on distinct versions instead of both writing ``v=n``.
+Claims are permanent allocator floor alongside ``_retired``: a writer
+that crashes after claiming burns the number, which the never-reuse
+contract wants anyway. What this is NOT: snapshot-isolated multi-table
+transactions or conflict detection between logically-conflicting
+writes — that is Delta/Iceberg territory, out of scope by design.
 """
 
 from __future__ import annotations
@@ -110,6 +115,57 @@ def current_version(spark: SparkSession, root: str) -> int | None:
     return _current(_versions(spark, root))
 
 
+def _claims(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers any writer has CLAIMED (committed or not) — part
+    of the allocator floor, so a claimed-but-crashed publish still
+    burns its number."""
+    jvm, fs, _ = _fs(spark, root)
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/_claims")
+    if not fs.exists(cdir):
+        return []
+    out = []
+    for status in fs.listStatus(cdir):
+        m = _VDIR.match(status.getPath().getName())
+        if m:
+            out.append(int(m.group(1)))
+    return out
+
+
+def _claim_version(spark: SparkSession, root: str, max_attempts: int = 64
+                   ) -> int:
+    """Allocate the next version number with a create-EXCLUSIVE claim
+    marker (``<root>/_claims/v=<n>``) — the CAS that makes concurrent
+    publishers safe: two writers computing the same candidate ``n``
+    both attempt the exclusive create, exactly one succeeds, the loser
+    re-probes and claims ``n+1``. Lock-free (no lease to expire, no
+    stale lock to break): a writer that crashes after claiming merely
+    burns a number, which the never-reuse contract wants anyway.
+    Atomicity is HDFS-namenode / object-store conditional-put
+    ``create(path, overwrite=False)``; that primitive is the entire
+    protocol."""
+    jvm, fs, _ = _fs(spark, root)
+    cdir = f"{root.rstrip('/')}/_claims"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(cdir))
+    for _ in range(max_attempts):
+        vs = _versions(spark, root)
+        floor = max(
+            max(_retired(spark, root), default=0),
+            max(_claims(spark, root), default=0),
+        )
+        n = max(max(vs, default=0), floor) + 1
+        try:
+            fs.create(
+                jvm.org.apache.hadoop.fs.Path(f"{cdir}/v={n}"), False
+            ).close()
+            return n
+        except Exception:
+            continue  # lost the race for n; re-probe and try n+1
+    raise RuntimeError(
+        f"could not claim a snapshot version under {root} after "
+        f"{max_attempts} attempts"
+    )
+
+
 def publish_snapshot(
     df: DataFrame,
     root: str,
@@ -118,11 +174,14 @@ def publish_snapshot(
     """Write ``df`` as the next snapshot version and commit it; returns
     the version number. The new version is invisible to readers until
     the final marker create, so a mid-write crash leaves the table
-    exactly as it was (vacuum reclaims the orphan directory later)."""
+    exactly as it was (vacuum reclaims the orphan directory later).
+
+    Concurrent publishers are safe: the version number comes from
+    :func:`_claim_version`'s create-exclusive claim marker, so two
+    racing publishes land on DISTINCT versions (serialized by claim
+    order) instead of both writing ``v=n``."""
     spark = df.sparkSession
-    vs = _versions(spark, root)
-    floor = max(_retired(spark, root), default=0)
-    n = max(max(vs, default=0), floor) + 1
+    n = _claim_version(spark, root)
     vdir = f"{root.rstrip('/')}/v={n}"
     writer = df.write.mode("errorifexists")
     if partition_by:
