@@ -150,6 +150,14 @@ BENCH_QUERIES = (
     "ana_skyline_suppliers",
     "ana_ks_drift",
     "llm_token_fertility",
+    # round-11 additions: expectations gate (batch report + streaming
+    # quarantine), snapshot-release manifest, historical VaR/CVaR,
+    # CCNet perplexity terciles
+    "ana_expectations_report",
+    "stream_quarantine_gate",
+    "ref_snapshot_versions",
+    "ref_var_historical",
+    "llm_ccnet_buckets",
 )
 
 
