@@ -888,6 +888,14 @@ def main() -> None:
         # sf0.1 under this scheme: ±7% (per-query deltas under
         # ~30% at sub-second scale are noise, not regressions).
         "timing": "min-of-3, full-GC isolation per query",
+        # r10->r11 reconciliation: the r10 capture's broad ~1.25x
+        # per-query slowdown was HOST LOAD, not code — the r11 re-run
+        # on an idle host matches r9 at median ratio 0.990 over the 48
+        # common queries, and r10's worst "regressors" (ref_macd
+        # 1.77x, join_asof_nearest_price 1.61x — untouched code)
+        # recovered to 0.51x/0.52x of their r10 numbers with no change.
+        "variance_note": "r10 capture was host-load-skewed ~1.25x; "
+                         "r11 idle re-run matches r9 (median 0.99)",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         f"scale_ratios_{factor}x_over_1x": ratios,
