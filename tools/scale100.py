@@ -19,11 +19,12 @@ the replica construction, not operator scaling):
   deeper, adversarial diameter case) and the PageRank namespace
   replica carry the iterative-graph evidence instead.
 
-Timing: 1x entries are min-of-2 with full-GC isolation (sub-second,
-jitter-dominated — same convention as bench.scale_evidence); 100x
-entries are single-run after a full GC (tens of seconds, jitter is
-proportionally negligible and a second sample would double a ~20-min
-capture).
+Timing: min-of-2 with full-GC isolation at BOTH scales (same
+convention as bench.scale_evidence). The r10 capture proved tens-of-
+seconds runs are NOT jitter-proof on this host (semantic_dedup 100x:
+45.4 / 186.3 / 82.1 s across captures of identical code — ±2x load
+swings), so the second sample is the price of usable evidence even
+though it doubles a ~20-min capture.
 
 Usage: python tools/scale100.py [factor]   (default 100, sf from
 SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1)
@@ -78,7 +79,12 @@ def main() -> None:
 
     def pair(stem: str, thunk_1x, thunk_nx) -> None:
         timed(f"{stem}_1x", thunk_1x, samples=2)
-        timed(f"{stem}_{factor}x", thunk_nx, samples=1)
+        # min-of-2 at Nx as well since the r10 capture: this host
+        # shows ±2x load jitter (the r10 semantic_dedup 100x sample
+        # measured 45.4/186.3/82.1 s across captures of IDENTICAL
+        # code), and a single sample cannot distinguish that from a
+        # plan defect. Doubles capture time; evidence quality first.
+        timed(f"{stem}_{factor}x", thunk_nx, samples=2)
 
     # --- documents-based operators -----------------------------------
     print("documents-based operators", flush=True)
