@@ -125,3 +125,59 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     nodes.unpersist()
     we.unpersist()
     return ranks
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
+             src: str = "src", dst: str = "dst",
+             node_col: str = "node") -> DataFrame:
+    """Minimum-hop distance from a SEED SET over an undirected edge
+    list, bounded at ``max_hops`` → ``(node, hops)`` for every node
+    reached (seeds at 0; unreached nodes absent). The level-synchronous
+    BFS / bounded shortest-path class: supply-chain reach, blast-radius
+    ("everything within k hops of the contaminated source"), curation
+    neighborhood expansion.
+
+    Expressed as bounded Bellman-Ford relaxation rather than
+    frontier/anti-join BFS: ``d_k = min(d_{k-1}, 1 + d_{k-1} ⋈ edges)``
+    per round, which is pure join + union + groupBy-MIN on INTEGER
+    hops — no anti-join state, deterministic on any engine, and it
+    unrolls to SQL CTEs verbatim (the pagerank-oracle discipline).
+    Rounds chain lazily into one job like :func:`pagerank`; the edge
+    list is made undirected and persisted once.
+
+    Plan per round: reached ⋈ edges on the source key (one hash
+    shuffle), union with the carried distances, partial-agg MIN by
+    node. At 100 TB: edges pre-partitioned by ``src`` are reused every
+    round; the reached relation is the growing side but shuffles only
+    (node, hops) int pairs. Relaxation visits |frontier's edges| per
+    round like frontier BFS — the union-min just carries settled nodes
+    through the narrow agg instead of maintaining anti-join state.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .persist()
+    )
+    und.count()
+    reached = seeds.select(
+        F.col(node_col).alias("node"), F.lit(0).cast("int").alias("hops")
+    ).distinct()
+    for _ in range(max_hops):
+        expanded = (
+            und.join(reached, und["a"] == reached["node"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
+            )
+        )
+        reached = (
+            reached.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    out = reached.localCheckpoint()
+    und.unpersist()
+    return out

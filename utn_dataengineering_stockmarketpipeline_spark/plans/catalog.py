@@ -253,6 +253,12 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_random_projection",
     "llm_embedding_kmeans",
     "llm_phash_clusters",
+    # -- late round-11 registrations (beyond the 5 planned window
+    #    slots): local-oracle green, no driver row yet — the prepared
+    #    r12 rotation queues them FIRST --
+    "ref_sharpe_ratio",
+    "ref_up_streaks",
+    "ana_bfs_reach",
 )
 
 

@@ -1794,3 +1794,78 @@ def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "props_object": F.col("props").startswith("{"),
     }
     return ex.quality_report(events, rules)
+
+
+def _bfs_oracle(max_hops: int = 4) -> str:
+    """Unrolled bounded Bellman-Ford relaxation in DuckDB SQL — same
+    discipline as the pagerank oracle (recursive CTEs cannot aggregate
+    in the recursive term, so the fixed hop bound unrolls); pure
+    integer MIN arithmetic, so the match is exact, no rounding."""
+    ctes = ["""base AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM base
+  UNION SELECT dst, src FROM base),
+d0 AS (
+  SELECT DISTINCT 'C' || c_custkey AS node, CAST(0 AS INT) AS hops
+  FROM customer WHERE c_nationkey = 0)"""]
+    for k in range(1, max_hops + 1):
+        ctes.append(f"""d{k} AS (
+  SELECT node, MIN(hops) AS hops FROM (
+    SELECT node, hops FROM d{k - 1}
+    UNION ALL
+    SELECT e.b AS node, CAST(d.hops + 1 AS INT) AS hops
+    FROM edges e JOIN d{k - 1} d ON e.a = d.node)
+  GROUP BY node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, CAST(hops AS INT) AS hops FROM d{max_hops}"
+    )
+
+
+@register(
+    "ana_bfs_reach",
+    _bfs_oracle(4),
+    doc="bounded multi-source BFS / shortest-hop over the undirected "
+        "customer-supplier order graph (operators/graph.bfs_hops): "
+        "min-hop distance from the nation-0 customer seed set, 4 hops "
+        "— the blast-radius / supply-chain-reach class of iterative "
+        "query beside the fixed-point (pagerank) and convergence "
+        "(connected components) classes. Expressed as bounded "
+        "Bellman-Ford relaxation: per round ONE reached⋈edges hash "
+        "join + union + partial-agg MIN on integer hops, no anti-join "
+        "state, rounds chained lazily into one job; the oracle unrolls "
+        "the identical 4 relaxations as CTEs and the integer "
+        "arithmetic matches exactly — no rounding anywhere",
+    tags=("analytics", "graph", "iterative", "bfs"),
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return bfs_hops(edges, seeds, max_hops=4)

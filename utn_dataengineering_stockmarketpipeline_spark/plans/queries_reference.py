@@ -1707,3 +1707,163 @@ def q_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("stock_ticker", "n_days", "var95_ppm", "cvar95_ppm")
     )
+
+
+@register(
+    "ref_sharpe_ratio",
+    with_reference_ctes("""
+SELECT stock_ticker, n_days,
+       ROUND(mean_raw, 6) AS mean_ppm,
+       ROUND(SQRT(var_raw), 6) AS vol_ppm,
+       ROUND((mean_raw / SQRT(var_raw)) * SQRT(252.0), 6) AS sharpe_ann
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  agg AS (
+    SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(ret_ppm) AS DOUBLE) AS s,
+           CAST(SUM(ret_ppm * ret_ppm) AS DOUBLE) AS q
+    FROM rets WHERE ret_ppm IS NOT NULL
+    GROUP BY stock_ticker)
+  SELECT stock_ticker, n_days,
+         s / n_days AS mean_raw,
+         (q - (s * s) / n_days) / (n_days - 1) AS var_raw
+  FROM agg WHERE n_days >= 2)
+WHERE var_raw > 0
+"""),
+    doc="annualized Sharpe ratio per ticker (mean/vol of daily returns "
+        "x sqrt(252)) — the risk-adjusted-return head of the stock "
+        "domain, beside ref_var_historical's tail risk. Float "
+        "discipline: returns quantize to integer ppm, the sums S and "
+        "SUM-of-squares Q are EXACT integers (|S| < 2^53, Q < 2^53 at "
+        "any plausible ppm scale, so their doubles are exact), and "
+        "mean/variance/Sharpe derive from (S, Q, n) in one pinned "
+        "association — no parallel float accumulation exists for "
+        "engines to disagree on; sqrt is IEEE correctly-rounded. ONE "
+        "lag window + ONE map-side-combined aggregate",
+    tags=("reference", "risk", "window"),
+)
+def q_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    rets = sp.select(
+        "stock_ticker",
+        F.round(
+            (F.col("stock_close") / F.lag("stock_close").over(w) - 1)
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("ret_ppm"),
+    ).filter(F.col("ret_ppm").isNotNull())
+    agg = rets.groupBy("stock_ticker").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ret_ppm").cast("double").alias("s"),
+        F.sum(F.col("ret_ppm") * F.col("ret_ppm"))
+        .cast("double")
+        .alias("q"),
+    )
+    base = (
+        agg.filter(F.col("n_days") >= 2)
+        .select(
+            "stock_ticker",
+            "n_days",
+            (F.col("s") / F.col("n_days")).alias("mean_raw"),
+            (
+                (F.col("q") - (F.col("s") * F.col("s")) / F.col("n_days"))
+                / (F.col("n_days") - 1)
+            ).alias("var_raw"),
+        )
+        .filter(F.col("var_raw") > 0)
+    )
+    return base.select(
+        "stock_ticker",
+        "n_days",
+        F.round("mean_raw", 6).alias("mean_ppm"),
+        F.round(F.sqrt("var_raw"), 6).alias("vol_ppm"),
+        F.round(
+            (F.col("mean_raw") / F.sqrt("var_raw"))
+            * F.sqrt(F.lit(252.0)),
+            6,
+        ).alias("sharpe_ann"),
+    )
+
+
+@register(
+    "ref_up_streaks",
+    with_reference_ctes("""
+SELECT stock_ticker, streak_len, start_date, end_date
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  rn AS (
+    SELECT stock_ticker, stock_date, ret_ppm,
+           ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                              ORDER BY stock_date) AS rn_all
+    FROM rets WHERE ret_ppm IS NOT NULL),
+  pos AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                                 ORDER BY stock_date) AS rn_pos
+    FROM rn WHERE ret_ppm > 0),
+  runs AS (
+    SELECT stock_ticker, rn_all - rn_pos AS grp,
+           CAST(COUNT(*) AS BIGINT) AS streak_len,
+           MIN(stock_date) AS start_date, MAX(stock_date) AS end_date
+    FROM pos GROUP BY stock_ticker, rn_all - rn_pos)
+  SELECT stock_ticker, streak_len, start_date, end_date,
+         ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                            ORDER BY streak_len DESC, start_date) AS pick
+  FROM runs)
+WHERE pick = 1
+"""),
+    doc="longest run of consecutive positive-return days per ticker — "
+        "the gaps-and-islands idiom as a first-class engine shape "
+        "(momentum streaks; the same plan answers outage runs, login "
+        "streaks, sensor fault windows). Island key = rn_all - rn_pos "
+        "(two same-partition windows, ONE shuffle — the second window "
+        "reuses the first's partitioning), integer end-to-end; "
+        "deterministic (len DESC, start ASC) pick of the winner",
+    tags=("reference", "window", "islands"),
+)
+def q_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    rets = sp.select(
+        "stock_ticker",
+        "stock_date",
+        F.round(
+            (F.col("stock_close") / F.lag("stock_close").over(w) - 1)
+            * F.lit(1e6)
+        )
+        .cast("bigint")
+        .alias("ret_ppm"),
+    ).filter(F.col("ret_ppm").isNotNull())
+    rn = rets.withColumn("rn_all", F.row_number().over(w))
+    pos = rn.filter(F.col("ret_ppm") > 0).withColumn(
+        "rn_pos", F.row_number().over(w)
+    )
+    runs = (
+        pos.groupBy(
+            "stock_ticker", (F.col("rn_all") - F.col("rn_pos")).alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("streak_len"),
+            F.min("stock_date").alias("start_date"),
+            F.max("stock_date").alias("end_date"),
+        )
+    )
+    wp = Window.partitionBy("stock_ticker").orderBy(
+        F.col("streak_len").desc(), "start_date"
+    )
+    return (
+        runs.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select("stock_ticker", "streak_len", "start_date", "end_date")
+    )
