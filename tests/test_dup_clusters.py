@@ -210,3 +210,40 @@ def test_small_graph_fast_path_matches_forced_loop(spark):
     assert st_fast["contracted_edges"] is None
     assert st_loop["rounds"] >= 1
     assert st_loop["fast_path_edges"] is None
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    """bfs_hops == brute-force BFS on a hand graph with multiple seeds,
+    an unreachable island, and a node whose shortest path improves at a
+    later relaxation round; hop bound honored."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    #   s1-a-b-c-d   s2-c  (c reachable at 1 via s2, not 3 via s1)
+    #   island: x-y  (unreached)
+    edges = spark.createDataFrame(
+        [("s1", "a"), ("a", "b"), ("b", "c"), ("c", "d"),
+         ("s2", "c"), ("x", "y")],
+        ["src", "dst"],
+    )
+    seeds = spark.createDataFrame([("s1",), ("s2",)], ["node"])
+    got = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {
+        "s1": 0, "s2": 0, "a": 1, "c": 1, "b": 2, "d": 2,
+    }
+    # bound: max_hops=1 stops the wave
+    got1 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=1).collect()
+    }
+    assert got1 == {"s1": 0, "s2": 0, "a": 1, "c": 1}
+    # max_hops=0: seeds only
+    got0 = {
+        r["node"]: r["hops"]
+        for r in bfs_hops(edges, seeds, max_hops=0).collect()
+    }
+    assert got0 == {"s1": 0, "s2": 0}
