@@ -1811,7 +1811,7 @@ d0 AS (
   SELECT DISTINCT 'C' || c_custkey AS node, CAST(0 AS INT) AS hops
   FROM customer WHERE c_nationkey = 0)"""]
     for k in range(1, max_hops + 1):
-        ctes.append(f"""d{k} AS (
+        ctes.append(f"""d{k} AS MATERIALIZED (
   SELECT node, MIN(hops) AS hops FROM (
     SELECT node, hops FROM d{k - 1}
     UNION ALL
