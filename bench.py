@@ -158,6 +158,8 @@ BENCH_QUERIES = (
     "ref_snapshot_versions",
     "ref_var_historical",
     "llm_ccnet_buckets",
+    "ref_sharpe_ratio",
+    "ref_up_streaks",
 )
 
 
@@ -683,6 +685,37 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         _full_gc(spark)
         t0 = time.perf_counter()
         rows = pagerank(edges, iters=10).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
+        edges.unpersist()
+
+    # bounded BFS reach (r11): same replicated graph, seeds = every
+    # replica's nation-0 customers, 4 relaxation rounds. Replica
+    # namespaces are disconnected, so reached rows scale exactly with
+    # the factor while per-round join width scales with edges — the
+    # ratio isolates the round cost like the pagerank entry.
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") == 0
+    ).select("c_custkey")
+    for label, fac in (("bfs_reach_1x", 1), (f"bfs_reach_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        seeds = cust.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("c_custkey")).alias("node")
+        )
+        edges.count()
+        _full_gc(spark)
+        t0 = time.perf_counter()
+        rows = bfs_hops(edges, seeds, max_hops=4).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
         edges.unpersist()
 
