@@ -673,3 +673,106 @@ def test_shard_assignment_matches_hashlib(spark, ids, n_shards):
         for pos, i in enumerate(members, start=1):
             want[i] = (shard, pos)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    series=st.lists(
+        st.tuples(
+            st.sampled_from(["T1", "T2"]),
+            st.lists(
+                st.floats(min_value=1.0, max_value=500.0,
+                          allow_nan=False, allow_infinity=False),
+                min_size=2, max_size=25,
+            ),
+        ),
+        min_size=1, max_size=2, unique_by=lambda t: t[0],
+    )
+)
+def test_risk_metrics_match_bruteforce(spark, series):
+    """risk.var_cvar / sharpe / longest_positive_streak == plain-Python
+    brute force on arbitrary per-ticker price series (same ppm
+    quantization on both sides)."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    rows = []
+    for ticker, prices in series:
+        for i, px in enumerate(prices):
+            rows.append((ticker, dt.date(2024, 1, 1) + dt.timedelta(days=i), px))
+    prices_df = spark.createDataFrame(
+        rows, ["stock_ticker", "stock_date", "stock_close"]
+    )
+    rets_df = risk.returns_ppm(prices_df)
+
+    # brute force, mirroring the ppm quantization
+    brute = {}
+    for ticker, prices in series:
+        rets = [
+            int(round((prices[i] / prices[i - 1] - 1) * 1e6))
+            for i in range(1, len(prices))
+        ]
+        brute[ticker] = rets
+
+    # VaR / CVaR
+    got = {r["stock_ticker"]: r for r in risk.var_cvar(rets_df).collect()}
+    for ticker, rets in brute.items():
+        n = len(rets)
+        k = max(1, math.ceil(n * 0.05))
+        tail = sorted(rets)[:k]
+        r = got[ticker]
+        assert r["n_days"] == n
+        assert r["var95_ppm"] == sorted(rets)[k - 1]
+        assert abs(r["cvar95_ppm"] - sum(tail) / k) < 1e-9
+
+    # Sharpe
+    got_s = {r["stock_ticker"]: r for r in risk.sharpe(rets_df).collect()}
+    for ticker, rets in brute.items():
+        n = len(rets)
+        s, q = float(sum(rets)), float(sum(x * x for x in rets))
+        if n < 2:
+            assert ticker not in got_s
+            continue
+        var = (q - (s * s) / n) / (n - 1)
+        if var <= 0:
+            assert ticker not in got_s
+            continue
+        r = got_s[ticker]
+        # compare to the UNROUNDED brute value within the 6dp rounding
+        # quantum: python round() is banker's, the engines' ROUND is
+        # half-up, and hypothesis finds exact .5 boundaries where they
+        # legitimately differ (engine-vs-engine parity is the oracle
+        # test's job; this test checks the math)
+        assert abs(r["mean_ppm"] - s / n) <= 5.001e-7
+        assert abs(r["vol_ppm"] - math.sqrt(var)) <= 5.001e-7
+        assert abs(
+            r["sharpe_ann"] - (s / n) / math.sqrt(var) * math.sqrt(252.0)
+        ) <= 5.001e-7
+
+    # longest positive streak (len + earliest start)
+    got_k = {
+        r["stock_ticker"]: r
+        for r in risk.longest_positive_streak(rets_df).collect()
+    }
+    for ticker, rets in brute.items():
+        best_len, best_start, cur, cur_start = 0, None, 0, None
+        for i, v in enumerate(rets):
+            if v > 0:
+                if cur == 0:
+                    cur_start = i
+                cur += 1
+                if cur > best_len:
+                    best_len, best_start = cur, cur_start
+            else:
+                cur = 0
+        if best_len == 0:
+            assert ticker not in got_k
+            continue
+        r = got_k[ticker]
+        assert r["streak_len"] == best_len
+        # returns row i corresponds to price day i+1
+        assert r["start_date"] == dt.date(2024, 1, 1) + dt.timedelta(
+            days=best_start + 1
+        )

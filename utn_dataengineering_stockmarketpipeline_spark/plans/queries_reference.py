@@ -1670,43 +1670,9 @@ FROM (
     tags=("reference", "risk", "window", "quantile"),
 )
 def q_var_historical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sp = stock_prices(spark, sf_dir)
-    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
-    rets = sp.select(
-        "stock_ticker",
-        "stock_date",
-        F.round(
-            (F.col("stock_close") / F.lag("stock_close").over(w) - 1)
-            * F.lit(1e6)
-        )
-        .cast("bigint")
-        .alias("ret_ppm"),
-    ).filter(F.col("ret_ppm").isNotNull())
-    stats = rets.groupBy("stock_ticker").agg(
-        F.count(F.lit(1)).alias("n_days")
-    ).withColumn(
-        "k",
-        F.greatest(
-            F.lit(1).cast("bigint"),
-            F.ceil(F.col("n_days") * F.lit(0.05)),
-        ),
-    )
-    wr = Window.partitionBy("stock_ticker").orderBy("ret_ppm", "stock_date")
-    ranked = rets.withColumn("rn", F.row_number().over(wr))
-    return (
-        ranked.join(F.broadcast(stats), "stock_ticker")
-        .filter(F.col("rn") <= F.col("k"))
-        .groupBy("stock_ticker", "n_days")
-        .agg(
-            F.max(
-                F.when(F.col("rn") == F.col("k"), F.col("ret_ppm"))
-            ).alias("var95_ppm"),
-            (F.sum("ret_ppm").cast("double") / F.count(F.lit(1))).alias(
-                "cvar95_ppm"
-            ),
-        )
-        .select("stock_ticker", "n_days", "var95_ppm", "cvar95_ppm")
-    )
+    from ..operators import risk
+
+    return risk.var_cvar(risk.returns_ppm(stock_prices(spark, sf_dir)))
 
 
 @register(
@@ -1748,48 +1714,9 @@ WHERE var_raw > 0
     tags=("reference", "risk", "window"),
 )
 def q_sharpe_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sp = stock_prices(spark, sf_dir)
-    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
-    rets = sp.select(
-        "stock_ticker",
-        F.round(
-            (F.col("stock_close") / F.lag("stock_close").over(w) - 1)
-            * F.lit(1e6)
-        )
-        .cast("bigint")
-        .alias("ret_ppm"),
-    ).filter(F.col("ret_ppm").isNotNull())
-    agg = rets.groupBy("stock_ticker").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("ret_ppm").cast("double").alias("s"),
-        F.sum(F.col("ret_ppm") * F.col("ret_ppm"))
-        .cast("double")
-        .alias("q"),
-    )
-    base = (
-        agg.filter(F.col("n_days") >= 2)
-        .select(
-            "stock_ticker",
-            "n_days",
-            (F.col("s") / F.col("n_days")).alias("mean_raw"),
-            (
-                (F.col("q") - (F.col("s") * F.col("s")) / F.col("n_days"))
-                / (F.col("n_days") - 1)
-            ).alias("var_raw"),
-        )
-        .filter(F.col("var_raw") > 0)
-    )
-    return base.select(
-        "stock_ticker",
-        "n_days",
-        F.round("mean_raw", 6).alias("mean_ppm"),
-        F.round(F.sqrt("var_raw"), 6).alias("vol_ppm"),
-        F.round(
-            (F.col("mean_raw") / F.sqrt("var_raw"))
-            * F.sqrt(F.lit(252.0)),
-            6,
-        ).alias("sharpe_ann"),
-    )
+    from ..operators import risk
+
+    return risk.sharpe(risk.returns_ppm(stock_prices(spark, sf_dir)))
 
 
 @register(
@@ -1833,37 +1760,8 @@ WHERE pick = 1
     tags=("reference", "window", "islands"),
 )
 def q_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sp = stock_prices(spark, sf_dir)
-    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
-    rets = sp.select(
-        "stock_ticker",
-        "stock_date",
-        F.round(
-            (F.col("stock_close") / F.lag("stock_close").over(w) - 1)
-            * F.lit(1e6)
-        )
-        .cast("bigint")
-        .alias("ret_ppm"),
-    ).filter(F.col("ret_ppm").isNotNull())
-    rn = rets.withColumn("rn_all", F.row_number().over(w))
-    pos = rn.filter(F.col("ret_ppm") > 0).withColumn(
-        "rn_pos", F.row_number().over(w)
-    )
-    runs = (
-        pos.groupBy(
-            "stock_ticker", (F.col("rn_all") - F.col("rn_pos")).alias("grp")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("streak_len"),
-            F.min("stock_date").alias("start_date"),
-            F.max("stock_date").alias("end_date"),
-        )
-    )
-    wp = Window.partitionBy("stock_ticker").orderBy(
-        F.col("streak_len").desc(), "start_date"
-    )
-    return (
-        runs.withColumn("pick", F.row_number().over(wp))
-        .filter(F.col("pick") == 1)
-        .select("stock_ticker", "streak_len", "start_date", "end_date")
+    from ..operators import risk
+
+    return risk.longest_positive_streak(
+        risk.returns_ppm(stock_prices(spark, sf_dir))
     )
