@@ -160,6 +160,7 @@ BENCH_QUERIES = (
     "llm_ccnet_buckets",
     "ref_sharpe_ratio",
     "ref_up_streaks",
+    "ref_snapshot_diff",
 )
 
 

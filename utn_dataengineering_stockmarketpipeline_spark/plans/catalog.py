@@ -259,6 +259,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ref_sharpe_ratio",
     "ref_up_streaks",
     "ana_bfs_reach",
+    "ref_snapshot_diff",
 )
 
 

@@ -1765,3 +1765,67 @@ def q_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return risk.longest_positive_streak(
         risk.returns_ppm(stock_prices(spark, sf_dir))
     )
+
+
+@register(
+    "ref_snapshot_diff",
+    """
+WITH cls AS (
+  SELECT o_orderkey,
+         o_orderstatus = 'F' AS in_v1,
+         (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+          OR o_orderpriority LIKE '3-%') AS in_v2,
+         o_orderpriority LIKE '1-%' AS mutated
+  FROM orders)
+SELECT o_orderkey,
+       CASE WHEN NOT in_v1 THEN 'added'
+            WHEN NOT in_v2 THEN 'removed'
+            WHEN mutated THEN 'changed' END AS change_type
+FROM cls
+WHERE (in_v1 OR in_v2)
+  AND NOT (in_v1 AND in_v2 AND NOT mutated)
+""",
+    doc="cross-VERSION change-data feed over the release layer: two "
+        "snapshot versions publish into a fresh lake (v1 = status-F "
+        "orders; v2 = priority-1/2/3 orders with urgent rows' "
+        "totalprice bumped), both read back through read_snapshot's "
+        "pinned-version path, then scd.table_diff classifies every "
+        "key added / removed / changed — the 'what changed between "
+        "corpus release v7 and v8' question a training-data consumer "
+        "asks before re-training. The diff rides (key, md5) however "
+        "wide the table is; the oracle classifies the same rows by "
+        "direct predicate algebra (F∩urgent = changed, F∩(2,3) = "
+        "unchanged and dropped, non-F 1-3 = added, F∩(4,5) = removed), "
+        "so the match proves the published BYTES drive the diff. "
+        "Composes the r11 snapshot manifest row with the r7 CDC "
+        "primitive",
+    tags=("reference", "release", "snapshots", "cdc"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.scd import table_diff
+    from ..sources import snapshots as snap
+
+    root = tempfile.mkdtemp(prefix="snapdiff_")
+    orders = load_table(spark, sf_dir, "orders")
+    snap.publish_snapshot(
+        orders.filter(F.col("o_orderstatus") == "F"), root
+    )
+    v2 = orders.filter(
+        F.col("o_orderpriority").startswith("1-")
+        | F.col("o_orderpriority").startswith("2-")
+        | F.col("o_orderpriority").startswith("3-")
+    ).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderpriority").startswith("1-"),
+            F.col("o_totalprice") + F.lit(1.0),
+        ).otherwise(F.col("o_totalprice")),
+    )
+    snap.publish_snapshot(v2, root)
+    old = snap.read_snapshot(spark, root, 1)
+    new = snap.read_snapshot(spark, root, 2)
+    return table_diff(
+        old, new, key="o_orderkey", compare=["o_totalprice"]
+    )
