@@ -526,3 +526,60 @@ def test_ks_drift_reuses_the_counts_exchange(spark):
     plan = plan_of(CATALOG["llm_token_fertility"].build(spark, SF_SMOKE))
     assert "Join" not in plan
     assert plan.count(") Exchange") == 1
+
+
+def test_round11_queries_plan_shapes(spark):
+    # expectations report: ONE scan, ONE aggregation, no join — k rules
+    # must never mean k scans
+    plan = plan_of(CATALOG["ana_expectations_report"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count(") Scan parquet") == 1
+
+    # VaR/CVaR: the per-ticker (n, k) stats relation must BROADCAST
+    # back (tiny), never shuffle-join the ranked returns
+    plan = plan_of(CATALOG["ref_var_historical"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # Sharpe: one scan, aggregation only — no join at all
+    plan = plan_of(CATALOG["ref_sharpe_ratio"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+
+    # up-streaks: rn_all and rn_pos ride the SAME (ticker, date)
+    # partitioning — the islands idiom must not add a second sort of
+    # the returns (one window sort + the final tiny runs-ranking sort)
+    plan = plan_of(CATALOG["ref_up_streaks"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bfs_reach_plan_shapes(spark):
+    # the edge list partitions ONCE by the join key; every relaxation
+    # round's executed plan must then reuse that exchange (AQE
+    # materializes the reuse at runtime) rather than re-shuffling the
+    # corpus-scale edge relation per round
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("C"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("S"), F.col("l_suppkey")).alias("dst"),
+    )
+    seeds = (
+        load_table(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey")).alias("node"))
+    )
+    out = bfs_hops(edges, seeds, max_hops=3)
+    plan = plan_of(out)
+    # result of the relaxation loop is a checkpointed flat relation —
+    # the lazy tail must NOT contain the whole round tree (that was the
+    # 87s->8s bug): no joins, no parquet scans survive into it
+    assert "Scan parquet" not in plan
+    assert "Join" not in plan
