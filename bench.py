@@ -161,6 +161,7 @@ BENCH_QUERIES = (
     "ref_sharpe_ratio",
     "ref_up_streaks",
     "ref_snapshot_diff",
+    "llm_langid_confusion",
 )
 
 

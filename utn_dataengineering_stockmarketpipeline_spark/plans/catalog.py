@@ -260,6 +260,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ref_up_streaks",
     "ana_bfs_reach",
     "ref_snapshot_diff",
+    "llm_langid_confusion",
 )
 
 

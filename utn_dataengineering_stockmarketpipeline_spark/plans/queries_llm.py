@@ -3250,3 +3250,48 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ppl_bucket"),
         )
     )
+
+
+@register(
+    "llm_langid_confusion",
+    f"""
+WITH pred AS (
+  SELECT lang AS lang_true, {_lang_id_sql()} AS lang_pred
+  FROM documents),
+cells AS (
+  SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY lang_true, lang_pred)
+SELECT lang_true, lang_pred, n_docs,
+       n_docs * 1000 / SUM(n_docs) OVER (PARTITION BY lang_true)
+         AS recall_permille
+FROM cells
+""",
+    doc="language-ID confusion matrix: the classifier-EVAL loop over "
+        "llm_lang_id — per (true, predicted) cell counts plus per-true-"
+        "language recall permille, the audit a pipeline runs before "
+        "trusting a cheap classifier to gate a corpus (which languages "
+        "leak into which, what 'und' swallows). ONE scan + one "
+        "map-side-combined cell aggregation; the recall window rides "
+        "the |langs|² cell relation, never the corpus. Integer counts, "
+        "one exact-integer division to double",
+    tags=("llm", "text", "langid", "eval"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            text.lang_id("text").alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        (F.col("n_docs") * 1000 / F.sum("n_docs").over(w)).alias(
+            "recall_permille"
+        ),
+    )
