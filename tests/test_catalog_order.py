@@ -36,3 +36,16 @@ def test_new_queries_inside_driver_window():
     assert not missing, f"new queries outside driver window: {missing}"
     # and the pin itself leaves room for them
     assert _WINDOW_PIN + len(unlisted) <= 50
+
+
+def test_bench_queries_exist_in_catalog():
+    """Every headline bench entry must resolve — a typo here only
+    surfaces when the driver's per-round bench run crashes."""
+    import bench
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in CATALOG]
+    assert not missing, f"bench queries not in catalog: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
