@@ -745,11 +745,17 @@ def test_risk_metrics_match_bruteforce(spark, series):
         # half-up, and hypothesis finds exact .5 boundaries where they
         # legitimately differ (engine-vs-engine parity is the oracle
         # test's job; this test checks the math)
-        assert abs(r["mean_ppm"] - s / n) <= 5.001e-7
-        assert abs(r["vol_ppm"] - math.sqrt(var)) <= 5.001e-7
-        assert abs(
-            r["sharpe_ann"] - (s / n) / math.sqrt(var) * math.sqrt(252.0)
-        ) <= 5.001e-7
+        # quantum (5e-7) plus a few ulps: at 1e8+ ppm magnitudes the
+        # 6dp-rounded decimal is not representable, so the stored
+        # double deviates from the ideal rounding by up to ~ulp/2
+        def tol(x):
+            return 5.001e-7 + abs(x) * 3e-16
+
+        mean, vol = s / n, math.sqrt(var)
+        assert abs(r["mean_ppm"] - mean) <= tol(mean)
+        assert abs(r["vol_ppm"] - vol) <= tol(vol)
+        sharpe_b = mean / vol * math.sqrt(252.0)
+        assert abs(r["sharpe_ann"] - sharpe_b) <= tol(sharpe_b)
 
     # longest positive streak (len + earliest start)
     got_k = {
