@@ -639,7 +639,7 @@ def test_ks_drift_matches_two_sample_definition(spark, rows):
             for t in vals
         )
         assert int(got[g].ks_num) == num
-        assert abs(float(got[g].ks) - num / (len(gv) * len(rv))) < 5e-7
+        assert int(got[g].ks_ppm) == num * 1_000_000 // (len(gv) * len(rv))
 
 
 @given(

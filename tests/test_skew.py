@@ -141,23 +141,23 @@ def test_ks_drift_planted_shift(spark):
         gv = sorted(v for s, v in rows if s == g)
         rv = sorted(v for s, v in rows if s != g)
         vals = sorted({v for _, v in rows})
-        return max(
+        num = max(
             abs(
                 sum(1 for x in gv if x <= t) * len(rv)
                 - sum(1 for x in rv if x <= t) * len(gv)
             )
             for t in vals
-        ) / (len(gv) * len(rv))
+        )
+        return num, len(gv) * len(rv)
 
     for g in ("a", "b", "c"):
-        assert abs(float(got[g].ks) - brute(g)) < 5e-7  # ks is round(.,6)
-        assert int(got[g].ks_num) == round(
-            brute(g) * got[g].n_docs * (len(rows) - got[g].n_docs)
-        )
+        num, denom = brute(g)
+        assert int(got[g].ks_num) == num
+        assert int(got[g].ks_ppm) == num * 1_000_000 // denom
     # a and b are mirror images around the pool -> equal drift; c is
     # drawn from the pooled rest -> low drift
-    assert got["b"].ks == got["a"].ks > got["c"].ks
-    assert float(got["c"].ks) < 0.2
+    assert got["b"].ks_ppm == got["a"].ks_ppm > got["c"].ks_ppm
+    assert int(got["c"].ks_ppm) < 200_000
 
 
 def test_ks_drift_excludes_whole_corpus_group(spark):

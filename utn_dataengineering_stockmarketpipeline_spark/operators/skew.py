@@ -143,15 +143,22 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
 def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift per group: for every
     group g, ``ks = max over values v of |CDF_g(v) - CDF_rest(v)|``
-    against the REST of the corpus — ``(group, n_docs, ks_num, ks)``.
+    against the REST of the corpus — ``(group, n_docs, ks_num,
+    ks_ppm)``.
 
     The data-quality monitor run per ingest source: a source whose
     value distribution (document length, quality score, ...) drifts
     from the corpus is the one to quarantine before it skews training.
-    Exact, not sampled: the statistic is computed as the integer
-    ``max |cum_g * n_rest - cum_rest * n_g|`` (DECIMAL(38,0) products
-    — two 1e11-row corpora would overflow int64) with ONE double
-    division at the end, so the DuckDB oracle matches bit-for-bit.
+    Exact, not sampled, and INTEGER END TO END: the statistic is the
+    integer ``max |cum_g * n_rest - cum_rest * n_g|`` (DECIMAL(38,0)
+    products — two 1e11-row corpora would overflow int64) and the
+    normalized form is emitted as exact parts-per-million
+    ``ks_ppm = (ks_num * 1_000_000) div (n_g * n_rest)`` rather than a
+    rounded double quotient: Spark rounds doubles through
+    ``BigDecimal.valueOf`` (shortest-repr decimalization) while DuckDB
+    rounds in binary, so a quotient within an ulp of a half-quantum
+    boundary diverges between engines (the round-11 driver flake on
+    this very query). Integral division is engine-identical.
 
     Scale: per-(group, value) counts are one map-side-combined shuffle;
     everything after runs on the counts GRID — |groups| x |distinct
@@ -209,13 +216,11 @@ def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             group_col,
             F.col("n_g").alias("n_docs"),
             "ks_num",
-            F.round(
-                F.col("ks_num").cast("double")
-                / (
-                    F.col("n_g").cast("double")
-                    * (F.col("n") - F.col("n_g")).cast("double")
-                ),
-                6,
-            ).alias("ks"),
+            # Spark's `div` (IntegralDivide) on DECIMAL operands
+            # returns BIGINT — matches the oracle's HUGEINT // cast.
+            F.expr(
+                "(ks_num * 1000000) div (cast(n_g as decimal(19,0))"
+                " * cast(n - n_g as decimal(19,0)))"
+            ).alias("ks_ppm"),
         )
     )

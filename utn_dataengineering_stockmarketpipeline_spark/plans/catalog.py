@@ -56,90 +56,32 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-11 rotation (freshness after r10: r7×3 / r8×50 / r9×50 / r10×50
-# + 13 late-r10 registrations never driver-verified):
-#   1. the three deferred r7 entries (oldest cohort, promised
-#      first-in-line), then the thirteen late round-10 registrations
-#      (local-oracle green at all SFs but no driver row yet — highest
-#      verification priority), then 34 of the 50 r8-stale entries (29 in the fixed head,
-#      5 in the sliding 46-50 slots new registrations trade against)
-#      (16 defer: 11 trivial deterministic ana_* plans plus
-#      trivial map ops (calendar_gaps, embedding_norms, doc_fingerprint,
-#      embedding_quantize) and the chunker UDTF twin — pytest +
-#      every-session local-oracle covered; ana_sketches_exact and
-#      ana_bloom_pruned_join stay in-window: one anchors the rows-only
-#      sketch entry, the other's identity rides runtime-filter
-#      planning),
-#   2. (pin) the 5 new round-11 registrations slot in here:
-#      45 + 5 = exactly the 50-query window,
-#   3. the 11 deferred r8 ana_* entries head the tail (first into the
-#      r12 window), then the r9-green set, then the r10-green set
-#      (freshest evidence, safely outside).
+# Round-12 rotation (freshness after r11: late-r11 never-verified x5 /
+# r8x21 / r9x50 / r10x50 / r11x50):
+#   1. the five late round-11 registrations (local-oracle green at
+#      sf0.01+sf0.1, no driver row yet — highest verification
+#      priority), then the 21 r8-stale entries (oldest cohort: the 11
+#      deferred trivial ana_* plans promised first-in-line, the 5
+#      trivial map/twin ops, and the 5 entries the round-11
+#      registrations traded out of slots 46-50), then 24 of the 50
+#      r9-stale entries (19 in the fixed head, 5 in the sliding 46-50
+#      slots new registrations trade against),
+#   2. (pin) new round-12 registrations slot in here: plan exactly 5,
+#      or re-pin _WINDOW_PIN to 50 - planned,
+#   3. the remaining 26 r9-stale entries head the tail (first into the
+#      r13 window), then the r10-green cohort, then the r11-green
+#      cohort (freshest evidence, safely outside).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 1: deferred r7-stale (oldest; trivial plan/pivot) --
-    "llm_resize_plan",
-    "llm_frame_sample_plan",
-    "ana_pivot_status",
-    # -- block 2: late round-10 registrations (never driver-verified) --
-    "llm_quality_classifier",
-    "llm_cluster_balanced_sample",
-    "llm_prototype_pruning",
-    "llm_heavy_hitters_cms",
-    "llm_temperature_resample",
-    "ana_join_key_skew",
-    "stream_scd2_apply",
-    "stream_heavy_hitters",
-    "llm_shard_assignment",
-    "llm_ngram_novelty",
-    "ana_skyline_suppliers",
+    # -- block 0: the round-11 red row, hardened to integer ks_ppm --
     "ana_ks_drift",
-    "llm_token_fertility",
-    # -- block 3: r8-stale cohort minus the 11 ana_* deferrals --
-    "join_asof_next_price",
-    "join_asof_price_at_ship",
-    "join_ffill_calendar",
-    "join_interval_promo_overlap",
-    "join_range_price_bands",
-    "llm_ann_ivf_topk",
-    "llm_cosine_topk",
-    "llm_doc_chunks",
-    "llm_doc_profile",
-    "llm_embedding_near_dup",
-    "llm_lang_id",
-    "llm_pii_scrub",
-    "llm_repetition_ratio",
-    "llm_sample_k_per_stratum",
-    "llm_source_mix",
-    "llm_stratified_sample",
-    "llm_tfidf_top_terms",
-    "llm_winnowing_fingerprints",
-    "stream_dedup_events",
-    "stream_stateful_totals",
-    "ref_table_diff",
-    "llm_bm25_scores",
-    "llm_embedding_near_dup_lsh",
-    "llm_ann_lsh_topk",
-    "llm_dup_clusters",
-    "llm_dedup_keep_one",
-    "llm_curation_pipeline",
-    "ana_sketches_exact",
-    "ana_bloom_pruned_join",
-    # -- (pin = 45: new round-11 registrations slot in HERE; the five
-    #    entries below ride slots 46-50 only while fewer than five
-    #    register — each new registration trades one of them out) --
-    "llm_semantic_dedup",
-    "llm_semantic_clusters",
-    "llm_dsir_weights",
-    "llm_curation_embedding",
-    "stream_incremental_dedup",
-    # -- block 4: deferred r8-stale entries (trivial deterministic
-    #    plans / the chunker twin, pytest + local-oracle covered;
-    #    first into r12) --
-    "llm_doc_fingerprint",
-    "llm_embedding_quantize",
-    "ref_calendar_gaps",
-    "llm_embedding_norms",
-    "llm_doc_chunks_udtf",
+    # -- block 1: late round-11 registrations (never driver-verified) --
+    "ref_sharpe_ratio",
+    "ref_up_streaks",
+    "ana_bfs_reach",
+    "ref_snapshot_diff",
+    "llm_langid_confusion",
+    # -- block 2: r8-stale (11 deferred ana_* + 5 trivial map/twin +
+    #    5 traded out of the r11 sliding slots) --
     "ana_big_orders",
     "ana_funnel_conversion",
     "ana_important_parts",
@@ -151,7 +93,17 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_distinct_users_salted",
     "ana_events_hourly",
     "ana_first_touch",
-    # -- block 5: r9-green tail --
+    "llm_doc_fingerprint",
+    "llm_embedding_quantize",
+    "ref_calendar_gaps",
+    "llm_embedding_norms",
+    "llm_doc_chunks_udtf",
+    "llm_semantic_dedup",
+    "llm_semantic_clusters",
+    "llm_dsir_weights",
+    "llm_curation_embedding",
+    "stream_incremental_dedup",
+    # -- block 3: first 19 of the r9-stale cohort --
     "ana_lapsed_customers",
     "ana_lead_lag",
     "ana_order_priority",
@@ -170,12 +122,16 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_mix_temperature",
     "llm_sequence_packing",
     "ref_daily_returns",
-    "ref_drawdown",
+    # -- (pin = 45: new round-12 registrations slot in HERE; the five
+    #    entries below ride slots 46-50 only while fewer than five
+    #    register — each new registration trades one of them out) --
     "ref_get_last_price",
     "ref_global_max_date",
     "ref_latest_per_ticker",
     "ref_normalize_market_payload",
     "ref_normalize_stock_payload",
+    # -- block 4: remaining r9-stale (first into r13) --
+    "ref_drawdown",
     "ref_ohlc_monthly",
     "ref_rolling_30day_mean",
     "ref_rsi14",
@@ -202,7 +158,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_embedding_outliers",
     "stream_quota_admission",
     "stream_dedup_within_watermark",
-    # -- block 6: r10-green tail (freshest evidence) --
+    # -- block 5: r10-green tail --
     "ana_price_histogram",
     "ana_set_ops",
     "ref_markets_table",
@@ -253,22 +209,62 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_random_projection",
     "llm_embedding_kmeans",
     "llm_phash_clusters",
-    # -- late round-11 registrations (beyond the 5 planned window
-    #    slots): local-oracle green, no driver row yet — the prepared
-    #    r12 rotation queues them FIRST --
-    "ref_sharpe_ratio",
-    "ref_up_streaks",
-    "ana_bfs_reach",
-    "ref_snapshot_diff",
-    "llm_langid_confusion",
+    # -- block 6: r11-green tail (window head then the five round-11
+    #    window registrations; freshest evidence) --
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "ana_pivot_status",
+    "llm_quality_classifier",
+    "llm_cluster_balanced_sample",
+    "llm_prototype_pruning",
+    "llm_heavy_hitters_cms",
+    "llm_temperature_resample",
+    "ana_join_key_skew",
+    "stream_scd2_apply",
+    "stream_heavy_hitters",
+    "llm_shard_assignment",
+    "llm_ngram_novelty",
+    "ana_skyline_suppliers",
+    "llm_token_fertility",
+    "join_asof_next_price",
+    "join_asof_price_at_ship",
+    "join_ffill_calendar",
+    "join_interval_promo_overlap",
+    "join_range_price_bands",
+    "llm_ann_ivf_topk",
+    "llm_cosine_topk",
+    "llm_doc_chunks",
+    "llm_doc_profile",
+    "llm_embedding_near_dup",
+    "llm_lang_id",
+    "llm_pii_scrub",
+    "llm_repetition_ratio",
+    "llm_sample_k_per_stratum",
+    "llm_source_mix",
+    "llm_stratified_sample",
+    "llm_tfidf_top_terms",
+    "llm_winnowing_fingerprints",
+    "stream_dedup_events",
+    "stream_stateful_totals",
+    "ref_table_diff",
+    "llm_bm25_scores",
+    "llm_embedding_near_dup_lsh",
+    "llm_ann_lsh_topk",
+    "llm_dup_clusters",
+    "llm_dedup_keep_one",
+    "llm_curation_pipeline",
+    "ana_sketches_exact",
+    "ana_bloom_pruned_join",
+    "ref_snapshot_versions",
+    "ref_var_historical",
+    "ana_expectations_report",
+    "llm_ccnet_buckets",
+    "stream_quarantine_gate",
 )
 
 
-# New (unlisted) queries slot in after the must-verify head (three r7
-# deferrals + thirteen late-r10 + 29 r8-stale).
-# 45 + 5 planned round-11 registrations = the full 50-query window
-# (each new registration trades out one of the 5 sliding r8 entries
-# in slots 46-50).
+# New (unlisted) queries slot in after the must-verify head.
+# 45 + 5 planned round-12 registrations = the full 50-query window.
 _WINDOW_PIN = 45
 
 

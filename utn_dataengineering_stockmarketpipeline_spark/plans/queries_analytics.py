@@ -1724,8 +1724,9 @@ diffs AS (
              * CAST(n_g AS DECIMAL(19,0))) AS d
   FROM cums)
 SELECT source, n_g AS n_docs, MAX(d) AS ks_num,
-       round(CAST(MAX(d) AS DOUBLE)
-             / (CAST(n_g AS DOUBLE) * CAST(n - n_g AS DOUBLE)), 6) AS ks
+       CAST((CAST(MAX(d) AS HUGEINT) * 1000000)
+            // (CAST(n_g AS HUGEINT) * CAST(n - n_g AS HUGEINT))
+            AS BIGINT) AS ks_ppm
 FROM diffs WHERE n_g < n GROUP BY source, n_g, n
 """,
     doc="per-source exact two-sample Kolmogorov-Smirnov drift of the "
@@ -1733,7 +1734,8 @@ FROM diffs WHERE n_g < n GROUP BY source, n_g, n
         "(skew.ks_drift) — the ingest-quality monitor that flags which "
         "source to quarantine before it skews training. Integer "
         "statistic (max |cum_g*n_rest - cum_rest*n_g|, DECIMAL(38,0) "
-        "products for 1e11-row honesty) with ONE final double division; "
+        "products for 1e11-row honesty) normalized as exact integer "
+        "ks_ppm via integral division — no cross-engine double rounding; "
         "everything past the one count shuffle runs on the |sources| x "
         "|distinct values| grid — bounded by the VALUE DOMAIN, never "
         "the corpus; the only unpartitioned window cumulates the tiny "
