@@ -3,6 +3,14 @@
 
 Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing contract: each headline number wraps ``build(spark, sf).count()``
+— so for the side-effecting fixture queries (ref_snapshot_versions /
+ref_snapshot_diff / stream_quarantine_gate) the build-time publish /
+stream-drain work IS part of the reported seconds (each run publishes
+into a fresh plans.scratch dir, cleaned at interpreter exit). Their
+numbers measure the release/ingest protocol end-to-end, not a bare
+read.
 """
 
 from __future__ import annotations

@@ -711,7 +711,8 @@ def vocabulary(df: DataFrame, text_col: str = "text",
 
 def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text",
-                    round_to: int = 6) -> DataFrame:
+                    round_to: int = 6,
+                    exact_micro: bool = False) -> DataFrame:
     """Unigram language-model scoring: per-document mean negative log
     probability of its tokens under the CORPUS unigram distribution —
     the model-based quality filter class (CCNet/KenLM-style perplexity
@@ -730,6 +731,19 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     broadcastable; here it joins by key), one doc-key shuffle to
     average. Sum order differs across engines in final ulps, so the
     mean rounds to ``round_to``.
+
+    ``exact_micro=True`` makes the score aggregation-order-
+    DETERMINISTIC for consumers that feed it into a discrete decision
+    (the ccnet tercile bucketer): each distinct term's −ln(p) is
+    quantized ONCE to int64 micro-units with the mode-stable
+    ``floor(x*1e6 + 0.5)`` (the similarity.py discipline — term-level,
+    so the only cross-engine float op is a single correctly-rounded
+    multiply on identical inputs), per-doc sums are exact integer
+    addition (order-free, unlike double SUM), and the returned
+    ``avg_neg_logprob = sum_micro / (1e6 * n_tokens)`` is ONE double
+    division of identical integers — bit-identical across engines. In
+    this mode the extra ``sum_nlp_micro`` column is emitted and ln runs
+    |terms| times instead of |tokens| times (cheaper, too).
     """
     toks = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
@@ -737,6 +751,27 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
     )
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("__total"))
+    if exact_micro:
+        nlp_micro = counts.crossJoin(F.broadcast(total)).select(
+            "term",
+            F.floor(
+                -F.log(F.col("__cnt") / F.col("__total")) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("__nlp_micro"),
+        )
+        return (
+            toks.join(nlp_micro, "term")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("__nlp_micro").alias("sum_nlp_micro"),
+            )
+            .withColumn(
+                "avg_neg_logprob",
+                F.col("sum_nlp_micro")
+                / (F.lit(1e6) * F.col("n_tokens")),
+            )
+        )
     return (
         toks.join(counts, "term")
         .crossJoin(F.broadcast(total))

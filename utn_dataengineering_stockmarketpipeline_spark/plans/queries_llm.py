@@ -3205,14 +3205,22 @@ WITH tok AS (
 tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
 counts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
 tot AS (SELECT COUNT(*) AS total FROM tok2),
+nlp AS (
+  SELECT term,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+              AS BIGINT) AS nlp_micro
+  FROM counts CROSS JOIN tot),
 scored AS (
-  SELECT doc_id,
-         round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
-  FROM tok2 JOIN counts USING (term) CROSS JOIN tot
+  SELECT doc_id, CAST(SUM(nlp_micro) AS BIGINT) AS sum_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM tok2 JOIN nlp USING (term)
   GROUP BY doc_id)
-SELECT d.doc_id, d.lang, s.avg_neg_logprob,
+SELECT d.doc_id, d.lang,
+       CAST(s.sum_micro AS DOUBLE) / (1000000.0 * s.n_tok)
+         AS avg_neg_logprob,
        CASE NTILE(3) OVER (PARTITION BY d.lang
-                           ORDER BY s.avg_neg_logprob, d.doc_id)
+                           ORDER BY CAST(s.sum_micro AS DOUBLE)
+                                    / (1000000.0 * s.n_tok), d.doc_id)
             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
        END AS ppl_bucket
 FROM documents d JOIN scored s USING (doc_id)
@@ -3223,8 +3231,12 @@ FROM documents d JOIN scored s USING (doc_id)
         "boilerplate, high = rare-token gibberish), the standard "
         "pretraining-corpus partition (train on head+middle, audit "
         "tail). Terciles are per-LANGUAGE so no language is globally "
-        "judged by another's fluency scale; the ntile rides one "
-        "lang-partitioned window over the rounded score with doc_id "
+        "judged by another's fluency scale; the score is aggregation-"
+        "order-deterministic (per-TERM micro-unit quantization + exact "
+        "int64 doc sums + one double division of identical integers — "
+        "a double SUM here would let DuckDB's parallel aggregation "
+        "order flip a tercile boundary) and the ntile rides one "
+        "lang-partitioned window over it with doc_id "
         "tiebreak (total order -> engine-independent buckets). At "
         "100 TB the per-language window decomposes by the same "
         "256-bucket boundary trick as token_budget_selection "
@@ -3234,7 +3246,7 @@ FROM documents d JOIN scored s USING (doc_id)
 )
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.unigram_logprob(docs)
+    scored = text.unigram_logprob(docs, exact_micro=True)
     w = Window.partitionBy("lang").orderBy("avg_neg_logprob", "doc_id")
     return (
         docs.select("doc_id", "lang")

@@ -1590,11 +1590,10 @@ UNION ALL SELECT 4, TRUE, FALSE, TRUE, big_rows FROM c
     tags=("reference", "release", "snapshots"),
 )
 def q_snapshot_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..sources import snapshots as snap
+    from .scratch import scratch_dir
 
-    root = tempfile.mkdtemp(prefix="snaplake_")
+    root = scratch_dir("snaplake_")
     orders = load_table(spark, sf_dir, "orders")
     snap.publish_snapshot(orders, root)
     snap.publish_snapshot(orders.filter(F.col("o_orderstatus") == "F"), root)
@@ -1802,12 +1801,11 @@ WHERE (in_v1 OR in_v2)
     tags=("reference", "release", "snapshots", "cdc"),
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..operators.scd import table_diff
     from ..sources import snapshots as snap
+    from .scratch import scratch_dir
 
-    root = tempfile.mkdtemp(prefix="snapdiff_")
+    root = scratch_dir("snapdiff_")
     orders = load_table(spark, sf_dir, "orders")
     snap.publish_snapshot(
         orders.filter(F.col("o_orderstatus") == "F"), root

@@ -1029,11 +1029,10 @@ FROM v
     tags=("streaming", "quality", "expectations", "quarantine"),
 )
 def q_stream_quarantine_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..streaming.ingest import quarantine_sink
+    from .scratch import scratch_dir
 
-    base = tempfile.mkdtemp(prefix="quarantine_gate_")
+    base = scratch_dir("quarantine_gate_")
     clean_dir = f"{base}/clean"
     quarantine_dir = f"{base}/quarantine"
     rules = {

@@ -131,6 +131,28 @@ def _claims(spark: SparkSession, root: str) -> list[int]:
     return out
 
 
+def _is_already_exists(exc: Exception) -> bool:
+    """True iff a Py4J-wrapped filesystem error is the file-already-
+    exists failure of an exclusive ``create(path, overwrite=False)`` —
+    `org.apache.hadoop.fs.FileAlreadyExistsException` on HDFS-like
+    stores, or the ChecksumFileSystem/RawLocalFileSystem IOException
+    whose message says the path already exists. Walks the Java cause
+    chain so a wrapped RemoteException still matches."""
+    java_exc = getattr(exc, "java_exception", None)
+    seen = 0
+    while java_exc is not None and seen < 8:
+        try:
+            cls = java_exc.getClass().getName()
+            msg = java_exc.getMessage() or ""
+        except Exception:
+            break
+        if "FileAlreadyExists" in cls or "already exists" in msg.lower():
+            return True
+        java_exc = java_exc.getCause()
+        seen += 1
+    return "already exists" in str(exc).lower()
+
+
 def _claim_version(spark: SparkSession, root: str, max_attempts: int = 64
                    ) -> int:
     """Allocate the next version number with a create-EXCLUSIVE claim
@@ -140,9 +162,16 @@ def _claim_version(spark: SparkSession, root: str, max_attempts: int = 64
     re-probes and claims ``n+1``. Lock-free (no lease to expire, no
     stale lock to break): a writer that crashes after claiming merely
     burns a number, which the never-reuse contract wants anyway.
-    Atomicity is HDFS-namenode / object-store conditional-put
-    ``create(path, overwrite=False)``; that primitive is the entire
-    protocol."""
+    ``create(path, overwrite=False)`` is the entire protocol — and the
+    mutual-exclusion guarantee is therefore exactly as strong as that
+    primitive on the underlying store: atomic on namenode-arbitrated
+    filesystems (HDFS, ABFS) where create-no-overwrite is a single
+    metadata CAS. On S3A before Hadoop's conditional-write support
+    (If-None-Match, Hadoop 3.4.1+ with the feature enabled) and on the
+    local ChecksumFileSystem, it degrades to check-then-create, so two
+    racing publishers CAN both claim the same version — on those
+    stores, front this with an external coordinator or enable the S3
+    conditional-write flag."""
     jvm, fs, _ = _fs(spark, root)
     cdir = f"{root.rstrip('/')}/_claims"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(cdir))
@@ -158,7 +187,13 @@ def _claim_version(spark: SparkSession, root: str, max_attempts: int = 64
                 jvm.org.apache.hadoop.fs.Path(f"{cdir}/v={n}"), False
             ).close()
             return n
-        except Exception:
+        except Exception as exc:
+            # ONLY a lost race (the marker already exists) is retryable;
+            # permissions / transient-IO / misconfigured-FS failures
+            # must surface with their root cause, not be retried 64
+            # times into a misleading "could not claim" error.
+            if not _is_already_exists(exc):
+                raise
             continue  # lost the race for n; re-probe and try n+1
     raise RuntimeError(
         f"could not claim a snapshot version under {root} after "
