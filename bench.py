@@ -939,6 +939,19 @@ def main() -> None:
         # recovered to 0.51x/0.52x of their r10 numbers with no change.
         "variance_note": "r10 capture was host-load-skewed ~1.25x; "
                          "r11 idle re-run matches r9 (median 0.99)",
+        # r12 LSH-family attribution: near_dup_lsh/curation_pipeline
+        # drifted 1.3-1.4x vs r9 across two rounds, but the whole call
+        # path is git-identical to r9 (empty diffs: operator, bucketing
+        # BLAS, cosine, both catalog builders). An interleaved fresh-JVM
+        # A/B (3 alternations x min-of-3, GC-isolated) converges to r9
+        # levels by the third alternation — near_dup_lsh 3.59/2.96/1.72
+        # vs r9 1.54 (1.12x), curation 6.02/4.31/3.71 vs r9 3.42
+        # (1.08x) — i.e. the family needs deeper Python-worker/JIT
+        # warm-up than min-of-3 in a busy session provides; no plan
+        # regression exists.
+        "lsh_family_note": "r9->r11 1.3-1.4x drift is warmup depth + "
+                           "load, not code: path git-identical to r9; "
+                           "interleaved A/B reconverges to 1.08-1.12x",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         f"scale_ratios_{factor}x_over_1x": ratios,

@@ -235,3 +235,36 @@ def test_key_skew_profile_planted_hot_key(spark):
     assert hot["p99_cnt"] == 100               # the hot key IS the p99
     assert hot["ratio_to_p50"] == 50.0
     assert hot["share_permille"] == (100 * 1000) // 198
+
+
+def test_gopher_gate_boundary_docs(spark):
+    """gopher_rules: integer cross-multiplied thresholds gate boundary
+    docs deterministically — a doc sitting EXACTLY on a ratio boundary
+    passes the inclusive rules, and each violation is counted from the
+    same one-pass report."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        expectations as ex,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        gopher_rules,
+    )
+
+    # good: 60 tokens, exactly 3 stopwords (5% boundary -> passes >=),
+    # all alpha, mean token length 236/60 = 3.93, no punctuation.
+    good = "the and of " + " ".join(["word"] * 57)
+    # short: 3 tokens (violates 50-token floor), mean len 1 (violates
+    # [3,10]), no stopwords (violates 5% floor), all alpha (passes),
+    # no punct (passes).
+    short = "zz yy xx"
+    docs = spark.createDataFrame([(1, good), (2, short)],
+                                 ["doc_id", "text"])
+    rep = {r["rule"]: r for r in
+           ex.quality_report(docs, gopher_rules("text")).collect()}
+    assert rep["tokens_50_to_100k"]["n_violations"] == 1
+    assert rep["mean_token_len_3_to_10"]["n_violations"] == 1
+    assert rep["punct_le_20pct"]["n_violations"] == 0
+    # good sits EXACTLY at the 5% stopword boundary (3*20 == 60) and
+    # the inclusive integer rule passes it; short has none and fails
+    assert rep["stopword_ge_5pct"]["n_violations"] == 1
+    assert rep["alpha_ge_60pct"]["n_violations"] == 0
+    assert all(r["n_rows"] == 2 for r in rep.values())

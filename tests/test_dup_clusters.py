@@ -247,3 +247,64 @@ def test_bfs_hops_matches_brute_force(spark):
         for r in bfs_hops(edges, seeds, max_hops=0).collect()
     }
     assert got0 == {"s1": 0, "s2": 0}
+
+
+def test_shortest_path_weighted_matches_brute_force(spark):
+    """Weighted Bellman-Ford on a hand graph where the cheapest path is
+    NOT the fewest-hop path, parallel edges collapse to MIN(w), and a
+    longer-but-cheaper route needs more rounds to surface."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        shortest_path_weighted,
+    )
+
+    # s -10- a ; s -1- b -1- c -1- a  (cheap 3-edge route to a beats
+    # the direct w=10 edge); parallel s-a edge w=12 must lose to 10;
+    # island x-y unreached.
+    edges = spark.createDataFrame(
+        [("s", "a", 10), ("s", "a", 12), ("s", "b", 1), ("b", "c", 1),
+         ("c", "a", 1), ("x", "y", 7)],
+        ["src", "dst", "w"],
+    )
+    seeds = spark.createDataFrame([("s",)], ["node"])
+
+    def run(k):
+        return {
+            r["node"]: r["dist"]
+            for r in shortest_path_weighted(edges, seeds,
+                                            max_rounds=k).collect()
+        }
+
+    # 1 round: only direct edges (parallel edge collapsed to 10)
+    assert run(1) == {"s": 0, "a": 10, "b": 1}
+    # 2 rounds: c via b; a still direct
+    assert run(2) == {"s": 0, "a": 10, "b": 1, "c": 2}
+    # 3 rounds: the 3-edge route wins for a
+    assert run(3) == {"s": 0, "a": 3, "b": 1, "c": 2}
+    assert run(0) == {"s": 0}
+
+
+def test_triangle_stats_hand_graph(spark):
+    """Triangle census on a hand graph: one closed triangle + one open
+    wedge + a duplicate/reversed edge that must canonicalize away."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    # triangle 1-2-3; wedge 3-4, 4-5 (open); edge (2,1) duplicates
+    # (1,2) reversed; self-loop (6,6) dropped.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (2, 1), (6, 6)],
+        ["id_a", "id_b"],
+    )
+    row = triangle_stats(pairs).collect()[0]
+    assert row["n_nodes"] == 5
+    assert row["n_edges"] == 5
+    # degrees: 1:2, 2:2, 3:3, 4:2, 5:1 -> wedges 1+1+3+1+0 = 6
+    assert row["n_wedges"] == 6
+    assert row["n_triangles"] == 1
+    assert row["clustering_ppm"] == 3 * 1 * 1_000_000 // 6
+    # wedge-free graph: single edge -> NULL coefficient, zero wedges
+    lone = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    r2 = triangle_stats(lone).collect()[0]
+    assert r2["n_wedges"] == 0 and r2["n_triangles"] == 0
+    assert r2["clustering_ppm"] is None

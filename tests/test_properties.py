@@ -782,3 +782,47 @@ def test_risk_metrics_match_bruteforce(spark, series):
         assert r["start_date"] == dt.date(2024, 1, 1) + dt.timedelta(
             days=best_start + 1
         )
+
+
+def test_var_backtest_hand_series(spark):
+    """var_backtest == plain-Python Kupiec exceedance counting on a
+    deterministic series: VaR fitted on the pre-split half, violations
+    counted strictly after, boundary return keeps its lag base across
+    the split."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    # 41 closes -> 40 returns; split after day 20 (21st close), so the
+    # day-21 return (base = day-20 close) belongs to the TEST side.
+    closes = [100.0]
+    for i in range(40):
+        closes.append(closes[-1] * (1 + ((i * 37) % 21 - 10) / 1000.0))
+    rows = [
+        ("T", dt.date(2024, 1, 1) + dt.timedelta(days=i), c)
+        for i, c in enumerate(closes)
+    ]
+    prices = spark.createDataFrame(
+        rows, ["stock_ticker", "stock_date", "stock_close"]
+    )
+    split = dt.date(2024, 1, 1) + dt.timedelta(days=20)
+    got = risk.var_backtest(prices, str(split), p=0.05).collect()
+    assert len(got) == 1
+    r = got[0]
+
+    rets = [
+        (dt.date(2024, 1, 1) + dt.timedelta(days=i),
+         int(round((closes[i] / closes[i - 1] - 1) * 1e6)))
+        for i in range(1, len(closes))
+    ]
+    est = [v for d, v in rets if d <= split]
+    test = [v for d, v in rets if d > split]
+    k = max(1, math.ceil(len(est) * 0.05))
+    var = sorted(est)[k - 1]
+    n_viol = sum(1 for v in test if v < var)
+    assert r["n_est"] == len(est) == 20
+    assert r["var_ppm"] == var
+    assert r["n_test"] == len(test) == 20
+    assert r["n_viol"] == n_viol
+    assert r["viol_ppm"] == n_viol * 1_000_000 // len(test)
+    assert r["expected_ppm"] == 50_000

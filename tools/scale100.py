@@ -253,6 +253,126 @@ def main() -> None:
         print(f"  {label}: {out[label]}", flush=True)
         edges.unpersist()
 
+    # --- round-11 operators: BFS reach, historical VaR, quarantine ----
+    print("round-11 operators", flush=True)
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        bfs_hops,
+    )
+
+    # bfs_reach on the pagerank namespace replica. Seeds replicate WITH
+    # the graph (custkeys < 50 in EVERY replica namespace), so frontier
+    # work genuinely scales with the factor; the open question this
+    # measures is the eager per-round localCheckpoint cost (bfs_hops
+    # checkpoints each relaxation because the plan references its
+    # predecessor twice) at 100x edge counts.
+    for label, fac in (("bfs_reach_1x", 1), (f"bfs_reach_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        seeds = (
+            spark.range(fac).select(F.col("id").alias("rep"))
+            .crossJoin(spark.range(50).select(F.col("id").alias("ck")))
+            .select(F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                             F.col("ck")).alias("node"))
+        )
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = bfs_hops(edges, seeds, max_hops=4).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
+    # historical VaR/CVaR: 100x TICKERS (namespace replica — each
+    # replica keeps the real per-ticker day count, so the per-entity
+    # rank window's partition size stays constant and only partition
+    # COUNT grows; sub-linear-to-linear wall = the no-global-sort claim
+    # holds).
+    from utn_dataengineering_stockmarketpipeline_spark.plans.reference_tables import (  # noqa: E501
+        stock_prices,
+    )
+
+    sp = stock_prices(spark, sf_dir)
+
+    def tickers(fac):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        return sp.crossJoin(rep).select(
+            F.concat(F.col("stock_ticker"), F.lit("_"),
+                     F.col("rep")).alias("stock_ticker"),
+            "stock_date", "stock_close",
+        )
+
+    var_1x = tickers(1).persist()
+    var_nx = tickers(factor).persist()
+    var_1x.count(), var_nx.count()
+    pair("var_historical",
+         lambda: risk.var_cvar(risk.returns_ppm(var_1x)),
+         lambda: risk.var_cvar(risk.returns_ppm(var_nx)))
+    var_1x.unpersist(), var_nx.unpersist()
+
+    # quarantine gate under MANY batches: fixed per-batch volume, 3 vs
+    # 30 single-file micro-batches (fixed 10x regardless of the main
+    # factor — 300 batches would measure patience, not the protocol).
+    # Ratio ≈ 10 = the per-batch batch_id=N partition OVERWRITE cost
+    # stays flat as the target tree accumulates directories; growth
+    # past linear would mean each batch pays for the batches before it.
+    import shutil
+    import tempfile
+
+    from utn_dataengineering_stockmarketpipeline_spark.streaming.ingest import (
+        quarantine_sink,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    ).limit(90_000)
+    qroot = tempfile.mkdtemp(prefix="scale_quarantine_")
+    try:
+        src_dir = f"{qroot}/src"
+        ev.repartition(30).write.parquet(src_dir)
+        files = sorted(
+            str(p) for p in Path(src_dir).glob("part-*.parquet")
+        )
+        rules = {
+            "value_le_90": F.col("value") <= 90,
+            "not_error": F.col("event_type") != "error",
+        }
+        for label, nb in (("quarantine_3_batches", 3),
+                          ("quarantine_30_batches", 30)):
+            in_dir = f"{qroot}/{label}/in"
+            Path(in_dir).mkdir(parents=True)
+            for f in files[:nb]:
+                shutil.copy(f, in_dir)
+            stream = (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir)
+            )
+            bench._full_gc(spark)
+            t0 = time.perf_counter()
+            q = quarantine_sink(
+                stream, rules,
+                f"{qroot}/{label}/clean", f"{qroot}/{label}/bad",
+                f"{qroot}/{label}/ckpt",
+            )
+            q.awaitTermination()
+            n = spark.read.parquet(f"{qroot}/{label}/clean").count()
+            out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                          "rows": n, "batches": nb}
+            print(f"  {label}: {out[label]}", flush=True)
+        out["quarantine_batch_ratio_30_over_3"] = round(
+            out["quarantine_30_batches"]["sec"]
+            / max(out["quarantine_3_batches"]["sec"], 1e-9), 2
+        )
+    finally:
+        shutil.rmtree(qroot, ignore_errors=True)
+
     # --- synthetic-dimension / streaming / skew sections ---------------
     # (factor-generic bench helpers, reused verbatim)
     print("bench helper sections", flush=True)

@@ -198,3 +198,141 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
         )
     und.unpersist()
     return reached
+
+
+def shortest_path_weighted(edges: DataFrame, seeds: DataFrame,
+                           max_rounds: int = 4,
+                           src: str = "src", dst: str = "dst",
+                           weight: str = "w",
+                           node_col: str = "node") -> DataFrame:
+    """Bounded single/multi-source shortest path over POSITIVE INTEGER
+    edge weights on an undirected graph → ``(node, dist)`` for every
+    node reachable within ``max_rounds`` relaxations (seeds at 0) —
+    the weighted generalization of :func:`bfs_hops` (same Bellman-Ford
+    skeleton: ``d_k = min(d_{k-1}, min over edges (a,b,w) of
+    d_{k-1}(a) + w)``), for cheapest-route / minimum-cost-reach
+    queries where hop count is the wrong metric.
+
+    Note the bound semantics: after k rounds each node holds the
+    cheapest path of AT MOST k edges — a cheaper longer path appears
+    once rounds cover its edge count (classic bounded Bellman-Ford).
+    Integer distances end-to-end, so the unrolled-CTE oracle matches
+    exactly. Parallel edges collapse to MIN(w) per (a, b) while the
+    edge list is made undirected — one extra pre-aggregation, and it
+    shrinks the relation every later round re-joins.
+
+    Plan and 100 TB posture: identical to bfs_hops — edges
+    hash-partitioned by the join key ONCE and persisted; each round
+    shuffles only the (node, dist) int relation; eager per-round
+    localCheckpoint because each relaxation references its
+    predecessor twice (the lazy chain doubles the plan subtree per
+    round — measured at 2^k growth in bfs_hops).
+    """
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    spark = edges.sparkSession
+    m = e.count()
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
+    und = (
+        e.unionAll(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        )
+        .groupBy("a", "b")
+        .agg(F.min("w").alias("w"))
+        .repartition(loop_parts, "a")
+        .persist()
+    )
+    und.count()
+    reached = seeds.select(
+        F.col(node_col).alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    ).distinct().localCheckpoint()
+    for _ in range(max_rounds):
+        expanded = (
+            und.join(reached, und["a"] == reached["node"])
+            .select(
+                F.col("b").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+        )
+        reached = (
+            reached.unionAll(expanded)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    und.unpersist()
+    return reached
+
+
+def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Global triangle census of an undirected pair graph → ONE row
+    ``(n_nodes, n_edges, n_wedges, n_triangles, clustering_ppm)`` with
+    ``clustering_ppm = (3·triangles·1e6) div wedges`` (the global
+    clustering coefficient as exact integer ppm; NULL on a wedge-free
+    graph).
+
+    The structural quality signal on a near-duplicate candidate graph:
+    true duplicate groups are cliques, so high clustering says the LSH
+    pairs agree with each other, while many wedges that never close
+    say the banding is stitching unrelated docs through hub documents
+    (boilerplate). Canonical edges (a < b, distinct) make each
+    triangle a<b<c count exactly ONCE via the ordered 3-join
+    (e1=(a,b) ⋈ e2=(b,c) ⋈ closing edge (a,c)).
+
+    Scale: two hash joins on node keys over the EDGE relation (never
+    the corpus) plus one degree aggregation; the join fan-out is
+    bounded because the upstream LSH bucket cap bounds degrees — the
+    same reason the pair graph itself stays near-linear. Integer
+    end-to-end.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    # localCheckpoint, not persist: four consumers (degrees, edge
+    # count, two sides of the triangle join) read the canonical edge
+    # relation, and the checkpoint leaves no pin to unpersist after
+    # the returned single-row plan materializes.
+    e = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+    )
+    edge_stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = (
+        node_stats.crossJoin(F.broadcast(edge_stats))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes", "n_edges", "n_wedges", "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(n_triangles * 3000000) div n_wedges"),
+            ).alias("clustering_ppm"),
+        )
+    )
+    return out

@@ -166,3 +166,64 @@ def longest_positive_streak(
         .filter(F.col("pick") == 1)
         .select(entity_col, "streak_len", "start_date", "end_date")
     )
+
+
+def var_backtest(
+    prices: DataFrame,
+    split_date: str,
+    p: float = 0.05,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Out-of-sample VaR backtest — the Kupiec unconditional-coverage
+    loop that closes the risk family the way the confusion-matrix eval
+    closed language-ID: fit the p-tail VaR on returns dated
+    ``<= split_date``, count violations (return BELOW the fitted VaR)
+    strictly after, and emit the exceedance numbers the Kupiec POF
+    test consumes → ``(entity, n_est, var_ppm, n_test, n_viol,
+    viol_ppm, expected_ppm)``. A model whose ``viol_ppm`` sits far
+    from ``expected_ppm = p·1e6`` failed coverage; the LR statistic
+    itself is a driver-side scalar over these two integers and stays
+    out of the relation (ln of count ratios would re-open the
+    cross-engine float door the ppm discipline closed).
+
+    Returns are computed over the FULL series first and split by date
+    after, so the first test-window return uses the last estimation
+    close as its lag base (no artificial gap at the boundary).
+    Integer end-to-end: ppm returns, integer violation counts, and
+    ``viol_ppm`` by integral division. Plan: the var_cvar fit on the
+    estimation slice (count agg + rank window, entity-partitioned),
+    fitted VaR broadcast back, one map-side-combined violation count
+    over the test slice. Entities with no estimation returns or no
+    test returns drop (a backtest needs both sides).
+    """
+    rets = returns_ppm(prices, entity_col, date_col, value_col)
+    split = F.lit(split_date).cast("date")
+    fitted = var_cvar(
+        rets.filter(F.col(date_col) <= split), p, entity_col, date_col
+    ).select(
+        entity_col,
+        F.col("n_days").alias("n_est"),
+        F.col("var95_ppm").alias("var_ppm"),
+    )
+    return (
+        rets.filter(F.col(date_col) > split)
+        .join(F.broadcast(fitted), entity_col)
+        .groupBy(entity_col, "n_est", "var_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(F.col("ret_ppm") < F.col("var_ppm"), 1).otherwise(0)
+            ).cast("bigint").alias("n_viol"),
+        )
+        .select(
+            entity_col,
+            "n_est",
+            "var_ppm",
+            "n_test",
+            "n_viol",
+            F.expr("(n_viol * 1000000) div n_test").alias("viol_ppm"),
+            F.lit(int(round(p * 1e6))).cast("bigint").alias("expected_ppm"),
+        )
+    )

@@ -85,6 +85,38 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def gopher_rules(text_col: str = "text") -> dict:
+    """The Gopher-style (Rae et al. '21 §A1.1) document-quality gate as
+    a rules dict for :func:`expectations.quality_report` — the composite
+    one-pass report a pretraining pipeline runs to see how much of a
+    corpus each heuristic would cut BEFORE committing to the cut.
+
+    Every rule is an EXACT INTEGER predicate: thresholds on ratios are
+    cross-multiplied onto the raw counts (``n_punct*5 <= n_tok`` for
+    "punctuation ≤ 20%") so no double division ever meets a threshold —
+    a ratio landing exactly on the boundary is decided by integer
+    comparison identically on every engine, the same discipline that
+    keeps the ppm/micro-unit oracles exact. Thresholds follow the
+    paper's spirit scaled to this corpus' synthetic prose: token count
+    in [50, 100k], mean token length in [3, 10], punctuation ≤ 20% of
+    tokens, stopwords ≥ 5%, alphabetic tokens ≥ 60%."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike(r"^[a-zA-Z]+$")))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*ENGLISH_STOPWORDS)))
+    n_punct = F.size(F.regexp_extract_all(text_col, F.lit(PUNCT_PATTERN), 0))
+    mean_len_num = n_chars - n_tok + 1  # = total token chars
+    return {
+        "tokens_50_to_100k": (n_tok >= 50) & (n_tok <= 100_000),
+        "mean_token_len_3_to_10": (mean_len_num >= 3 * n_tok)
+        & (mean_len_num <= 10 * n_tok),
+        "punct_le_20pct": n_punct * 5 <= n_tok,
+        "stopword_ge_5pct": n_stop * 20 >= n_tok,
+        "alpha_ge_60pct": n_alpha * 5 >= n_tok * 3,
+    }
+
+
 #: Fixed logistic-regression weights for the classifier quality gate —
 #: the shipped artifact of an offline training job (the BPE_MERGES
 #: pattern): (bias, then one weight per feature in APPLICATION ORDER —

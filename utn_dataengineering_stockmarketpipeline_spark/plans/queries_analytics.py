@@ -1871,3 +1871,85 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bfs_hops(edges, seeds, max_hops=4)
+
+
+def _wsp_oracle(max_rounds: int = 4) -> str:
+    """Unrolled bounded weighted Bellman-Ford (the _bfs_oracle
+    discipline with an integer weight riding the relaxation): MIN(w)
+    collapses parallel edges exactly as the Spark operator does, all
+    arithmetic is BIGINT, no rounding anywhere."""
+    ctes = ["""base AS MATERIALIZED (
+  SELECT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst,
+         MIN(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, l_suppkey),
+edges AS MATERIALIZED (
+  SELECT a, b, MIN(w) AS w FROM (
+    SELECT src AS a, dst AS b, w FROM base
+    UNION ALL SELECT dst, src, w FROM base)
+  GROUP BY a, b),
+d0 AS (
+  SELECT DISTINCT 'C' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+  FROM customer WHERE c_nationkey = 0)"""]
+    for k in range(1, max_rounds + 1):
+        ctes.append(f"""d{k} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{k - 1}
+    UNION ALL
+    SELECT e.b AS node, d.dist + e.w AS dist
+    FROM edges e JOIN d{k - 1} d ON e.a = d.node)
+  GROUP BY node)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, dist FROM d{max_rounds}"
+    )
+
+
+@register(
+    "ana_shortest_path",
+    _wsp_oracle(4),
+    doc="bounded weighted shortest path over the undirected customer-"
+        "supplier graph (operators/graph.shortest_path_weighted): "
+        "minimum-cost reach from the nation-0 customer seed set within "
+        "4 relaxations, edge cost = the cheapest order quantity ever "
+        "shipped on that relationship — the weighted generalization of "
+        "ana_bfs_reach (same Bellman-Ford skeleton; hop count is the "
+        "wrong metric when edges carry cost). Parallel edges collapse "
+        "to MIN(w) while the graph is made undirected, shrinking every "
+        "later round's join input; per round ONE reached⋈edges hash "
+        "join + union + partial-agg MIN on BIGINT distances; the "
+        "oracle unrolls the identical relaxations as MATERIALIZED "
+        "CTEs — integer-exact, no rounding",
+    tags=("analytics", "graph", "iterative", "shortest-path"),
+)
+def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import shortest_path_weighted
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.min(F.col("l_quantity").cast("bigint")).alias("w"))
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+            "w",
+        )
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            )
+        )
+    )
+    return shortest_path_weighted(edges, seeds, max_rounds=4)

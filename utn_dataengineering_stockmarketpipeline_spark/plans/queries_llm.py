@@ -3307,3 +3307,106 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_permille"
         ),
     )
+
+
+@register(
+    "llm_gopher_gate",
+    f"""
+WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN NOT COALESCE(
+               len({_TOKS}) >= 50 AND len({_TOKS}) <= 100000, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_ntok,
+         CAST(SUM(CASE WHEN NOT COALESCE(
+               length(text) - len({_TOKS}) + 1 >= 3 * len({_TOKS})
+               AND length(text) - len({_TOKS}) + 1 <= 10 * len({_TOKS}),
+               FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_mlen,
+         CAST(SUM(CASE WHEN NOT COALESCE(
+               len(regexp_extract_all(text, '[.,;:!?]')) * 5
+                 <= len({_TOKS}), FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_punct,
+         CAST(SUM(CASE WHEN NOT COALESCE(
+               len(list_filter({_TOKS},
+                               t -> list_contains({_STOPS_SQL}, t))) * 20
+                 >= len({_TOKS}), FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_stop,
+         CAST(SUM(CASE WHEN NOT COALESCE(
+               len(list_filter({_TOKS},
+                               t -> regexp_full_match(t, '[a-zA-Z]+'))) * 5
+                 >= len({_TOKS}) * 3, FALSE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS v_alpha
+  FROM documents)
+SELECT rule, n_violations, n_rows,
+       (n_rows - n_violations) * 1000 / n_rows AS pass_permille
+FROM (
+  SELECT 'tokens_50_to_100k' AS rule, v_ntok AS n_violations, n_rows
+  FROM base
+  UNION ALL SELECT 'mean_token_len_3_to_10', v_mlen, n_rows FROM base
+  UNION ALL SELECT 'punct_le_20pct', v_punct, n_rows FROM base
+  UNION ALL SELECT 'stopword_ge_5pct', v_stop, n_rows FROM base
+  UNION ALL SELECT 'alpha_ge_60pct', v_alpha, n_rows FROM base)
+""",
+    doc="Gopher-rules composite quality gate (text.gopher_rules x "
+        "expectations.quality_report): per-heuristic violation counts "
+        "+ pass permille over the documents corpus in ONE map-side-"
+        "combined aggregation — the dry-run report a pipeline reads "
+        "before committing to a cut, composing the quality_features "
+        "signals into the expectations layer. Every threshold is an "
+        "exact integer cross-multiplication on the raw counts "
+        "(punct*5 <= tokens, never a double ratio vs 0.2), so "
+        "boundary docs gate identically on every engine; NULL "
+        "verdicts count as violations (allow-list CHECK semantics)",
+    tags=("llm", "text", "quality", "expectations", "curation"),
+)
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import expectations as ex
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ex.quality_report(docs, text.gopher_rules("text"))
+
+
+@register(
+    "llm_dup_triangles",
+    f"""
+WITH {_BANDED_CTE.strip()},
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT id_a AS node FROM pairs UNION ALL SELECT id_b FROM pairs)
+  GROUP BY node),
+ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+  FROM deg),
+es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN (n_triangles * 3000000) // n_wedges END AS clustering_ppm
+FROM ns CROSS JOIN es CROSS JOIN tri
+""",
+    doc="triangle census of the MinHash-LSH duplicate-candidate graph "
+        "(operators/graph.triangle_stats): nodes/edges/wedges/triangles "
+        "+ the global clustering coefficient as exact integer ppm — "
+        "the graph-structural quality signal on the dedup pair output "
+        "(true duplicate groups are cliques → high clustering; wedges "
+        "that never close say the banding stitches unrelated docs "
+        "through boilerplate hubs). Canonical a<b edges make the "
+        "ordered 3-join count each triangle exactly once; two hash "
+        "joins over the EDGE relation (degree-bounded by the LSH "
+        "bucket cap), one degree agg, integer end-to-end",
+    tags=("llm", "dedup", "graph", "quality"),
+)
+def q_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_candidates(docs, num_perms=_NUM_PERMS, bands=_BANDS)
+    return triangle_stats(pairs)

@@ -1767,6 +1767,63 @@ def q_up_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_var_backtest",
+    with_reference_ctes("""
+SELECT stock_ticker, n_est, var_ppm, n_test, n_viol,
+       (n_viol * 1000000) // n_test AS viol_ppm,
+       CAST(50000 AS BIGINT) AS expected_ppm
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  r2 AS (SELECT * FROM rets WHERE ret_ppm IS NOT NULL),
+  est AS (SELECT * FROM r2 WHERE stock_date <= DATE '1995-06-30'),
+  st AS (
+    SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n_est,
+           GREATEST(1, CAST(CEIL(COUNT(*) * 0.05) AS BIGINT)) AS k
+    FROM est GROUP BY stock_ticker),
+  rk AS (
+    SELECT est.*, ROW_NUMBER() OVER (
+             PARTITION BY stock_ticker
+             ORDER BY ret_ppm, stock_date) AS rn
+    FROM est),
+  fitted AS (
+    SELECT rk.stock_ticker, st.n_est,
+           MAX(CASE WHEN rn = k THEN ret_ppm END) AS var_ppm
+    FROM rk JOIN st USING (stock_ticker)
+    WHERE rn <= k GROUP BY rk.stock_ticker, st.n_est)
+  SELECT t.stock_ticker, f.n_est, f.var_ppm,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN t.ret_ppm < f.var_ppm THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_viol
+  FROM r2 t JOIN fitted f USING (stock_ticker)
+  WHERE t.stock_date > DATE '1995-06-30'
+  GROUP BY t.stock_ticker, f.n_est, f.var_ppm)
+"""),
+    doc="out-of-sample VaR backtest (operators/risk.var_backtest) — "
+        "the Kupiec unconditional-coverage loop that closes the risk "
+        "family the way the confusion-matrix eval closed language-ID: "
+        "95% VaR fitted on the pre-1995-07 half of each ticker's "
+        "ppm-return series, exceedances counted strictly after, "
+        "violation rate emitted as exact integral-division ppm beside "
+        "the expected 50000 (the Kupiec LR itself is a driver scalar "
+        "over these two integers — ln of count ratios stays OUT of "
+        "the relation). Returns computed over the full series FIRST "
+        "so the boundary return keeps its lag base; integer "
+        "end-to-end; fitted VaR broadcast back over the test slice, "
+        "one map-side-combined violation count",
+    tags=("reference", "risk", "backtest"),
+)
+def q_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.var_backtest(stock_prices(spark, sf_dir), "1995-06-30")
+
+
+@register(
     "ref_snapshot_diff",
     """
 WITH cls AS (
@@ -1827,3 +1884,81 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         old, new, key="o_orderkey", compare=["o_totalprice"]
     )
+
+
+@register(
+    "ref_snapshot_vacuum",
+    """
+WITH c AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+              AS BIGINT) AS f_rows,
+         CAST(COUNT(*) FILTER (WHERE o_totalprice > 100000.0)
+              AS BIGINT) AS big_rows,
+         CAST(COUNT(*) FILTER (WHERE o_orderpriority LIKE '2-%')
+              AS BIGINT) AS p2_rows
+  FROM orders)
+SELECT CAST(1 AS INT) AS version, 'vacuumed' AS state,
+       CAST(NULL AS BIGINT) AS n_rows
+FROM c
+UNION ALL SELECT 2, 'live', f_rows FROM c
+UNION ALL SELECT 3, 'vacuumed', NULL FROM c
+UNION ALL SELECT 4, 'live', big_rows FROM c
+UNION ALL SELECT 5, 'current', p2_rows FROM c
+""",
+    doc="snapshot vacuum + never-reuse allocator proof "
+        "(sources/snapshots.vacuum — the last release-layer operation "
+        "without a driver row): publishes the v1-v4 lake of "
+        "ref_snapshot_versions (v3 tombstoned by rollback), vacuums "
+        "with keep_last=2 — which must delete exactly v1 (history "
+        "beyond the two live versions v2/v4) and v3 (tombstoned) and "
+        "NEVER the current version — then publishes again and the "
+        "allocator must mint a FRESH v5 (the _retired markers written "
+        "before each delete keep vacuumed numbers burned even though "
+        "their directories are gone). The manifest row per version "
+        "('vacuumed' | 'live' | 'current', with n_rows re-read through "
+        "read_snapshot for every surviving version) proves disk state, "
+        "allocator floor, and bookkeeping in one relation",
+    tags=("reference", "release", "snapshots", "vacuum"),
+)
+def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import snapshots as snap
+    from .scratch import scratch_dir
+
+    root = scratch_dir("snapvac_")
+    orders = load_table(spark, sf_dir, "orders")
+    snap.publish_snapshot(orders, root)                                # v1
+    snap.publish_snapshot(orders.filter(F.col("o_orderstatus") == "F"),
+                          root)                                        # v2
+    snap.publish_snapshot(
+        orders.filter(F.col("o_orderpriority").startswith("1-")), root
+    )                                                                  # v3
+    snap.rollback(spark, root, 2)
+    snap.publish_snapshot(
+        orders.filter(F.col("o_totalprice") > 100000.0), root
+    )                                                                  # v4
+    removed = snap.vacuum(spark, root, keep_last=2)
+    snap.publish_snapshot(
+        orders.filter(F.col("o_orderpriority").startswith("2-")), root
+    )                                                                  # v5
+    manifest = snap.snapshot_versions(spark, root)
+    parts = [
+        spark.range(1).select(
+            F.lit(v).cast("int").alias("version"),
+            F.lit("vacuumed").alias("state"),
+            F.lit(None).cast("bigint").alias("n_rows"),
+        )
+        for v in removed
+    ] + [
+        snap.read_snapshot(spark, root, m["version"])
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.lit(m["version"]).cast("int").alias("version"),
+            F.lit("current" if m["is_current"] else "live").alias("state"),
+            "n_rows",
+        )
+        for m in manifest
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
