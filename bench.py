@@ -170,6 +170,13 @@ BENCH_QUERIES = (
     "ref_up_streaks",
     "ref_snapshot_diff",
     "llm_langid_confusion",
+    # round-12 additions: Kupiec VaR backtest, weighted shortest path,
+    # dup-graph triangle census, snapshot vacuum protocol, Gopher gate
+    "ref_var_backtest",
+    "ana_shortest_path",
+    "llm_dup_triangles",
+    "ref_snapshot_vacuum",
+    "llm_gopher_gate",
 )
 
 

@@ -308,3 +308,36 @@ def test_triangle_stats_hand_graph(spark):
     r2 = triangle_stats(lone).collect()[0]
     assert r2["n_wedges"] == 0 and r2["n_triangles"] == 0
     assert r2["clustering_ppm"] is None
+
+
+def test_kcore_peel_hand_graph(spark):
+    """Bounded k-core peel: a 4-clique survives k=3, a pendant chain
+    peels away over cascading sweeps, and the round bound is honored
+    (the cascade needs TWO sweeps to fully settle)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    # 4-clique a-b-c-d; star d-e, e-f, e-g: e starts at degree 3 and
+    # only falls below k AFTER its leaves f,g peel — a true cascade.
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"),
+              ("b", "d"), ("c", "d")]
+    star = [("d", "e"), ("e", "f"), ("e", "g")]
+    edges = spark.createDataFrame(clique + star, ["src", "dst"])
+
+    def run(rounds, k=3):
+        return {
+            r["node"]: r["deg"]
+            for r in kcore_peel(edges, k=k, rounds=rounds).collect()
+        }
+
+    # raw degrees: a/b/c 3, d 4, e 3, f/g 1
+    assert run(0) == {"a": 3, "b": 3, "c": 3, "d": 4, "e": 3,
+                      "f": 1, "g": 1}
+    # sweep 1: f,g (deg 1) leave; e survives on its PRE-sweep degree 3
+    assert run(1) == {"a": 3, "b": 3, "c": 3, "d": 4, "e": 1}
+    # sweep 2: e is down to deg 1 -> peels; the 4-clique is the 3-core
+    assert run(2) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    assert run(3) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k=5: everything gone after enough sweeps
+    assert run(2, k=5) == {}

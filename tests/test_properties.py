@@ -826,3 +826,62 @@ def test_var_backtest_hand_series(spark):
     assert r["n_viol"] == n_viol
     assert r["viol_ppm"] == n_viol * 1_000_000 // len(test)
     assert r["expected_ppm"] == 50_000
+
+
+def test_autocorr_and_underwater_match_bruteforce(spark):
+    """autocorr_lag1 == textbook Pearson on (ret_t, ret_{t+1}) pairs;
+    underwater_duration == brute-force longest below-peak run."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    closes = [100.0]
+    for i in range(30):
+        closes.append(closes[-1] * (1 + ((i * 29) % 17 - 8) / 1000.0))
+    rows = [
+        ("T", dt.date(2024, 1, 1) + dt.timedelta(days=i), c)
+        for i, c in enumerate(closes)
+    ]
+    prices = spark.createDataFrame(
+        rows, ["stock_ticker", "stock_date", "stock_close"]
+    )
+
+    rets = [
+        int(round((closes[i] / closes[i - 1] - 1) * 1e6))
+        for i in range(1, len(closes))
+    ]
+    xs, ys = rets[:-1], rets[1:]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    want = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx)
+    ) / math.sqrt(n * syy - sy * sy)
+    got = risk.autocorr_lag1(risk.returns_ppm(prices)).collect()
+    assert len(got) == 1
+    assert got[0]["n_pairs"] == n
+    assert got[0]["autocorr"] == pytest.approx(want, rel=1e-12)
+
+    # underwater: brute-force longest run of close < running peak
+    peak, run, best, best_start, start = closes[0], 0, 0, None, None
+    best_end = None
+    for i, c in enumerate(closes):
+        if c < peak:
+            run += 1
+            if start is None:
+                start = i
+            if run > best:
+                best, best_start, best_end = run, start, i
+        else:
+            run, start = 0, None
+        peak = max(peak, c)
+    r = risk.underwater_duration(prices).collect()
+    assert len(r) == 1
+    assert r[0]["underwater_days"] == best
+    assert r[0]["start_date"] == dt.date(2024, 1, 1) + dt.timedelta(
+        days=best_start
+    )
+    assert r[0]["end_date"] == dt.date(2024, 1, 1) + dt.timedelta(
+        days=best_end
+    )

@@ -173,3 +173,25 @@ def test_ks_drift_excludes_whole_corpus_group(spark):
         [("a", 1), ("b", 9)], "source string, n_chars long"
     )
     assert ks_drift(two, "n_chars", "source").count() == 2
+
+
+def test_winsorized_stats_hand_values(spark):
+    """Winsorized mean: clip bounds are the exact discrete order
+    statistics, the outlier moves the raw mean but not the winsorized
+    one, and ties/small groups follow the max(1, ceil(p*n)) rule."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        winsorized_stats,
+    )
+
+    # group g: 1..19 plus one 10000.0 outlier (n=20).
+    # k_lo = ceil(20*.05) = 1 -> lo = 1.0; k_hi = ceil(20*.95) = 19
+    # -> hi = 19.0; clipped outlier contributes 19.
+    vals = [float(i) for i in range(1, 20)] + [10000.0]
+    rows = [("g", v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["grp", "v", "tb"])
+    r = winsorized_stats(df, "v", "grp", tiebreak="tb").collect()[0]
+    assert r["n_rows"] == 20
+    assert r["p_lo_val"] == 1.0
+    assert r["p_hi_val"] == 19.0
+    assert r["win_mean"] == (sum(range(1, 20)) + 19) / 20
+    assert r["raw_mean"] == (sum(range(1, 20)) + 10000.0) / 20

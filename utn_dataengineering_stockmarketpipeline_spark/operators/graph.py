@@ -336,3 +336,53 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
         )
     )
     return out
+
+
+def kcore_peel(edges: DataFrame, k: int, rounds: int,
+               src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded k-core peel of an undirected graph → ``(node, deg)``
+    for the nodes surviving ``rounds`` deletion sweeps (each sweep
+    removes every node whose CURRENT degree is below ``k``, which
+    lowers neighbors' degrees and can cascade next sweep). The
+    density-core extraction behind community seeding and dup-graph
+    triage: the k-core is where the cliques live, the peeled fringe is
+    the loosely-attached boilerplate stitching.
+
+    Bounded rounds make it deterministic and oracle-expressible (the
+    bfs/pagerank discipline: a fixed unroll, not a data-dependent
+    fixpoint); after R sweeps the result is the exact k-core whenever
+    the cascade has settled (peel depth ≤ R), else a superset — the
+    caller picks R like bfs picks max_hops. Synchronous deletion (all
+    sub-k nodes of a sweep leave together) keeps every sweep a pure
+    relational step: degree agg → keep-filter → two semi-joins.
+
+    Scale: the edge relation only SHRINKS; per sweep one degree
+    aggregation plus two hash semi-joins on node keys, eager
+    localCheckpoint per sweep because the next sweep references the
+    filtered edges three times (both semi-joins + the degree agg) —
+    lazy chaining would triple the plan subtree per round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        und = (
+            und.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        und.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("a").alias("node"), "deg")
+    )

@@ -227,3 +227,111 @@ def var_backtest(
             F.lit(int(round(p * 1e6))).cast("bigint").alias("expected_ppm"),
         )
     )
+
+
+def autocorr_lag1(
+    rets: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+) -> DataFrame:
+    """Lag-1 autocorrelation of the ppm-return series per entity →
+    ``(entity, n_pairs, autocorr)`` — the momentum/mean-reversion
+    diagnostic (positive = trending, negative = reverting) that closes
+    the serial-dependence question the streak analytics only eyeball.
+
+    Pearson correlation of (ret_t, ret_{t+1}) pairs under the module's
+    float discipline: the pairs come from ONE lead window over the
+    entity partitioning, all six moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    are EXACT integer sums of ppm values (|Σxy| < n·1e12 — inside
+    2^53 for any per-entity daily history), and the correlation
+    derives from them in one pinned association
+    ``(n·Σxy − Σx·Σy) / (sqrt(n·Σx²−Σx²̂) · sqrt(n·Σy²−Σy²̂))`` emitted
+    UNROUNDED — every op is correctly rounded on identical inputs, so
+    the double is bit-identical cross-engine and a final ROUND would
+    only re-open the half-quantum boundary door (the
+    ref_ticker_correlation discipline with integer moments instead of
+    DECIMAL sums). Entities with fewer than 3
+    returns (under 2 pairs) drop, as does a zero-variance side
+    (NULL correlation is engine-divergent; the filter excludes it).
+    """
+    w = Window.partitionBy(entity_col).orderBy(date_col)
+    pairs = (
+        rets.withColumn("y", F.lead("ret_ppm").over(w))
+        .filter(F.col("y").isNotNull())
+        .select(
+            entity_col,
+            F.col("ret_ppm").alias("x"),
+            F.col("y"),
+        )
+    )
+    m = pairs.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return (
+        m.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            entity_col,
+            F.col("n").alias("n_pairs"),
+            ((n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy)))
+            .alias("autocorr"),
+        )
+    )
+
+
+def underwater_duration(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Longest underwater spell per entity → ``(entity,
+    underwater_days, start_date, end_date)``: the maximum run of
+    consecutive observations strictly below the running peak close —
+    drawdown DURATION, the time dimension ref_drawdown's depth number
+    does not carry (a shallow two-year underwater stretch and a deep
+    two-week one read identically in max-drawdown depth).
+
+    A day that sets (or ties) a new peak is NOT underwater. Same
+    gaps-and-islands skeleton as longest_positive_streak — island key
+    = rn_all − rn_under over two windows on the SAME entity
+    partitioning (one shuffle), winner by (len DESC, start ASC); the
+    below-peak flag itself is one running-max window, also
+    same-partitioned. Double comparisons only (close vs cummax —
+    identical values on both engines compare identically); counting is
+    integer. Entities never underwater drop.
+    """
+    w = Window.partitionBy(entity_col).orderBy(date_col)
+    wpeak = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = prices.select(
+        entity_col,
+        date_col,
+        (F.col(value_col) < F.max(value_col).over(wpeak)).alias("under"),
+        F.row_number().over(w).alias("rn_all"),
+    )
+    under = flagged.filter(F.col("under")).withColumn(
+        "rn_under", F.row_number().over(w)
+    )
+    runs = under.groupBy(
+        entity_col, (F.col("rn_all") - F.col("rn_under")).alias("grp")
+    ).agg(
+        F.count(F.lit(1)).alias("underwater_days"),
+        F.min(date_col).alias("start_date"),
+        F.max(date_col).alias("end_date"),
+    )
+    wp = Window.partitionBy(entity_col).orderBy(
+        F.col("underwater_days").desc(), "start_date"
+    )
+    return (
+        runs.withColumn("pick", F.row_number().over(wp))
+        .filter(F.col("pick") == 1)
+        .select(entity_col, "underwater_days", "start_date", "end_date")
+    )

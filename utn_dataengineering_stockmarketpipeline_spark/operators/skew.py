@@ -224,3 +224,84 @@ def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
             ).alias("ks_ppm"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    tiebreak: str | None = None,
+    quantum: str = "decimal(18,6)",
+) -> DataFrame:
+    """Winsorized (clipped-tail) robust mean per group → ``(group,
+    n_rows, p_lo_val, p_hi_val, win_mean, raw_mean)`` — the
+    outlier-robust center a profiling pass reports next to the raw
+    mean (a handful of fat-finger rows move the raw mean, not the
+    winsorized one; the gap between the two columns IS the outlier
+    signal).
+
+    Exactness discipline: the clip bounds are DISCRETE order
+    statistics (value at rank ``max(1, ceil(p·n))`` — the VaR
+    quantile rule, never an interpolated percentile), clipping is
+    pure comparison on identical doubles, and both means are exact
+    DECIMAL sums divided once in double. The caller's values must fit
+    ``quantum`` without rounding (2dp money in decimal(18,6) does;
+    a full-precision double would hit the engines' differing
+    double→decimal boundary rounding — the documented reason this
+    operator never CASTs anything lossy).
+
+    Plan: one count agg broadcast back, one rank window per group
+    (the only sort — at 100 TB with a bounded value domain swap it
+    for the counts-of-counts cumulation ``key_skew_profile`` uses),
+    bounds broadcast back, one map-side-combined clipped aggregation.
+    """
+    from pyspark.sql import Window
+
+    st = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "k_lo",
+            F.greatest(F.lit(1).cast("bigint"),
+                       F.ceil(F.col("n") * F.lit(p_lo))),
+        )
+        .withColumn(
+            "k_hi",
+            F.greatest(F.lit(1).cast("bigint"),
+                       F.ceil(F.col("n") * F.lit(p_hi))),
+        )
+    )
+    order = [F.col(value_col)]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak))
+    wr = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(wr)).join(
+        F.broadcast(st), group_col
+    )
+    bounds = ranked.groupBy(group_col, "n").agg(
+        F.max(
+            F.when(F.col("__rn") == F.col("k_lo"), F.col(value_col))
+        ).alias("lo"),
+        F.max(
+            F.when(F.col("__rn") == F.col("k_hi"), F.col(value_col))
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col, "n", "lo", "hi")
+        .agg(
+            F.sum(clipped.cast(quantum)).alias("s_win"),
+            F.sum(F.col(value_col).cast(quantum)).alias("s_raw"),
+        )
+        .select(
+            group_col,
+            F.col("n").alias("n_rows"),
+            F.col("lo").alias("p_lo_val"),
+            F.col("hi").alias("p_hi_val"),
+            (F.col("s_win").cast("double") / F.col("n")).alias("win_mean"),
+            (F.col("s_raw").cast("double") / F.col("n")).alias("raw_mean"),
+        )
+    )

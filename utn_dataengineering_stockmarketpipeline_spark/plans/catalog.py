@@ -260,6 +260,16 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_expectations_report",
     "llm_ccnet_buckets",
     "stream_quarantine_gate",
+    # -- late round-12 registrations, EXPLICITLY tail-listed so they
+    #    wait for the round-13 window instead of displacing this
+    #    round's (the driver-window-budget rule; the prepared r13
+    #    rotation leaves them unlisted so they auto-slot at its pin
+    #    as the five planned r13 registrations) --
+    "ana_kcore_suppliers",
+    "ref_autocorr_lag1",
+    "ref_underwater_duration",
+    "ana_winsorized_stats",
+    "ana_mutual_info_lang_source",
 )
 
 

@@ -1953,3 +1953,183 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return shortest_path_weighted(edges, seeds, max_rounds=4)
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled bounded k-core peel (the _bfs_oracle discipline): each
+    sweep is degree-agg -> keep-filter -> two semi-joins, all integer."""
+    ctes = ["""base AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e0 AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM base
+  UNION SELECT dst, src FROM base)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""k{r} AS MATERIALIZED (
+  SELECT a FROM e{r - 1} GROUP BY a HAVING COUNT(*) >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN k{r} ka ON e.a = ka.a
+  JOIN k{r} kb ON e.b = kb.a)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg"
+        + f"\nFROM e{rounds} GROUP BY a"
+    )
+
+
+@register(
+    "ana_kcore_suppliers",
+    _kcore_oracle(k=4, rounds=3),
+    doc="bounded k-core peel of the undirected customer-supplier order "
+        "graph (operators/graph.kcore_peel, k=4, 3 sweeps): each sweep "
+        "synchronously deletes every node whose current degree is "
+        "below k, cascading into the next sweep — the density-core "
+        "extraction behind community seeding and dup-graph triage "
+        "(cores are where cliques live; the peeled fringe is the "
+        "loosely-attached tail). Bounded sweeps keep it deterministic "
+        "and oracle-expressible: per sweep one degree aggregation + "
+        "two hash semi-joins on a relation that only SHRINKS, eagerly "
+        "checkpointed (the next sweep references it three times); the "
+        "oracle unrolls the identical sweeps as MATERIALIZED CTEs — "
+        "integer-exact",
+    tags=("analytics", "graph", "iterative", "kcore"),
+)
+def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return kcore_peel(edges, k=4, rounds=3)
+
+
+@register(
+    "ana_winsorized_stats",
+    """
+WITH st AS (
+  SELECT o_orderpriority AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+         GREATEST(1, CAST(CEIL(COUNT(*) * 0.05) AS BIGINT)) AS k_lo,
+         GREATEST(1, CAST(CEIL(COUNT(*) * 0.95) AS BIGINT)) AS k_hi
+  FROM orders GROUP BY o_orderpriority),
+rk AS (
+  SELECT o_orderpriority AS grp, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn
+  FROM orders),
+b AS (
+  SELECT rk.grp, st.n,
+         MAX(CASE WHEN rn = k_lo THEN o_totalprice END) AS lo,
+         MAX(CASE WHEN rn = k_hi THEN o_totalprice END) AS hi
+  FROM rk JOIN st ON rk.grp = st.grp GROUP BY rk.grp, st.n)
+SELECT o.o_orderpriority, b.n AS n_rows, b.lo AS p_lo_val,
+       b.hi AS p_hi_val,
+       CAST(SUM(CAST(least(greatest(o.o_totalprice, b.lo), b.hi)
+                     AS DECIMAL(18,6))) AS DOUBLE) / b.n AS win_mean,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / b.n
+         AS raw_mean
+FROM orders o JOIN b ON o.o_orderpriority = b.grp
+GROUP BY o.o_orderpriority, b.n, b.lo, b.hi
+""",
+    doc="winsorized robust mean per order priority "
+        "(operators/skew.winsorized_stats): o_totalprice clipped at "
+        "the exact DISCRETE p05/p95 order statistics (the VaR "
+        "quantile rule — value at rank max(1, ceil(p*n)), never an "
+        "interpolated percentile), winsorized and raw means side by "
+        "side — the gap between the two columns IS the outlier "
+        "signal a profiling pass reports. Exact DECIMAL sums (2dp "
+        "money fits decimal(18,6) losslessly) divided once in "
+        "double; one count agg broadcast back, one rank window per "
+        "group, bounds broadcast back, one map-side-combined clipped "
+        "aggregation",
+    tags=("analytics", "statistics", "robust", "profiling"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import winsorized_stats
+
+    return winsorized_stats(
+        load_table(spark, sf_dir, "orders"),
+        value_col="o_totalprice",
+        group_col="o_orderpriority",
+        tiebreak="o_orderkey",
+    )
+
+
+@register(
+    "ana_mutual_info_lang_source",
+    """
+WITH cells AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c
+       FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+q AS (
+  SELECT CAST(floor((CAST(o AS DOUBLE) / n)
+              * ln((CAST(o AS DOUBLE) * n)
+                   / (CAST(r AS DOUBLE) * c)) * 1000000 + 0.5)
+              AS BIGINT) AS mi_cell
+  FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot)
+SELECT (SELECT n FROM tot) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(mi_cell) AS BIGINT) AS mi_micro
+FROM q
+""",
+    doc="mutual information I(lang; source) over the documents corpus "
+        "in exact integer micro-nats — the dependence measure beside "
+        "ana_chi_square_lang_source's test statistic (chi2 answers "
+        "'is there dependence', MI answers 'how much information does "
+        "source carry about language' — the signal a curation pass "
+        "uses to decide whether per-source language quotas are even "
+        "meaningful). The ccnet micro-unit discipline applied to "
+        "info-theory: each cell's p*ln(p/(p_r*p_c)) term is computed "
+        "from identical integers through identical correctly-rounded "
+        "double ops and quantized ONCE (mode-stable floor(x*1e6+0.5), "
+        "safe for the negative terms), then the cross-cell reduction "
+        "is an exact int64 SUM — no parallel float accumulation "
+        "anywhere. One cell aggregation (|langs|x|sources| rows), "
+        "margins broadcast back",
+    tags=("analytics", "statistics", "information", "quality"),
+)
+def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    od, nd = F.col("o").cast("double"), F.col("n").cast("double")
+    rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
+    mi_cell = F.floor(
+        (od / nd) * F.log((od * nd) / (rd * cd)) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(mi_cell.alias("mi_cell"), "n")
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("mi_cell").alias("mi_micro"),
+        )
+        .select(
+            F.col("n").alias("n_docs"), "n_cells", "mi_micro"
+        )
+    )

@@ -1962,3 +1962,101 @@ def q_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "ref_autocorr_lag1",
+    with_reference_ctes("""
+SELECT stock_ticker, n_pairs, autocorr
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  r2 AS (SELECT * FROM rets WHERE ret_ppm IS NOT NULL),
+  p AS (
+    SELECT stock_ticker, ret_ppm AS x,
+           LEAD(ret_ppm) OVER (PARTITION BY stock_ticker
+                               ORDER BY stock_date) AS y
+    FROM r2),
+  p2 AS (SELECT * FROM p WHERE y IS NOT NULL),
+  m AS (
+    SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM p2 GROUP BY stock_ticker)
+  SELECT stock_ticker, n AS n_pairs,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           AS autocorr
+  FROM m
+  WHERE n >= 2
+    AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+    AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0)
+"""),
+    doc="lag-1 autocorrelation of each ticker's daily ppm-return "
+        "series (operators/risk.autocorr_lag1) — the momentum / "
+        "mean-reversion diagnostic that closes the serial-dependence "
+        "question beside the streak analytics. One lead window over "
+        "the entity partitioning, all six moments exact integer sums "
+        "of ppm values, the Pearson formula in ONE pinned double "
+        "association emitted UNROUNDED (bit-identical cross-engine — "
+        "the ref_ticker_correlation discipline with integer moments); "
+        "zero-variance sides filtered (engine-divergent NULL)",
+    tags=("reference", "risk", "window", "statistics"),
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.autocorr_lag1(risk.returns_ppm(stock_prices(spark, sf_dir)))
+
+
+@register(
+    "ref_underwater_duration",
+    with_reference_ctes("""
+SELECT stock_ticker, underwater_days, start_date, end_date
+FROM (
+  WITH f AS (
+    SELECT stock_ticker, stock_date,
+           stock_close < MAX(stock_close) OVER (
+             PARTITION BY stock_ticker ORDER BY stock_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS under,
+           ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                              ORDER BY stock_date) AS rn_all
+    FROM stock_prices),
+  u AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                                 ORDER BY stock_date) AS rn_u
+    FROM f WHERE under),
+  runs AS (
+    SELECT stock_ticker, rn_all - rn_u AS grp,
+           CAST(COUNT(*) AS BIGINT) AS underwater_days,
+           MIN(stock_date) AS start_date, MAX(stock_date) AS end_date
+    FROM u GROUP BY stock_ticker, rn_all - rn_u)
+  SELECT stock_ticker, underwater_days, start_date, end_date,
+         ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                            ORDER BY underwater_days DESC, start_date)
+           AS pick
+  FROM runs)
+WHERE pick = 1
+"""),
+    doc="longest underwater spell per ticker "
+        "(operators/risk.underwater_duration): the maximum run of "
+        "consecutive closes strictly below the running peak — drawdown "
+        "DURATION, the time dimension ref_drawdown's depth number "
+        "does not carry. One running-max window flags below-peak days, "
+        "then the gaps-and-islands skeleton of ref_up_streaks (island "
+        "key = rn_all - rn_under, two windows on ONE entity "
+        "partitioning / one shuffle), winner by (len DESC, start ASC); "
+        "comparisons on identical doubles, counting integer",
+    tags=("reference", "risk", "window", "islands"),
+)
+def q_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.underwater_duration(stock_prices(spark, sf_dir))
