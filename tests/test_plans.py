@@ -583,3 +583,53 @@ def test_bfs_reach_plan_shapes(spark):
     # 87s->8s bug): no joins, no parquet scans survive into it
     assert "Scan parquet" not in plan
     assert "Join" not in plan
+
+
+def test_round12_queries_plan_shapes(spark):
+    # Kupiec backtest: fitted (ticker, n_est, var_ppm) is a tiny
+    # relation — it must BROADCAST back over the test slice, and the
+    # violation count must be a plain aggregation (no extra sort of
+    # the test returns beyond the shared lag window)
+    plan = plan_of(CATALOG["ref_var_backtest"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # Gopher gate: k rules = ONE scan + ONE aggregation, never k scans
+    plan = plan_of(CATALOG["llm_gopher_gate"].build(spark, SF_SMOKE))
+    assert "Join" not in plan
+    assert plan.count(") Scan parquet") == 1
+
+    # winsorized: count stats and clip bounds both broadcast back;
+    # the rank window is the only per-group sort
+    plan = plan_of(CATALOG["ana_winsorized_stats"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # mutual information: margins broadcast onto the tiny cell
+    # relation; the ONE corpus-scale operation is the cell count agg
+    plan = plan_of(
+        CATALOG["ana_mutual_info_lang_source"].build(spark, SF_SMOKE)
+    )
+    assert "SortMergeJoin" not in plan
+    assert plan.count(") Scan parquet") == 1
+
+    # triangle census: the canonical edge relation is checkpointed
+    # flat, so the lazy tail has no parquet scans; the EDGE joins ride
+    # equi-joins — the only nested-loop joins are the two final
+    # crossJoins assembling three single-row aggregates (1x1 rows,
+    # harmless by construction)
+    plan = plan_of(CATALOG["llm_dup_triangles"].build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") == 2  # detail ids
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+    # weighted shortest path / k-core: checkpointed loop results —
+    # the returned tail must be flat (the bfs discipline)
+    plan = plan_of(CATALOG["ana_shortest_path"].build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan and "Join" not in plan
+    plan = plan_of(CATALOG["ana_kcore_suppliers"].build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan

@@ -2101,8 +2101,12 @@ FROM q
         "double ops and quantized ONCE (mode-stable floor(x*1e6+0.5), "
         "safe for the negative terms), then the cross-cell reduction "
         "is an exact int64 SUM — no parallel float accumulation "
-        "anywhere. One cell aggregation (|langs|x|sources| rows), "
-        "margins broadcast back",
+        "anywhere. ONE corpus scan, ONE cell aggregation "
+        "(|langs|x|sources| rows); the margins derive as WINDOW sums "
+        "over that tiny relation — zero joins, no re-scan per margin "
+        "(margin-as-join re-ran the corpus scan four times: the "
+        "branches were not canonically identical, so not even AQE "
+        "exchange reuse saved it — plan-guarded)",
     tags=("analytics", "statistics", "information", "quality"),
 )
 def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2110,9 +2114,15 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("o")
     )
-    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
-    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
-    tot = cells.agg(F.sum("o").alias("n"))
+    # margins as windows over the TINY cell relation (the whole-relation
+    # window is single-partition, but its partition is |langs|x|sources|
+    # rows — bounded by the label domains, never the corpus)
+    enriched = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("r"),
+        F.sum("o").over(Window.partitionBy("source")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
     od, nd = F.col("o").cast("double"), F.col("n").cast("double")
     rd, cd = F.col("r").cast("double"), F.col("c").cast("double")
     mi_cell = F.floor(
@@ -2120,10 +2130,7 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("long")
     return (
-        cells.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(tot))
-        .select(mi_cell.alias("mi_cell"), "n")
+        enriched.select(mi_cell.alias("mi_cell"), "n")
         .groupBy("n")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
