@@ -506,8 +506,8 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
 
 def dsir_weights(df: DataFrame, target_source: str,
                  n_buckets: int = 64, id_col: str = "doc_id",
-                 text_col: str = "text", source_col: str = "source",
-                 round_to: int = 6) -> DataFrame:
+                 text_col: str = "text",
+                 source_col: str = "source") -> DataFrame:
     """DSIR-style importance weights (Xie et al. '23, arXiv:2302.03169
     — Data Selection via Importance Resampling): score every document
     by how much its HASHED-token distribution looks like a target
@@ -529,6 +529,14 @@ def dsir_weights(df: DataFrame, target_source: str,
     join. Nothing scales beyond |tokens| map work + two narrow
     shuffles. Returns (id, n_tokens, log_weight); docs with no tokens
     emit nothing (no distribution evidence).
+
+    Float discipline: the per-bucket log-ratio quantizes ONCE to int64
+    micro-units (mode-stable ``floor(lr·1e6 + 0.5)`` from identical
+    integer counts), the per-doc reduction is the exact integer
+    ``Σ n·lr_micro`` (a parallel double SUM here was aggregation-
+    order-nondeterministic under DuckDB's threaded hash agg — the
+    ccnet flake class), and ``log_weight = Σ/1e6`` is one double
+    division of identical integers, bit-identical cross-engine.
     """
     from ..functions.hashing import md5_prefix64
 
@@ -550,10 +558,20 @@ def dsir_weights(df: DataFrame, target_source: str,
     )
     lr = dist.crossJoin(F.broadcast(totals)).select(
         "b",
-        (
-            F.log((F.col("c_tgt") + 1.0) / (F.col("t_tgt") + float(n_buckets)))
-            - F.log((F.col("c_all") + 1.0) / (F.col("t_all") + float(n_buckets)))
-        ).alias("lr"),
+        F.floor(
+            (
+                F.log(
+                    (F.col("c_tgt") + 1.0)
+                    / (F.col("t_tgt") + float(n_buckets))
+                )
+                - F.log(
+                    (F.col("c_all") + 1.0)
+                    / (F.col("t_all") + float(n_buckets))
+                )
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("lr_micro"),
     )
     doc = tb.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("n"))
     return (
@@ -561,7 +579,12 @@ def dsir_weights(df: DataFrame, target_source: str,
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.round(F.sum(F.col("n") * F.col("lr")), round_to).alias(
+            F.sum(F.col("n") * F.col("lr_micro")).alias("__sum_micro"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__sum_micro").cast("double") / F.lit(1e6)).alias(
                 "log_weight"
             ),
         )
@@ -818,7 +841,8 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id",
 
 def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text",
-                   round_to: int = 6) -> DataFrame:
+                   round_to: int = 6,
+                   exact_micro: bool = False) -> DataFrame:
     """Bigram (first-order Markov) language-model scoring: per-document
     mean negative log of p(t_i | t_{i-1}) under the corpus bigram
     distribution — one modeling step past :func:`unigram_logprob`,
@@ -836,6 +860,13 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
     partials; two key joins (pair, context) and a per-doc average.
     At 100 TB the pruned bigram table is the big join side — it
     shuffles by pair key, never the corpus by anything but doc id.
+
+    ``exact_micro=True`` is :func:`unigram_logprob`'s
+    aggregation-order-deterministic mode: −ln(c2/c1) quantizes ONCE
+    per distinct BIGRAM to int64 micro-units, per-doc sums are exact
+    integer addition, and the mean is one double division of
+    identical integers — use it whenever the score feeds a discrete
+    decision.
     """
     w = Window.partitionBy(id_col).orderBy("pos")
     toks = (
@@ -852,6 +883,30 @@ def bigram_logprob(df: DataFrame, id_col: str = "doc_id",
         F.count(F.lit(1)).alias("__c2")
     )
     c1 = c2.groupBy("prev").agg(F.sum("__c2").alias("__c1"))
+    if exact_micro:
+        nlp_micro = c2.join(c1, "prev").select(
+            "prev", "term",
+            F.floor(
+                -F.log(F.col("__c2") / F.col("__c1")) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("__nlp_micro"),
+        )
+        return (
+            bigrams.join(nlp_micro, ["prev", "term"])
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("__nlp_micro").alias("__sum_micro"),
+            )
+            .select(
+                id_col,
+                "n_bigrams",
+                (
+                    F.col("__sum_micro")
+                    / (F.lit(1e6) * F.col("n_bigrams"))
+                ).alias("avg_neg_logprob"),
+            )
+        )
     return (
         bigrams.join(c2, ["prev", "term"])
         .join(c1, "prev")

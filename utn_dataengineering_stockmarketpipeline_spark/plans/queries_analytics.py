@@ -1403,42 +1403,61 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ana_chi_square_lang_source",
     """
 WITH cells AS (
-  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source),
-rt AS (SELECT lang, SUM(o) AS r FROM cells GROUP BY lang),
-ct AS (SELECT source, SUM(o) AS c FROM cells GROUP BY source),
-tot AS (SELECT SUM(o) AS n FROM cells)
-SELECT round(SUM(
-         (o - CAST(r AS DOUBLE) * c / n)
-         * (o - CAST(r AS DOUBLE) * c / n)
-         / (CAST(r AS DOUBLE) * c / n)), 6) AS chi2,
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source),
+enr AS (
+  SELECT lang, source, o,
+         CAST(SUM(o) OVER (PARTITION BY lang) AS BIGINT) AS r,
+         CAST(SUM(o) OVER (PARTITION BY source) AS BIGINT) AS c,
+         CAST(SUM(o) OVER () AS BIGINT) AS n
+  FROM cells),
+terms AS (
+  SELECT lang, source, n,
+         CAST(floor(
+           (o - CAST(r AS DOUBLE) * c / n)
+           * (o - CAST(r AS DOUBLE) * c / n)
+           / (CAST(r AS DOUBLE) * c / n) * 1000000 + 0.5)
+           AS BIGINT) AS tm
+  FROM enr)
+SELECT CAST(CAST(SUM(tm) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2,
        CAST((COUNT(DISTINCT lang) - 1)
             * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
        CAST(MIN(n) AS BIGINT) AS n_docs
-FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+FROM terms
 """,
     doc="chi-square test of independence between two categorical "
         "columns (lang x source) — the dataset-balance diagnostic "
-        "('is source mix confounded with language?'). One cell "
-        "aggregation with map-side partials; the marginals re-aggregate "
-        "the TINY cell table, never the corpus, and broadcast back. "
-        "Observed counts are exact integers; the single float "
-        "reduction (the chi2 sum over cells) rounds at the end",
+        "('is source mix confounded with language?'). ONE corpus scan "
+        "and one cell aggregation; margins are WINDOW sums over the "
+        "tiny |langs|x|sources| cell relation (zero joins — the "
+        "margin-as-join form re-scanned the corpus per margin). Each "
+        "cell's (o-e)²/e term is computed from identical integers "
+        "through identical correctly-rounded double ops and quantized "
+        "ONCE to micro-units (mode-stable floor(x*1e6+0.5)); the "
+        "cross-cell reduction is an exact int64 SUM — the parallel "
+        "double SUM it replaces was aggregation-order-nondeterministic "
+        "under DuckDB's parallel SUM(DOUBLE), the exact flake class "
+        "the ccnet/k-means audits killed",
     tags=("analytics", "statistics"),
 )
 def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rt = cells.groupBy("lang").agg(F.sum("o").alias("r"))
-    ct = cells.groupBy("source").agg(F.sum("o").alias("c"))
-    tot = cells.agg(F.sum("o").alias("n"))
+    enr = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("r"),
+        F.sum("o").over(Window.partitionBy("source")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
     e = F.col("r").cast("double") * F.col("c") / F.col("n")
+    d = F.col("o") - e
+    tm = F.floor(d * d / e * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     return (
-        cells.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(tot))
+        enr.select("lang", "source", "n", tm.alias("tm"))
         .agg(
-            F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 6)
-            .alias("chi2"),
+            (F.sum("tm").cast("double") / F.lit(1000000.0)).alias("chi2"),
             (
                 (F.countDistinct("lang") - 1)
                 * (F.countDistinct("source") - 1)

@@ -1338,12 +1338,14 @@ dist AS MATERIALIZED (
 tot AS (SELECT CAST(SUM(c_all) AS BIGINT) AS t_all,
                CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM dist),
 lr AS (SELECT b,
-              ln((c_tgt + 1.0) / (t_tgt + 64.0))
-              - ln((c_all + 1.0) / (t_all + 64.0)) AS lr
+              CAST(floor((ln((c_tgt + 1.0) / (t_tgt + 64.0))
+                          - ln((c_all + 1.0) / (t_all + 64.0)))
+                         * 1e6 + 0.5) AS BIGINT) AS lr_micro
        FROM dist CROSS JOIN tot),
 doc AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY doc_id, b)
 SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
-       round(SUM(n * lr), 6) AS log_weight
+       CAST(CAST(SUM(n * lr_micro) AS BIGINT) AS DOUBLE) / 1e6
+         AS log_weight
 FROM doc JOIN lr USING (b) GROUP BY doc_id
 """,
     doc="DSIR-style importance weights (Xie et al. '23, "
@@ -1353,8 +1355,11 @@ FROM doc JOIN lr USING (b) GROUP BY doc_id
         "selection score that upsamples target-domain-like documents. "
         "One explode -> pruned (id, bucket) rows; BOTH distributions "
         "from one 64-row aggregation broadcast back; totals ride a "
-        "broadcast 1-row cross join. CAST(SUM ...) guards DuckDB's "
-        "HUGEINT->DOUBLE ulp drift",
+        "broadcast 1-row cross join. Per-bucket log-ratios quantize "
+        "ONCE to int64 micro-units and the per-doc reduction is an "
+        "exact integer sum (the parallel double SUM it replaces was "
+        "aggregation-order-nondeterministic — the ccnet flake class); "
+        "CAST(SUM ...) guards DuckDB's HUGEINT->DOUBLE ulp drift",
     tags=("llm", "text", "selection", "dsir"),
 )
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1396,12 +1401,14 @@ def _curation_embedding_oracle_sql() -> str:
     ctes.append("""tot2 AS (SELECT CAST(SUM(c_all) AS BIGINT) AS t_all,
                CAST(SUM(c_tgt) AS BIGINT) AS t_tgt FROM dist2)""")
     ctes.append("""lr2 AS (SELECT b,
-              ln((c_tgt + 1.0) / (t_tgt + 64.0))
-              - ln((c_all + 1.0) / (t_all + 64.0)) AS lr
+              CAST(floor((ln((c_tgt + 1.0) / (t_tgt + 64.0))
+                          - ln((c_all + 1.0) / (t_all + 64.0)))
+                         * 1e6 + 0.5) AS BIGINT) AS lr_micro
        FROM dist2 CROSS JOIN tot2)""")
     ctes.append("""wts AS MATERIALIZED (
   SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
-         round(SUM(n * lr), 6) AS log_weight
+         CAST(CAST(SUM(n * lr_micro) AS BIGINT) AS DOUBLE) / 1e6
+           AS log_weight
   FROM (SELECT doc_id, b, COUNT(*) AS n FROM tb2 GROUP BY doc_id, b)
   JOIN lr2 USING (b) GROUP BY doc_id)""")
     ctes.append("""med AS (SELECT quantile_cont(log_weight, 0.5) AS m
@@ -2190,24 +2197,35 @@ WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
 counts AS (SELECT term, COUNT(*) AS cnt FROM tok2 GROUP BY term),
-tot AS (SELECT COUNT(*) AS total FROM tok2)
+tot AS (SELECT COUNT(*) AS total FROM tok2),
+nlp AS (
+  SELECT term,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5)
+              AS BIGINT) AS nlp_micro
+  FROM counts CROSS JOIN tot)
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_neg_logprob
-FROM tok2 JOIN counts USING (term) CROSS JOIN tot
+       CAST(CAST(SUM(nlp_micro) AS BIGINT) AS DOUBLE)
+         / (1000000.0 * COUNT(*)) AS avg_neg_logprob
+FROM tok2 JOIN nlp USING (term)
 GROUP BY doc_id
 """,
     doc="unigram-LM document scoring (mean negative log probability of "
         "each token under the corpus unigram distribution) — the "
         "model-based quality-filter class (CCNet/KenLM perplexity "
         "filtering with the simplest exact LM). High = corpus-rare "
-        "gibberish, low = boilerplate. Three shuffles: unigram table, "
-        "token->count join, per-doc average; at 100 TB the pruned "
-        "unigram table is Zipf-small and broadcastable "
-        "(operators/text.unigram_logprob)",
+        "gibberish, low = boilerplate. Aggregation-order-deterministic "
+        "scoring (the ccnet discipline): per-TERM micro-unit "
+        "quantization, exact int64 doc sums, one double division — "
+        "no parallel double AVG to flake on thread order. Three "
+        "shuffles: unigram table, token->count join, per-doc sum; at "
+        "100 TB the pruned unigram table is Zipf-small and "
+        "broadcastable (operators/text.unigram_logprob)",
     tags=("llm", "text", "quality", "lm"),
 )
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+    return text.unigram_logprob(
+        load_table(spark, sf_dir, "documents"), exact_micro=True
+    ).select("doc_id", "n_tokens", "avg_neg_logprob")
 
 
 @register(
@@ -2227,23 +2245,34 @@ bg AS (
     FROM pos)
   WHERE prev IS NOT NULL),
 c2 AS (SELECT prev, term, COUNT(*) AS c2 FROM bg GROUP BY prev, term),
-c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY prev)
+c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY prev),
+nlp AS (
+  SELECT prev, term,
+         CAST(floor(-ln(CAST(c2 AS DOUBLE) / c1) * 1e6 + 0.5)
+              AS BIGINT) AS nlp_micro
+  FROM c2 JOIN c1 USING (prev))
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       round(avg(-ln(CAST(c2 AS DOUBLE) / c1)), 6) AS avg_neg_logprob
-FROM bg JOIN c2 USING (prev, term) JOIN c1 USING (prev)
+       CAST(CAST(SUM(nlp_micro) AS BIGINT) AS DOUBLE)
+         / (1e6 * COUNT(*)) AS avg_neg_logprob
+FROM bg JOIN nlp USING (prev, term)
 GROUP BY doc_id
 """,
     doc="bigram (first-order Markov) LM scoring: per-doc mean -ln "
         "p(t_i | t_{i-1}) under the corpus bigram distribution "
         "(operators/text.bigram_logprob) — one modeling step past the "
         "unigram filter and sensitive to WORD ORDER (scrambled text "
-        "scores poorly even with a normal unigram mix). Bigrams via "
-        "one doc-partitioned lag window; pair/context count joins "
-        "shuffle the pruned bigram table, never the corpus",
+        "scores poorly even with a normal unigram mix). Aggregation-"
+        "order-deterministic: per-BIGRAM micro-unit quantization, "
+        "exact int64 doc sums, one double division (no parallel "
+        "double AVG). Bigrams via one doc-partitioned lag window; "
+        "pair/context count joins shuffle the pruned bigram table, "
+        "never the corpus",
     tags=("llm", "text", "quality", "lm"),
 )
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+    return text.bigram_logprob(
+        load_table(spark, sf_dir, "documents"), exact_micro=True
+    )
 
 
 @register(
