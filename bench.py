@@ -736,6 +736,81 @@ def _graph_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
         out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
         edges.unpersist()
 
+    # weighted shortest path + k-core (r12): same namespace replica,
+    # weights = cheapest order quantity per relationship. Both share
+    # the bounded-loop skeleton; the ratio isolates per-round join +
+    # eager-checkpoint cost exactly like the bfs entry.
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        kcore_peel,
+        shortest_path_weighted,
+    )
+
+    liq = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    wbase = (
+        liq.join(o, liq["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.min(F.col("l_quantity").cast("bigint")).alias("w"))
+    )
+    for label, fac in (("shortest_path_1x", 1),
+                       (f"shortest_path_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = wbase.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+            "w",
+        ).persist()
+        seeds = cust.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("c_custkey")).alias("node")
+        )
+        edges.count()
+        _full_gc(spark)
+        t0 = time.perf_counter()
+        rows = shortest_path_weighted(edges, seeds, max_rounds=4).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
+        edges.unpersist()
+
+    for label, fac in (("kcore_1x", 1), (f"kcore_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        _full_gc(spark)
+        t0 = time.perf_counter()
+        rows = kcore_peel(edges, k=4, rounds=3).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
+        edges.unpersist()
+
+    # triangle census on the SCRAMBLED-replica LSH pair graph (the
+    # zero-collision corpus — same reasoning as minhash_pipeline in
+    # tools/scale100.py: exact-copy replicas would explode the pair
+    # output quadratically as a data property, masking the operator's
+    # own join cost)
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    sc1 = _scrambled_docs(spark, sf_dir, 1)
+    scn = _scrambled_docs(spark, sf_dir, factor)
+    for df in (sc1, scn):
+        df.persist().count()
+    for label, docs in (("triangles_1x", sc1),
+                        (f"triangles_{factor}x", scn)):
+        _full_gc(spark)
+        t0 = time.perf_counter()
+        rows = triangle_stats(dedup.minhash_candidates(docs)).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3), "rows": rows}
+    for df in (sc1, scn):
+        df.unpersist()
+
 
 def _asof_skew_scale(spark, factor: int, out: dict,
                      base_rows: int = 100_000) -> None:
