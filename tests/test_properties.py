@@ -885,3 +885,131 @@ def test_autocorr_and_underwater_match_bruteforce(spark):
     assert r[0]["end_date"] == dt.date(2024, 1, 1) + dt.timedelta(
         days=best_end
     )
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.integers(1, 9)),
+        min_size=1, max_size=14,
+    ),
+    st.sets(st.integers(0, 7), min_size=1, max_size=3),
+)
+def test_shortest_path_matches_bounded_bellman_ford(spark, edges, seeds):
+    """shortest_path_weighted == textbook bounded Bellman-Ford on
+    arbitrary small weighted graphs (parallel edges, self-loops,
+    unreachable nodes, multi-seed)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        shortest_path_weighted,
+    )
+
+    rounds = 3
+    e_df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}", w) for a, b, w in edges], ["src", "dst", "w"]
+    )
+    s_df = spark.createDataFrame([(f"n{s}",) for s in seeds], ["node"])
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_path_weighted(e_df, s_df,
+                                        max_rounds=rounds).collect()
+    }
+
+    # brute: undirected min-weight adjacency, k rounds of relaxation
+    adj: dict = {}
+    for a, b, w in edges:
+        for x, y in ((a, b), (b, a)):
+            adj[(x, y)] = min(adj.get((x, y), w), w)
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for (x, y), w in adj.items():
+            if x in dist:
+                nxt[y] = min(nxt.get(y, dist[x] + w), dist[x] + w)
+        dist = nxt
+    want = {f"n{k}": v for k, v in dist.items()}
+    assert got == want
+
+
+@SLOW
+@given(
+    st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=1, max_size=20,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, raw_edges):
+    """triangle_stats == brute-force census on arbitrary small graphs
+    (self-loops dropped, duplicates canonicalized)."""
+    from itertools import combinations
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    df = spark.createDataFrame(list(raw_edges), ["id_a", "id_b"])
+    r = triangle_stats(df).collect()[0]
+
+    es = {tuple(sorted(e)) for e in raw_edges if e[0] != e[1]}
+    nodes = {v for e in es for v in e}
+    deg = {v: sum(1 for e in es if v in e) for v in nodes}
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1 for trio in combinations(sorted(nodes), 3)
+        if {(trio[0], trio[1]), (trio[0], trio[2]),
+            (trio[1], trio[2])} <= es
+    )
+    assert r["n_nodes"] == len(nodes)
+    assert r["n_edges"] == len(es)
+    assert r["n_wedges"] == wedges
+    assert r["n_triangles"] == tris
+    if wedges:
+        assert r["clustering_ppm"] == 3 * tris * 1_000_000 // wedges
+    else:
+        assert r["clustering_ppm"] is None
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2"]),
+            st.integers(min_value=-10_000, max_value=10_000),
+        ),
+        min_size=1, max_size=40,
+    )
+)
+def test_winsorized_stats_matches_bruteforce(spark, rows):
+    """winsorized_stats == plain-Python clipping at the discrete
+    max(1, ceil(p*n)) order statistics for any group sizes and tie
+    patterns (values are integral doubles, so DECIMAL sums are exact
+    and the means compare exactly)."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        winsorized_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v), i) for i, (g, v) in enumerate(rows)],
+        ["grp", "v", "tb"],
+    )
+    got = {
+        r["grp"]: r
+        for r in winsorized_stats(df, "v", "grp", tiebreak="tb").collect()
+    }
+    by_g: dict = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(float(v))
+    for g, vals in by_g.items():
+        n = len(vals)
+        srt = sorted(vals)
+        k_lo = max(1, math.ceil(n * 0.05))
+        k_hi = max(1, math.ceil(n * 0.95))
+        lo, hi = srt[k_lo - 1], srt[k_hi - 1]
+        clipped = [min(max(v, lo), hi) for v in vals]
+        r = got[g]
+        assert r["n_rows"] == n
+        assert r["p_lo_val"] == lo and r["p_hi_val"] == hi
+        assert r["win_mean"] == pytest.approx(sum(clipped) / n, rel=1e-12)
+        assert r["raw_mean"] == pytest.approx(sum(vals) / n, rel=1e-12)

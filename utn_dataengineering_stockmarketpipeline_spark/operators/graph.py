@@ -311,7 +311,11 @@ def triangle_stats(pairs: DataFrame, id_a: str = "id_a",
     )
     node_stats = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("(deg * (deg - 1)) div 2")).alias("n_wedges"),
+        # coalesce: SUM over an empty degree relation (a graph of only
+        # self-loops) is NULL, but "no wedges" is the number 0
+        F.coalesce(
+            F.sum(F.expr("(deg * (deg - 1)) div 2")), F.lit(0).cast("bigint")
+        ).alias("n_wedges"),
     )
     edge_stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")

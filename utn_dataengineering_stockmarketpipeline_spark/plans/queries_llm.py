@@ -3408,7 +3408,8 @@ deg AS (
   GROUP BY node),
 ns AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
-         CAST(SUM((deg * (deg - 1)) // 2) AS BIGINT) AS n_wedges
+         CAST(COALESCE(SUM((deg * (deg - 1)) // 2), 0) AS BIGINT)
+           AS n_wedges
   FROM deg),
 es AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
 tri AS (
