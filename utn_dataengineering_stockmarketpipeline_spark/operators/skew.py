@@ -167,8 +167,6 @@ def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
     cumulates the distinct-values relation; per-group CDFs ride a
     window partitioned by group.
     """
-    from pyspark.sql import Window
-
     # Explicit null exclusion does double duty: it defines the op over
     # non-null (group, value) rows, and it makes every consumer branch
     # canonically IDENTICAL — the left join below pushes isnotnull
@@ -181,6 +179,20 @@ def ks_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return ks_drift_from_counts(counts, value_col, group_col)
+
+
+def ks_drift_from_counts(counts: DataFrame, value_col: str,
+                         group_col: str) -> DataFrame:
+    """:func:`ks_drift` over a PRE-AGGREGATED non-null ``(group, value,
+    c)`` counts relation — the mergeable-state entry point: per-(group,
+    value) counts are additive, so incremental/streaming monitors keep
+    partial counts per ingest batch (bounded by the value DOMAIN, not
+    the corpus — the same observation that bounds the batch grid) and
+    recompute the exact statistic from their sum at any point. The
+    batch operator is exactly this over one batch's counts."""
+    from pyspark.sql import Window
+
     w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
     vals = (
         counts.groupBy(value_col)

@@ -270,6 +270,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ref_underwater_duration",
     "ana_winsorized_stats",
     "ana_mutual_info_lang_source",
+    "stream_ks_drift",
 )
 
 

@@ -1717,9 +1717,10 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(j, "revenue", "s_acctbal")
 
 
-@register(
-    "ana_ks_drift",
-    """
+#: shared with stream_ks_drift (queries_streaming): the drained
+#: streaming monitor must converge to the batch statistic, so both
+#: entries verify against this SQL verbatim.
+_KS_DRIFT_ORACLE_SQL = """
 WITH counts AS (
   SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM documents
@@ -1747,7 +1748,12 @@ SELECT source, n_g AS n_docs, MAX(d) AS ks_num,
             // (CAST(n_g AS HUGEINT) * CAST(n - n_g AS HUGEINT))
             AS BIGINT) AS ks_ppm
 FROM diffs WHERE n_g < n GROUP BY source, n_g, n
-""",
+"""
+
+
+@register(
+    "ana_ks_drift",
+    _KS_DRIFT_ORACLE_SQL,
     doc="per-source exact two-sample Kolmogorov-Smirnov drift of the "
         "document-length distribution vs the REST of the corpus "
         "(skew.ks_drift) — the ingest-quality monitor that flags which "

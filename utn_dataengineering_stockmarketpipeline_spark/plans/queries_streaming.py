@@ -994,6 +994,111 @@ def _register_stream_heavy_hitters() -> None:
 _register_stream_heavy_hitters()
 
 
+def _register_stream_ks_drift() -> None:
+    """Registered via a helper so the oracle imports from
+    queries_analytics after that module loads (same SQL verbatim: the
+    drained streaming monitor must converge to the batch statistic —
+    the stream_heavy_hitters contract)."""
+    from .queries_analytics import _KS_DRIFT_ORACLE_SQL
+
+    @register(
+        "stream_ks_drift",
+        _KS_DRIFT_ORACLE_SQL,
+        doc="STREAMING per-source KS drift monitor: the corpus arrives "
+            "as a 3-file stream (maxFilesPerTrigger=1); each micro-"
+            "batch reduces to its partial (source, n_chars) COUNTS "
+            "grid — the mergeable monitoring state, bounded by the "
+            "VALUE DOMAIN, never the batch — written to a batch_id=N "
+            "partition (the quarantine sink's idempotent-overwrite "
+            "protocol: at-least-once replay lands on the same target). "
+            "Counts are ADDITIVE, so after the drain one groupBy-sum "
+            "merges the partials and skew.ks_drift_from_counts "
+            "recomputes the exact integer-ppm statistic — hash-equal "
+            "to the batch ana_ks_drift oracle verbatim (stream==batch; "
+            "this is how a production feed gets a drift verdict after "
+            "EVERY ingest batch without rescanning the corpus: keep "
+            "the merged grid, add each batch's partial, re-derive). "
+            "In-query guard asserts the 3-batch split actually "
+            "happened",
+        tags=("streaming", "drift", "quality", "scale"),
+    )
+    def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators.skew import ks_drift_from_counts
+
+        table = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        tmp = tempfile.mkdtemp(prefix="ksstream_")
+        try:
+            in_dir = os.path.join(tmp, "in")
+            os.makedirs(in_dir)
+            now = int(_time.time())
+            doc_mod = table.column("doc_id").to_numpy() % 3
+            for k in range(3):
+                part = table.filter(pa.array(doc_mod == k))
+                path = os.path.join(in_dir, f"part{k}.parquet")
+                pq.write_table(part, path)
+                os.utime(path, (now - 90 + 30 * k, now - 90 + 30 * k))
+
+            parts_dir = os.path.join(tmp, "partials")
+            n_batches = [0]
+
+            def handle(batch_df: DataFrame, batch_id: int) -> None:
+                n_batches[0] += 1
+                (
+                    batch_df.filter(
+                        F.col("source").isNotNull()
+                        & F.col("n_chars").isNotNull()
+                    )
+                    .groupBy("source", "n_chars")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(parts_dir, f"batch_id={batch_id}"))
+                )
+
+            with _capped_state_partitions(spark, 8):
+                q = (
+                    spark.readStream.schema(
+                        "doc_id long, source string, n_chars long"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(in_dir)
+                    .writeStream.foreachBatch(handle)
+                    .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            assert n_batches[0] == 3, (
+                f"expected 3 micro-batches, got {n_batches[0]}"
+            )
+
+            merged = (
+                spark.read.parquet(parts_dir)
+                .groupBy("source", "n_chars")
+                .agg(F.sum("c").alias("c"))
+            )
+            out = ks_drift_from_counts(merged, "n_chars", "source")
+            # materialize BEFORE the temp partials vanish (the finally
+            # removes them; the returned relation must not read lazily
+            # from a deleted directory)
+            return spark.createDataFrame(out.collect(), schema=out.schema)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+_register_stream_ks_drift()
+
+
 @register(
     "stream_quarantine_gate",
     """
