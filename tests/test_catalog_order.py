@@ -49,3 +49,14 @@ def test_bench_queries_exist_in_catalog():
     missing = [n for n in bench.BENCH_QUERIES if n not in CATALOG]
     assert not missing, f"bench queries not in catalog: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_stream_ks_drift_shares_the_batch_oracle_verbatim():
+    """The streaming drift monitor's correctness claim IS convergence to
+    the batch statistic — the two catalog entries must verify against
+    the identical SQL (the stream_heavy_hitters contract)."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import (
+        CATALOG,
+    )
+
+    assert CATALOG["stream_ks_drift"].oracle == CATALOG["ana_ks_drift"].oracle
