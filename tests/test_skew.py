@@ -195,3 +195,58 @@ def test_winsorized_stats_hand_values(spark):
     assert r["p_hi_val"] == 19.0
     assert r["win_mean"] == (sum(range(1, 20)) + 19) / 20
     assert r["raw_mean"] == (sum(range(1, 20)) + 10000.0) / 20
+
+
+def test_psi_drift_matches_bruteforce(spark):
+    """psi_drift == plain-Python PSI with discrete decile boundaries and
+    add-1 smoothing, on a corpus where one source is a pure location
+    shift (high PSI) and another mirrors the pool (low PSI)."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        psi_drift,
+    )
+
+    rows = (
+        [("a", v) for v in range(0, 40)]          # uniform low
+        + [("b", v) for v in range(60, 100)]      # shifted high
+        + [("c", v) for v in range(0, 100, 2)]    # spans the pool
+    )
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = {r["source"]: r for r in
+           psi_drift(df, "n_chars", "source").collect()}
+
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    # percentile-disc boundaries: smallest value whose cumulative count
+    # reaches j/10 of the corpus
+    from collections import Counter
+    cnt = Counter(vals)
+    bounds = []
+    for j in range(1, 10):
+        cum = 0
+        for v in sorted(cnt):
+            cum += cnt[v]
+            if cum * 10 >= j * n:
+                bounds.append(v)
+                break
+
+    def bin_of(v):
+        return sum(1 for b in bounds if b < v)
+
+    for g in ("a", "b", "c"):
+        gv = [v for s, v in rows if s == g]
+        rv = [v for s, v in rows if s != g]
+        cg = Counter(bin_of(v) for v in gv)
+        cr = Counter(bin_of(v) for v in rv)
+        psi_micro = 0
+        for i in range(10):
+            p = (cg.get(i, 0) + 1.0) / (len(gv) + 10.0)
+            q = (cr.get(i, 0) + 1.0) / (len(rv) + 10.0)
+            psi_micro += math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+        r = got[g]
+        assert r["n_docs"] == len(gv)
+        assert r["psi_micro"] == psi_micro, g
+    # the shifted source drifts far more than the pool-like one
+    assert got["b"].psi_micro > got["c"].psi_micro
+    assert got["a"].psi_micro > got["c"].psi_micro

@@ -317,3 +317,116 @@ def winsorized_stats(
             (F.col("s_raw").cast("double") / F.col("n")).alias("raw_mean"),
         )
     )
+
+
+def psi_drift(df: DataFrame, value_col: str, group_col: str,
+              n_bins: int = 10) -> DataFrame:
+    """Population Stability Index per group vs the REST of the corpus →
+    ``(group, n_docs, psi_micro)`` — the model-monitoring drift metric
+    beside :func:`ks_drift` (KS reads the worst single point of CDF
+    divergence; PSI integrates divergence across the whole
+    distribution, the number risk teams threshold at 0.1/0.25):
+
+        PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i)
+
+    with ``p`` = the group's bin shares and ``q`` = the rest's, over
+    ``n_bins`` corpus-quantile bins. Exactness discipline end to end:
+
+    - Bin boundaries are DISCRETE corpus order statistics (smallest
+      value whose cumulative count reaches j/n_bins of the corpus —
+      the percentile-disc rule), derived from the same counts grid as
+      ks_drift; ``bin(v) = #{boundaries < v}`` is an integer
+      comparison count, deterministic under ties.
+    - Shares are add-1 smoothed — ``p_i = (c_gi + 1)/(n_g + n_bins)``
+      — so empty bins stay finite deterministically (no epsilon
+      hacks), and every (group, bin) cell exists (dense grid, zero
+      counts included).
+    - Each cell's term is computed from identical integers through
+      identical correctly-rounded double ops and quantized ONCE to
+      int64 micro-units; the cross-bin reduction is an exact integer
+      SUM (the engine-wide rule: no parallel double accumulation).
+
+    Scale: identical posture to ks_drift — one map-side-combined
+    counts shuffle, then everything runs on |groups| × |distinct
+    values| (bounded by the value domain) and |groups| × n_bins
+    relations; boundaries broadcast.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        counts.groupBy(value_col)
+        .agg(F.sum("c").alias("v_cnt"))
+        .withColumn("cum_all", F.sum("v_cnt").over(w_all))
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    # percentile-disc boundaries j = 1..n_bins-1: smallest value whose
+    # cumulative corpus count reaches j/n_bins — a |bins|-row relation
+    bins = df.sparkSession.range(1, n_bins).select(
+        F.col("id").alias("j")
+    )
+    bounds = (
+        vals.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(bins))
+        .filter(F.col("cum_all") * n_bins >= F.col("j") * F.col("n"))
+        .groupBy("j")
+        .agg(F.min(value_col).alias("bound"))
+    )
+    # bin id per distinct value = #{boundaries < v} (ties stay LEFT of
+    # their boundary — deterministic integer comparison both engines)
+    vbin = (
+        vals.select(value_col)
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(value_col)
+        .agg(
+            F.sum(
+                F.when(F.col("bound") < F.col(value_col), 1).otherwise(0)
+            ).cast("bigint").alias("bin")
+        )
+    )
+    gb = (
+        counts.join(vbin, value_col)
+        .groupBy(group_col, "bin")
+        .agg(F.sum("c").alias("c_g"))
+    )
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    bin_tot = gb.groupBy("bin").agg(F.sum("c_g").alias("c_bin"))
+    # dense (group × bin) grid: zero cells must contribute their
+    # smoothed term, not vanish
+    all_bins = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("bigint").alias("bin")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(all_bins))
+        .join(F.broadcast(bin_tot), "bin", "left")
+        .join(gb, [group_col, "bin"], "left")
+        .select(
+            group_col,
+            "n_g",
+            "n",
+            F.coalesce(F.col("c_bin"), F.lit(0)).alias("c_bin"),
+            F.coalesce(F.col("c_g"), F.lit(0)).alias("c_g"),
+        )
+    )
+    p = (F.col("c_g") + 1.0) / (F.col("n_g") + float(n_bins))
+    q = (F.col("c_bin") - F.col("c_g") + 1.0) / (
+        F.col("n") - F.col("n_g") + float(n_bins)
+    )
+    term = F.floor((p - q) * F.log(p / q) * F.lit(1e6) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        grid.filter(F.col("n_g") < F.col("n"))  # a lone group has no rest
+        .select(group_col, "n_g", term.alias("tm"))
+        .groupBy(group_col, "n_g")
+        .agg(F.sum("tm").alias("psi_micro"))
+        .select(
+            group_col, F.col("n_g").alias("n_docs"), "psi_micro"
+        )
+    )

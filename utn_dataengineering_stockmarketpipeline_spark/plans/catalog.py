@@ -271,6 +271,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_winsorized_stats",
     "ana_mutual_info_lang_source",
     "stream_ks_drift",
+    "ana_psi_drift",
 )
 
 

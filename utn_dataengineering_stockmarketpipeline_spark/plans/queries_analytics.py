@@ -2165,3 +2165,73 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_docs"), "n_cells", "mi_micro"
         )
     )
+
+
+@register(
+    "ana_psi_drift",
+    """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vcum AS (
+  SELECT v, v_cnt, CAST(SUM(v_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g
+        FROM counts GROUP BY source),
+bounds AS (
+  SELECT j, MIN(v) AS bound
+  FROM vcum CROSS JOIN tot CROSS JOIN range(1, 10) t(j)
+  WHERE cum_all * 10 >= j * n
+  GROUP BY j),
+vbin AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN bound < v THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM (SELECT DISTINCT v FROM vcum) CROSS JOIN bounds GROUP BY v),
+gb AS (
+  SELECT source, bin, CAST(SUM(c) AS BIGINT) AS c_g
+  FROM counts JOIN vbin USING (v) GROUP BY source, bin),
+bt AS (SELECT bin, CAST(SUM(c_g) AS BIGINT) AS c_bin FROM gb GROUP BY bin),
+allb AS (SELECT CAST(j AS BIGINT) AS bin FROM range(0, 10) t(j)),
+grid AS (
+  SELECT g.source, g.n_g, t.n,
+         COALESCE(bt.c_bin, 0) AS c_bin,
+         COALESCE(gb.c_g, 0) AS c_g
+  FROM grp g CROSS JOIN tot t CROSS JOIN allb b
+  LEFT JOIN bt ON bt.bin = b.bin
+  LEFT JOIN gb ON gb.source = g.source AND gb.bin = b.bin),
+terms AS (
+  SELECT source, n_g,
+         CAST(floor(
+           ((c_g + 1.0) / (n_g + 10.0)
+            - (c_bin - c_g + 1.0) / (n - n_g + 10.0))
+           * ln(((c_g + 1.0) / (n_g + 10.0))
+                / ((c_bin - c_g + 1.0) / (n - n_g + 10.0)))
+           * 1e6 + 0.5) AS BIGINT) AS tm
+  FROM grid WHERE n_g < n)
+SELECT source, n_g AS n_docs, CAST(SUM(tm) AS BIGINT) AS psi_micro
+FROM terms GROUP BY source, n_g
+""",
+    doc="Population Stability Index per source vs the REST of the "
+        "corpus (skew.psi_drift) — the model-monitoring drift metric "
+        "beside ana_ks_drift: KS reads the worst single CDF gap, PSI "
+        "integrates divergence across all 10 corpus-decile bins (the "
+        "number risk teams threshold at 0.1/0.25). Bin boundaries are "
+        "DISCRETE corpus order statistics from the same counts grid "
+        "as ks_drift; shares are add-1 smoothed so empty bins stay "
+        "finite deterministically; each cell's (p-q)ln(p/q) term is "
+        "quantized once to int64 micro-units from identical integers "
+        "and the cross-bin reduction is an exact integer SUM. "
+        "Completes the ingest-monitoring toolkit: KS + PSI (drift), "
+        "chi-square + mutual information (dependence)",
+    tags=("analytics", "drift", "quality", "statistics", "scale"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.psi_drift(
+        load_table(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )
