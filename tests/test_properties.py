@@ -1013,3 +1013,45 @@ def test_winsorized_stats_matches_bruteforce(spark, rows):
         assert r["p_lo_val"] == lo and r["p_hi_val"] == hi
         assert r["win_mean"] == pytest.approx(sum(clipped) / n, rel=1e-12)
         assert r["raw_mean"] == pytest.approx(sum(vals) / n, rel=1e-12)
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=-30, max_value=40),
+             min_size=1, max_size=60),
+)
+def test_cusum_matches_sequential_recurrence(spark, steps):
+    """The window identity S_t = P_t - min(0, running-min P) == the
+    textbook sequential recurrence S_t = max(0, S_{t-1} + x_t - k) for
+    arbitrary return sequences, including the alarm and argmax dates."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    k, h = 3, 25  # small units so hypothesis explores alarm crossings
+    rows = [
+        ("T", dt.date(2024, 1, 1) + dt.timedelta(days=i), int(x))
+        for i, x in enumerate(steps)
+    ]
+    rets = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, ret_ppm long"
+    )
+    r = risk.cusum_alarms(rets, k_ppm=k, h_ppm=h).collect()[0]
+
+    s, smax, max_i, alarm_i = 0, 0, 0, None
+    svals = []
+    for i, x in enumerate(steps):
+        s = max(0, s + x - k)
+        svals.append(s)
+        if s > smax:
+            smax, max_i = s, i
+        if alarm_i is None and s > h:
+            alarm_i = i
+    # earliest date achieving the max (ties break earliest)
+    max_i = svals.index(smax)
+    assert r["n_days"] == len(steps)
+    assert r["max_cusum_ppm"] == smax
+    assert r["max_date"] == dt.date(2024, 1, 1) + dt.timedelta(days=max_i)
+    want_alarm = (
+        dt.date(2024, 1, 1) + dt.timedelta(days=alarm_i)
+        if alarm_i is not None else None
+    )
+    assert r["first_alarm_date"] == want_alarm

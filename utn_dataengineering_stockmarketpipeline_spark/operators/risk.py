@@ -335,3 +335,54 @@ def underwater_duration(
         .filter(F.col("pick") == 1)
         .select(entity_col, "underwater_days", "start_date", "end_date")
     )
+
+
+def cusum_alarms(
+    rets: DataFrame,
+    k_ppm: int = 500,
+    h_ppm: int = 50_000,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+) -> DataFrame:
+    """One-sided upper CUSUM change detection per entity →
+    ``(entity, n_days, max_cusum_ppm, max_date, first_alarm_date)`` —
+    the sequential drift alarm (Page 1954): ``S_t = max(0, S_{t-1} +
+    x_t − k)`` accumulates evidence of a sustained upward shift in the
+    ppm-return series, discounting the allowance ``k_ppm`` per step;
+    an alarm fires when S crosses ``h_ppm``. The classic monitoring
+    companion to the distributional monitors (KS/PSI read a finished
+    batch; CUSUM reads a SEQUENCE and fires mid-stream).
+
+    The recurrence looks inherently sequential, but it has an exact
+    window form: with prefix sums ``P_t = Σ_{i≤t}(x_i − k)`` and the
+    running minimum including the virtual empty prefix 0,
+    ``S_t = P_t − min(0, min_{i≤t} P_i)`` — two cumulative windows on
+    ONE entity partitioning, no recursion, no UDF loop. Integer ppm
+    end to end: prefix sums, running minima, the statistic, and both
+    thresholds are exact BIGINTs, so the oracle matches bit-for-bit.
+    ``max_date`` ties break earliest-first; entities never alarming
+    emit NULL ``first_alarm_date``.
+    """
+    w = Window.partitionBy(entity_col).orderBy(date_col)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = (
+        rets.withColumn("__p", F.sum(F.col("ret_ppm") - k_ppm).over(wc))
+        .withColumn(
+            "__s",
+            F.col("__p")
+            - F.least(F.lit(0).cast("bigint"), F.min("__p").over(wc)),
+        )
+    )
+    s = s.withColumn(
+        "__smax", F.max("__s").over(Window.partitionBy(entity_col))
+    )
+    return s.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("__s").alias("max_cusum_ppm"),
+        F.min(
+            F.when(F.col("__s") == F.col("__smax"), F.col(date_col))
+        ).alias("max_date"),
+        F.min(
+            F.when(F.col("__s") > h_ppm, F.col(date_col))
+        ).alias("first_alarm_date"),
+    )

@@ -272,6 +272,7 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_mutual_info_lang_source",
     "stream_ks_drift",
     "ana_psi_drift",
+    "ref_cusum_alarms",
 )
 
 

@@ -2060,3 +2060,58 @@ def q_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import risk
 
     return risk.underwater_duration(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_cusum_alarms",
+    with_reference_ctes("""
+SELECT stock_ticker, n_days, max_cusum_ppm, max_date, first_alarm_date
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  r2 AS (SELECT * FROM rets WHERE ret_ppm IS NOT NULL),
+  p AS (
+    SELECT stock_ticker, stock_date,
+           CAST(SUM(ret_ppm - 500) OVER (
+             PARTITION BY stock_ticker ORDER BY stock_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS pf
+    FROM r2),
+  s AS (
+    SELECT stock_ticker, stock_date,
+           pf - LEAST(CAST(0 AS BIGINT), CAST(MIN(pf) OVER (
+             PARTITION BY stock_ticker ORDER BY stock_date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT)) AS cusum
+    FROM p),
+  s2 AS (
+    SELECT *, MAX(cusum) OVER (PARTITION BY stock_ticker) AS smax
+    FROM s)
+  SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(MAX(cusum) AS BIGINT) AS max_cusum_ppm,
+         MIN(CASE WHEN cusum = smax THEN stock_date END) AS max_date,
+         MIN(CASE WHEN cusum > 50000 THEN stock_date END)
+           AS first_alarm_date
+  FROM s2 GROUP BY stock_ticker)
+"""),
+    doc="one-sided CUSUM drift alarms per ticker "
+        "(operators/risk.cusum_alarms, Page 1954): sequential "
+        "evidence of a sustained upward return shift, allowance "
+        "k=500 ppm/step, alarm threshold h=50000 ppm — the "
+        "mid-SEQUENCE monitoring companion to the batch "
+        "distributional monitors (KS/PSI). The 'inherently "
+        "sequential' recurrence S_t = max(0, S_{t-1} + x_t - k) is "
+        "computed as the exact window identity S_t = P_t - min(0, "
+        "running-min P) — two cumulative windows on ONE entity "
+        "partitioning, no recursion, no UDF; integer ppm end to end "
+        "so the oracle matches bit-for-bit",
+    tags=("reference", "risk", "window", "monitoring"),
+)
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.cusum_alarms(risk.returns_ppm(stock_prices(spark, sf_dir)))
