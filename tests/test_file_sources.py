@@ -219,3 +219,77 @@ def test_training_shards_rejects_sort_col_with_shuffle_seed(spark, tmp_path):
             docs, str(tmp_path / "x"), n_shards=2,
             sort_col="n_chars", shuffle_seed="epoch-0",
         )
+
+
+def test_backfill_partitions_touches_only_incoming(spark, tmp_path):
+    """Dynamic-partition backfill: rewriting one month replaces exactly
+    that partition's rows and leaves every other partition byte-stable;
+    a replay of the same backfill is idempotent."""
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        backfill_partitions,
+    )
+
+    path = str(tmp_path / "lake")
+
+    def month(y, m, vals):
+        return spark.createDataFrame(
+            [(f"T{i}", f"{y}-{m:02d}-0{1 + i % 5}", float(v), y, m)
+             for i, v in enumerate(vals)],
+            ["stock_ticker", "stock_date", "close", "stock_year",
+             "stock_month"],
+        )
+
+    # seed: Jan + Feb
+    month(2024, 1, [1, 2, 3]).write.mode("append").partitionBy(
+        "stock_year", "stock_month"
+    ).parquet(path)
+    month(2024, 2, [10, 20]).write.mode("append").partitionBy(
+        "stock_year", "stock_month"
+    ).parquet(path)
+
+    # backfill Feb with corrected values — Jan must survive untouched
+    backfill_partitions(month(2024, 2, [77, 88, 99]), path)
+    out = spark.read.parquet(path)
+    jan = sorted(
+        r["close"] for r in out.filter(F.col("stock_month") == 1).collect()
+    )
+    feb = sorted(
+        r["close"] for r in out.filter(F.col("stock_month") == 2).collect()
+    )
+    assert jan == [1.0, 2.0, 3.0]
+    assert feb == [77.0, 88.0, 99.0]
+
+    # replay: same input -> same state (no duplicates, no loss)
+    backfill_partitions(month(2024, 2, [77, 88, 99]), path)
+    out2 = spark.read.parquet(path)
+    assert out2.count() == 6
+    assert sorted(
+        r["close"] for r in out2.filter(F.col("stock_month") == 2).collect()
+    ) == [77.0, 88.0, 99.0]
+
+
+def test_write_observed_reports_inline_metrics(spark, tmp_path):
+    """The Observation-API write audit: metrics computed BY the write
+    job match an independent recount, including caller-supplied
+    aggregates and null-partition-key counting."""
+    from utn_dataengineering_stockmarketpipeline_spark.sources.lake import (
+        write_observed,
+    )
+
+    path = str(tmp_path / "obs_lake")
+    df = spark.createDataFrame(
+        [("A", 2024, 1, 5.0), ("B", 2024, 1, 7.0), ("C", 2024, 2, 9.0),
+         ("D", None, 2, 11.0)],
+        ["stock_ticker", "stock_year", "stock_month", "close"],
+    )
+    got = write_observed(
+        df, path, ["stock_year", "stock_month"],
+        metrics={"total_close": F.sum(F.col("close").cast("decimal(18,2)"))},
+    )
+    assert got["n_rows"] == 4
+    assert got["null_stock_year"] == 1
+    assert got["null_stock_month"] == 0
+    assert got["min_stock_year"] == 2024 and got["max_stock_year"] == 2024
+    assert float(got["total_close"]) == 32.0
+    # and the write really landed (null partition key -> HIVE default)
+    assert spark.read.parquet(path).count() == 4

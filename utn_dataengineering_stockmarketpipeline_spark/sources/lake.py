@@ -193,3 +193,75 @@ def write_training_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def backfill_partitions(df: DataFrame, path: str,
+                        partition_by: list[str] | None = None) -> None:
+    """Idempotent partition backfill: overwrite ONLY the partitions the
+    incoming frame touches, leave every other partition untouched —
+    Spark's dynamic ``partitionOverwriteMode``, the correction-run
+    primitive a production lake needs (re-run March after a bad feed
+    without re-writing the year, and without the delete-then-append
+    window where readers see a hole).
+
+    STATIC overwrite mode (Spark's default) would truncate the WHOLE
+    table before writing the new partitions — the classic footgun this
+    wrapper exists to scope away: the mode is set per-write via the
+    DataFrameWriter option, not session-wide, so concurrent writers
+    keep their own semantics. Replays are idempotent by construction
+    (same input → same partitions → same bytes), the
+    quarantine-sink/batch_id discipline generalized to calendar
+    partitions.
+
+    At 100 TB: the rewrite cost is proportional to the TOUCHED
+    partitions only; commit granularity is per-partition directory
+    (Hadoop FileOutputCommitter v1 semantics apply — for object
+    stores, front with the snapshot layer's versioned publish
+    instead).
+    """
+    parts = partition_by if partition_by is not None else STOCK_PARTITIONS
+    (
+        df.sortWithinPartitions("stock_ticker", "stock_date")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*parts)
+        .parquet(path)
+    )
+
+
+def write_observed(df: DataFrame, path: str, partition_by: list[str],
+                   metrics: dict | None = None) -> dict:
+    """Append with INLINE write-audit metrics via Spark's Observation
+    API — the load-job contract that reports what it wrote without a
+    second scan: row count, null-key count, min/max of the partition
+    columns, plus any caller-supplied named aggregate expressions.
+
+    ``df.observe`` attaches the aggregates to the write job itself
+    (computed by the same tasks that write the files), so the metrics
+    are free — no post-write COUNT(*) re-scan, no race against a
+    concurrent append between write and audit. Returns the observed
+    metric dict; callers gate on it (the expectations layer's
+    quality_report is the heavier, rule-based sibling for when
+    verdicts must be per-row).
+    """
+    from pyspark.sql import Observation
+
+    base = {
+        "n_rows": F.count(F.lit(1)),
+    }
+    for c in partition_by:
+        base[f"null_{c}"] = F.sum(
+            F.when(F.col(c).isNull(), 1).otherwise(0)
+        )
+        base[f"min_{c}"] = F.min(c)
+        base[f"max_{c}"] = F.max(c)
+    if metrics:
+        base.update(metrics)
+    obs = Observation("write_audit")
+    observed = df.observe(obs, *[v.alias(k) for k, v in base.items()])
+    (
+        observed.write.mode("append")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+    return dict(obs.get)
