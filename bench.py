@@ -177,6 +177,17 @@ BENCH_QUERIES = (
     "llm_dup_triangles",
     "ref_snapshot_vacuum",
     "llm_gopher_gate",
+    # late round-12 (tail-listed for the r13/r14 windows, benched now):
+    # k-core, autocorrelation, underwater spells, winsorized stats,
+    # mutual information, streaming/PSI/CUSUM monitors
+    "ana_kcore_suppliers",
+    "ref_autocorr_lag1",
+    "ref_underwater_duration",
+    "ana_winsorized_stats",
+    "ana_mutual_info_lang_source",
+    "stream_ks_drift",
+    "ana_psi_drift",
+    "ref_cusum_alarms",
 )
 
 
