@@ -123,6 +123,11 @@ def main() -> None:
     pair("ks_drift",
          lambda: skew.ks_drift(_sourced(docs_1x), "n_chars", "source"),
          lambda: skew.ks_drift(_sourced(docs_nx), "n_chars", "source"))
+    # PSI rides the same counts grid as KS (plus a broadcast boundary
+    # relation) — its ratio should track ks_drift's scan-bound ~2
+    pair("psi_drift",
+         lambda: skew.psi_drift(_sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.psi_drift(_sourced(docs_nx), "n_chars", "source"))
 
     def _points(docs):
         return docs.select(
