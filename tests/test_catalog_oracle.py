@@ -9,6 +9,7 @@ differences, type coercions) before the driver does.
 from __future__ import annotations
 
 import math
+from decimal import Decimal
 
 import pytest
 
@@ -64,11 +65,25 @@ def test_query_matches_oracle(name, spark, duck):
     # float64) and cannot hash list cells at all.  Mirror both hazards.
     spdf = sdf.toPandas()
     dkdf = duck.execute(q.oracle).df()
+
+    def _kind(frame, col):
+        # A Spark DECIMAL lands in pandas as object(Decimal) — NUMERIC
+        # to the driver's hash, invisible to dtype.kind.  Classify it
+        # as its own numeric kind so object(Decimal)-vs-float64 fails
+        # here instead of at the driver (the r11/r12 ana_ks_drift red
+        # slipped through the old both-numeric-only check exactly this
+        # way).
+        k = frame[col].dtype.kind
+        if k == "O":
+            nonnull = frame[col].dropna()
+            if len(nonnull) and isinstance(nonnull.iloc[0], Decimal):
+                return "decimal"
+        return k
+
+    numericish = {"i", "u", "f", "decimal"}
     for col in sorted(spark_cols):
-        sk, dk = spdf[col].dtype.kind, dkdf[col].dtype.kind
-        num = {"i", "u", "f"}
-        both_num = sk in num and dk in num
-        assert sk == dk or not both_num, (
+        sk, dk = _kind(spdf, col), _kind(dkdf, col)
+        assert sk == dk or (sk not in numericish and dk not in numericish), (
             f"{name}.{col}: pandas dtype kind {sk!r} vs oracle {dk!r} — "
             "the driver's value hash is dtype-sensitive; cast the oracle "
             "(e.g. CAST(SUM(..) AS BIGINT)) or the Spark column to agree"

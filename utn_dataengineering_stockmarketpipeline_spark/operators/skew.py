@@ -227,7 +227,14 @@ def ks_drift_from_counts(counts: DataFrame, value_col: str,
         .select(
             group_col,
             F.col("n_g").alias("n_docs"),
-            "ks_num",
+            # the max-diff is computed in DECIMAL(38,0) for 1e11-row
+            # honesty, but EMITTED as BIGINT: pandas renders a Spark
+            # DECIMAL as object(Decimal) while DuckDB's MAX arrives as
+            # a numeric dtype, and the driver's value hash is
+            # dtype-sensitive (the r11/r12 red on this query). The
+            # statistic is < n_g * n_rest < 2^63 for any corpus under
+            # ~3e9 rows per side; past that, widen BOTH engines.
+            F.col("ks_num").cast("bigint").alias("ks_num"),
             # Spark's `div` (IntegralDivide) on DECIMAL operands
             # returns BIGINT — matches the oracle's HUGEINT // cast.
             F.expr(

@@ -56,81 +56,26 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-12 rotation (freshness after r11: late-r11 never-verified x5 /
-# r8x21 / r9x50 / r10x50 / r11x50):
-#   1. the five late round-11 registrations (local-oracle green at
-#      sf0.01+sf0.1, no driver row yet — highest verification
-#      priority), then the 21 r8-stale entries (oldest cohort: the 11
-#      deferred trivial ana_* plans promised first-in-line, the 5
-#      trivial map/twin ops, and the 5 entries the round-11
-#      registrations traded out of slots 46-50), then 24 of the 50
-#      r9-stale entries (19 in the fixed head, 5 in the sliding 46-50
-#      slots new registrations trade against),
-#   2. (pin) new round-12 registrations slot in here: plan exactly 5,
-#      or re-pin _WINDOW_PIN to 50 - planned,
-#   3. the remaining 26 r9-stale entries head the tail (first into the
-#      r13 window), then the r10-green cohort, then the r11-green
-#      cohort (freshest evidence, safely outside).
+# Round-13 rotation, AMENDED at r13 start per VERDICT r12 (the r11
+# lesson: never park a red row in the green tail):
+#   1. the full remaining r9-stale cohort (27 block-4 entries + the 5
+#      reference-parity entries the round-12 registrations traded out
+#      of slots 46-50 — the oldest evidence anywhere), then the 4
+#      oldest r10-green entries, then the r12-red `ana_ks_drift` +
+#      its shared-oracle twin `stream_ks_drift` + the never-checked
+#      libm-sensitive monitors `ana_psi_drift` / `ref_cusum_alarms`
+#      (all four MUST verify this round) = 40-name head,
+#   2. (pin = 40 = 50 - 5 late-r12 auto-slots - 5 planned r13
+#      registrations, set at round START per the window-budget rule):
+#      the 5 unlisted late-r12 registrations (kcore / autocorr /
+#      underwater / winsorized / mutual_info) slot in here, then the
+#      5 new r13 registrations,
+#   3. the 9 r10-green entries the amendment displaced head the tail
+#      (first into the r14 window), then the rest of the r10-green
+#      cohort, then r11-green, then the 50 round-12 window entries
+#      (freshest evidence, safely outside).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- block 0: the round-11 red row, hardened to integer ks_ppm --
-    "ana_ks_drift",
-    # -- block 1: late round-11 registrations (never driver-verified) --
-    "ref_sharpe_ratio",
-    "ref_up_streaks",
-    "ana_bfs_reach",
-    "ref_snapshot_diff",
-    "llm_langid_confusion",
-    # -- block 2: r8-stale (11 deferred ana_* + 5 trivial map/twin +
-    #    5 traded out of the r11 sliding slots) --
-    "ana_big_orders",
-    "ana_funnel_conversion",
-    "ana_important_parts",
-    "ana_min_cost_supplier",
-    "ana_retention_cohorts",
-    "ana_sole_late_supplier",
-    "ana_pagerank_suppliers",
-    "ana_data_profile",
-    "ana_distinct_users_salted",
-    "ana_events_hourly",
-    "ana_first_touch",
-    "llm_doc_fingerprint",
-    "llm_embedding_quantize",
-    "ref_calendar_gaps",
-    "llm_embedding_norms",
-    "llm_doc_chunks_udtf",
-    "llm_semantic_dedup",
-    "llm_semantic_clusters",
-    "llm_dsir_weights",
-    "llm_curation_embedding",
-    "stream_incremental_dedup",
-    # -- block 3: first 19 of the r9-stale cohort --
-    "ana_lapsed_customers",
-    "ana_lead_lag",
-    "ana_order_priority",
-    "ana_pareto_parts",
-    "ana_pricing_summary",
-    "ana_region_revenue",
-    "ana_rollup_volume",
-    "ana_top_customers",
-    "ana_user_sessions",
-    "ana_window_rank",
-    "join_asof_nearest_price",
-    "join_interp_calendar",
-    "llm_fuzzy_name_pairs",
-    "llm_incremental_dedup",
-    "llm_minhash_calibration",
-    "llm_mix_temperature",
-    "llm_sequence_packing",
-    "ref_daily_returns",
-    # -- (pin = 45: new round-12 registrations slot in HERE; the five
-    #    entries below ride slots 46-50 only while fewer than five
-    #    register — each new registration trades one of them out) --
-    "ref_get_last_price",
-    "ref_global_max_date",
-    "ref_latest_per_ticker",
-    "ref_normalize_market_payload",
-    "ref_normalize_stock_payload",
-    # -- block 4: remaining r9-stale (first into r13) --
+    # -- r9-stale head (27 + 5 slid-out) + 13 oldest r10-green --
     "ref_drawdown",
     "ref_ohlc_monthly",
     "ref_rolling_30day_mean",
@@ -158,11 +103,25 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_embedding_outliers",
     "stream_quota_admission",
     "stream_dedup_within_watermark",
-    # -- block 5: r10-green tail --
+    "ref_get_last_price",
+    "ref_global_max_date",
+    "ref_latest_per_ticker",
+    "ref_normalize_market_payload",
+    "ref_normalize_stock_payload",
     "ana_price_histogram",
     "ana_set_ops",
     "ref_markets_table",
     "ref_scalar_functions",
+    # -- the r12 red + its shared-oracle twin + the two never-checked
+    #    libm-sensitive monitors: must-verify this round --
+    "ana_ks_drift",
+    "stream_ks_drift",
+    "ana_psi_drift",
+    "ref_cusum_alarms",
+    # -- (pin = 40: 5 late-r12 + 5 new r13 registrations slot HERE) --
+    # -- tail: the 9 r10-green the amendment displaced (first into the
+    #    r14 window), remaining r10-green, then r11-green, then the 50
+    #    round-12 window entries (freshest) --
     "ref_stock_prices_table",
     "ana_approx_sketches",
     "ana_chi_square_lang_source",
@@ -209,8 +168,6 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "llm_random_projection",
     "llm_embedding_kmeans",
     "llm_phash_clusters",
-    # -- block 6: r11-green tail (window head then the five round-11
-    #    window registrations; freshest evidence) --
     "llm_resize_plan",
     "llm_frame_sample_plan",
     "ana_pivot_status",
@@ -260,25 +217,63 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_expectations_report",
     "llm_ccnet_buckets",
     "stream_quarantine_gate",
-    # -- late round-12 registrations, EXPLICITLY tail-listed so they
-    #    wait for the round-13 window instead of displacing this
-    #    round's (the driver-window-budget rule; the prepared r13
-    #    rotation leaves them unlisted so they auto-slot at its pin
-    #    as the five planned r13 registrations) --
-    "ana_kcore_suppliers",
-    "ref_autocorr_lag1",
-    "ref_underwater_duration",
-    "ana_winsorized_stats",
-    "ana_mutual_info_lang_source",
-    "stream_ks_drift",
-    "ana_psi_drift",
-    "ref_cusum_alarms",
+    "ref_sharpe_ratio",
+    "ref_up_streaks",
+    "ana_bfs_reach",
+    "ref_snapshot_diff",
+    "llm_langid_confusion",
+    "ana_big_orders",
+    "ana_funnel_conversion",
+    "ana_important_parts",
+    "ana_min_cost_supplier",
+    "ana_retention_cohorts",
+    "ana_sole_late_supplier",
+    "ana_pagerank_suppliers",
+    "ana_data_profile",
+    "ana_distinct_users_salted",
+    "ana_events_hourly",
+    "ana_first_touch",
+    "llm_doc_fingerprint",
+    "llm_embedding_quantize",
+    "ref_calendar_gaps",
+    "llm_embedding_norms",
+    "llm_doc_chunks_udtf",
+    "llm_semantic_dedup",
+    "llm_semantic_clusters",
+    "llm_dsir_weights",
+    "llm_curation_embedding",
+    "stream_incremental_dedup",
+    "ana_lapsed_customers",
+    "ana_lead_lag",
+    "ana_order_priority",
+    "ana_pareto_parts",
+    "ana_pricing_summary",
+    "ana_region_revenue",
+    "ana_rollup_volume",
+    "ana_top_customers",
+    "ana_user_sessions",
+    "ana_window_rank",
+    "join_asof_nearest_price",
+    "join_interp_calendar",
+    "llm_fuzzy_name_pairs",
+    "llm_incremental_dedup",
+    "llm_minhash_calibration",
+    "llm_mix_temperature",
+    "llm_sequence_packing",
+    "ref_daily_returns",
+    "ref_var_backtest",
+    "ref_snapshot_vacuum",
+    "ana_shortest_path",
+    "llm_gopher_gate",
+    "llm_dup_triangles",
 )
 
 
-# New (unlisted) queries slot in after the must-verify head.
-# 45 + 5 planned round-12 registrations = the full 50-query window.
-_WINDOW_PIN = 45
+# New (unlisted) queries slot in after the must-verify head: the 5
+# late-r12 registrations + 5 planned round-13 registrations.
+# 40 + 5 + 5 = the full 50-query window (pin set at round START per
+# the driver-window-budget rule).
+_WINDOW_PIN = 40
 
 
 def _apply_driver_order() -> None:

@@ -1743,7 +1743,7 @@ diffs AS (
            - CAST(cum_all - cum_g AS DECIMAL(19,0))
              * CAST(n_g AS DECIMAL(19,0))) AS d
   FROM cums)
-SELECT source, n_g AS n_docs, MAX(d) AS ks_num,
+SELECT source, n_g AS n_docs, CAST(MAX(d) AS BIGINT) AS ks_num,
        CAST((CAST(MAX(d) AS HUGEINT) * 1000000)
             // (CAST(n_g AS HUGEINT) * CAST(n - n_g AS HUGEINT))
             AS BIGINT) AS ks_ppm
