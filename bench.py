@@ -188,6 +188,14 @@ BENCH_QUERIES = (
     "stream_ks_drift",
     "ana_psi_drift",
     "ref_cusum_alarms",
+    # round-13 additions: earth-mover drift, Spearman rank correlation,
+    # market-basket pair mining, Benford conformance, label-propagation
+    # communities
+    "ana_emd_drift",
+    "ref_spearman_tickers",
+    "ana_basket_pairs",
+    "ana_benford_profile",
+    "ana_communities_lp",
 )
 
 

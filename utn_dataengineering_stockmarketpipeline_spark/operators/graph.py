@@ -370,10 +370,13 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
         raise ValueError("k must be >= 1")
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # filter BEFORE the direction union (a reversed unfiltered branch
+    # re-admits self-loops, inflating degrees by 1 — the LPA lesson)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
     und = (
-        e.filter(F.col("a") != F.col("b"))
-        .unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()
     )
@@ -390,3 +393,65 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("a").alias("node"), "deg")
     )
+
+
+def label_propagation(edges: DataFrame, rounds: int,
+                      src: str = "src", dst: str = "dst") -> DataFrame:
+    """Bounded synchronous label propagation over an undirected graph
+    → ``(node, label)`` community assignments after ``rounds``
+    propagation steps.
+
+    The community-detection step beyond connected components
+    (dedup.duplicate_clusters finds REACHABILITY classes; LPA finds
+    DENSITY classes inside one component): every node starts labeled
+    with its own id, and each round synchronously adopts the label
+    that is MOST FREQUENT among its neighbors — ties broken by the
+    smallest label, making every round a pure deterministic relational
+    step (no RNG, no asynchronous visit order, the two classic LPA
+    nondeterminism sources). Bounded rounds keep it oracle-expressible
+    (the bfs/pagerank/kcore discipline: fixed unroll, not a
+    data-dependent fixpoint); labels stabilize within a few rounds on
+    modular graphs, and the caller picks ``rounds`` like bfs picks
+    max_hops.
+
+    Scale: per round ONE hash join (edge relation ⋈ labels on the
+    neighbor key), a map-side-combinable (node, label) count, and an
+    argmax window partitioned BY NODE (rows per partition = the node's
+    distinct neighbor labels ≤ degree — never a global window). Eager
+    ``localCheckpoint`` per round: the next round's join re-reads the
+    label relation, and lazy chaining would stack R join+window
+    subtrees into one exponential plan (the graph-family lesson).
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    from pyspark.sql import Window
+
+    # filter BEFORE building both directions — reversing the unfiltered
+    # relation would smuggle self-loops back in through the second
+    # branch (found by the two-clique brute-force test)
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    und = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nbr = und.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -1777,6 +1777,189 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ana_emd_drift",
+    """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vcum AS (
+  SELECT v, v_cnt, CAST(SUM(v_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all,
+         CAST(COALESCE(LEAD(v) OVER (ORDER BY v) - v, 0)
+              AS DECIMAL(19,0)) AS gap
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+cums AS (
+  SELECT g.source, g.n_g, t.n, vc.cum_all, vc.gap,
+         CAST(SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY vc.v) AS BIGINT) AS cum_g
+  FROM grp g CROSS JOIN tot t CROSS JOIN vcum vc
+  LEFT JOIN counts c ON c.source = g.source AND c.v = vc.v),
+areas AS (
+  SELECT source, n_g, n,
+         ABS(CAST(cum_g AS DECIMAL(19,0)) * CAST(n - n_g AS DECIMAL(19,0))
+           - CAST(cum_all - cum_g AS DECIMAL(19,0))
+             * CAST(n_g AS DECIMAL(19,0))) * gap AS area
+  FROM cums)
+SELECT source, n_g AS n_docs,
+       CAST((CAST(SUM(area) AS HUGEINT) * 1000000)
+            // (CAST(n_g AS HUGEINT) * CAST(n - n_g AS HUGEINT))
+            AS BIGINT) AS emd_micro
+FROM areas WHERE n_g < n GROUP BY source, n_g, n
+""",
+    doc="per-source exact 1-Wasserstein (earth-mover) drift of the "
+        "document-length distribution vs the REST of the corpus "
+        "(skew.emd_drift) — the third drift monitor beside ana_ks_drift "
+        "(worst single CDF point) and ana_psi_drift (binned integral): "
+        "the exact area between the two empirical CDFs, which separates "
+        "a small shift everywhere from a large shift somewhere and "
+        "needs no bin tuning. Integer end to end on the same counts "
+        "grid as KS: area numerator Σ|cum_g·n_rest − cum_rest·n_g|·gap "
+        "in DECIMAL(38,0), emitted as exact integral-division "
+        "micro-value-units — no double quotient, no libm; same scale "
+        "posture (one counts shuffle, then the value-domain grid)",
+    tags=("analytics", "drift", "quality", "scale"),
+)
+def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.emd_drift(
+        load_table(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )
+
+
+@register(
+    "ana_benford_profile",
+    """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits GROUP BY digit),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM obs),
+benford(digit, benford_ppm) AS (
+  VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+SELECT b.digit, COALESCE(o.cnt, 0) AS cnt,
+       CAST((CAST(COALESCE(o.cnt, 0) AS HUGEINT) * 1000000) // t.n
+            AS BIGINT) AS obs_ppm,
+       CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+       CAST((CAST(COALESCE(o.cnt, 0) AS HUGEINT) * 1000000) // t.n
+            - b.benford_ppm AS BIGINT) AS dev_ppm
+FROM benford b LEFT JOIN obs o ON o.digit = b.digit CROSS JOIN tot t
+""",
+    doc="Benford's-law first-digit conformance profile of extended "
+        "prices — the fraud/data-fabrication screen auditors run on any "
+        "financial fact table: per leading digit 1-9, observed count, "
+        "observed share, the Benford expectation, and the deviation. "
+        "Exactness: the leading digit comes from the CENT-INTEGER's "
+        "decimal string (prices are cent-quantized, so round(x*100) is "
+        "exact and identical in both engines) — NOT from "
+        "floor(x/10^floor(log10 x)), whose libm log10 differs in last "
+        "ulps across engines; the Benford expectations are literal "
+        "micro-unit constants (they sum to exactly 1e6), and shares "
+        "are integral-division ppm. One map-side-combined 9-group "
+        "count shuffle; the digit dimension is a 9-row broadcast",
+    tags=("analytics", "quality", "profile"),
+)
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = obs.agg(F.sum("cnt").alias("n"))
+    benford = spark.createDataFrame(
+        [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+         (6, 66947), (7, 57992), (8, 51153), (9, 45757)],
+        "digit bigint, benford_ppm bigint",
+    )
+    return (
+        benford.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.expr(
+                "(coalesce(cnt, 0) * 1000000) div n"
+            ).alias("obs_ppm"),
+            "benford_ppm",
+            F.expr(
+                "(coalesce(cnt, 0) * 1000000) div n - benford_ppm"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+@register(
+    "ana_basket_pairs",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem),
+sized AS (
+  SELECT i.basket, i.item FROM items i
+  WHERE i.basket IN (
+    SELECT basket FROM items GROUP BY basket HAVING COUNT(*) <= 64)),
+nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets FROM sized),
+sup AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS sup_i FROM sized GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM sized a JOIN sized b
+    ON a.basket = b.basket AND a.item < b.item
+  GROUP BY a.item, b.item HAVING COUNT(*) >= 2)
+SELECT p.item_a, p.item_b, p.support,
+       CAST((CAST(p.support AS HUGEINT) * nb.n_baskets * 1000000)
+            // (CAST(sa.sup_i AS HUGEINT) * CAST(sb.sup_i AS HUGEINT))
+            AS BIGINT) AS lift_micro
+FROM pairs p
+JOIN sup sa ON sa.item = p.item_a
+JOIN sup sb ON sb.item = p.item_b
+CROSS JOIN nb
+""",
+    doc="market-basket co-occurrence (operators/baskets."
+        "copurchase_pairs): part pairs ordered together in ≥ 2 orders, "
+        "with exact integral-division lift_micro = support·n_baskets·"
+        "1e6 div (sup_a·sup_b) — the Apriori k=2 level that dominates "
+        "association mining cost. The pair space comes from a "
+        "self-equi-join on the basket key (item_a < item_b "
+        "canonicalizes), so fan-out is C(|basket|,2) per basket — "
+        "baskets above 64 items are EXCLUDED before the join (the "
+        "enforced-cap discipline: the one degenerate input that turns "
+        "the op quadratic is refused up front, in the contract); "
+        "per-item supports join back without a broadcast hint because "
+        "the item dimension can be 10^8 rows at scale (AQE decides)",
+    tags=("analytics", "join", "mining", "scale"),
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.baskets import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    return copurchase_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey",
+        min_support=2, max_basket=64,
+    ).select(
+        F.col("item_a").alias("item_a"),
+        F.col("item_b").alias("item_b"),
+        "support",
+        "lift_micro",
+    )
+
+
+@register(
     "ana_expectations_report",
     """
 WITH base AS (
@@ -1978,6 +2161,77 @@ def q_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return shortest_path_weighted(edges, seeds, max_rounds=4)
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled bounded synchronous label propagation (the _bfs_oracle
+    discipline): each round is one neighbor-label count plus an argmax
+    window with the identical (count DESC, label ASC) tie-break — pure
+    integer/string relational steps, engine-identical."""
+    ctes = ["""base AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+e0 AS MATERIALIZED (
+  SELECT src AS a, dst AS b FROM base
+  UNION SELECT dst, src FROM base),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM e0)"""]
+    for k in range(1, rounds + 1):
+        ctes.append(f"""c{k} AS (
+  SELECT e.a AS node, l.label, COUNT(*) AS c
+  FROM e0 e JOIN l{k - 1} l ON l.node = e.b
+  GROUP BY e.a, l.label),
+l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label, ROW_NUMBER() OVER (
+      PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM c{k}) WHERE rn = 1)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{rounds}"
+    )
+
+
+@register(
+    "ana_communities_lp",
+    _lpa_oracle(3),
+    doc="bounded synchronous label-propagation communities over the "
+        "undirected customer-supplier order graph (operators/graph."
+        "label_propagation, 3 rounds): every node starts as its own "
+        "label and synchronously adopts its neighbors' most frequent "
+        "label, ties to the smallest — the DENSITY clustering beside "
+        "ana_bfs_reach's reachability and llm_dup_clusters' connected "
+        "components (CC merges anything connected; LPA splits a "
+        "component along its sparse cuts). Deterministic by "
+        "construction: synchronous updates + total tie order remove "
+        "both classic LPA nondeterminism sources, so the unrolled-CTE "
+        "oracle reproduces it exactly. Per round one edges⋈labels hash "
+        "join, a map-side-combined (node,label) count, and an argmax "
+        "window partitioned by node (≤ degree rows per partition, "
+        "never global); per-round localCheckpoint stops the 2^k plan "
+        "growth (the graph-family discipline)",
+    tags=("analytics", "graph", "iterative", "community"),
+)
+def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=3)
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:

@@ -704,6 +704,101 @@ def q_ticker_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_spearman_tickers",
+    with_reference_ctes("""
+, r AS (
+  SELECT stock_ticker, stock_date,
+         stock_close / LAG(stock_close) OVER
+           (PARTITION BY stock_ticker ORDER BY stock_date) - 1 AS ret
+  FROM stock_prices
+), p AS (
+  SELECT a.stock_ticker AS ticker_a, b.stock_ticker AS ticker_b,
+         a.stock_date AS d, a.ret AS x, b.ret AS y
+  FROM r a JOIN r b
+    ON a.stock_date = b.stock_date AND a.stock_ticker < b.stock_ticker
+  WHERE a.ret IS NOT NULL AND b.ret IS NOT NULL
+), rk AS (
+  SELECT ticker_a, ticker_b,
+         ROW_NUMBER() OVER (PARTITION BY ticker_a, ticker_b
+                            ORDER BY x, d) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY ticker_a, ticker_b
+                            ORDER BY y, d) AS ry
+  FROM p
+), m AS (
+  SELECT ticker_a, ticker_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(CAST(rx - ry AS HUGEINT) * CAST(rx - ry AS HUGEINT)) AS sd2
+  FROM rk GROUP BY ticker_a, ticker_b)
+SELECT ticker_a, ticker_b, n_days,
+       CAST(1000000 - (CAST(sd2 AS HUGEINT) * 6000000)
+            // (CAST(n_days AS HUGEINT)
+                * (CAST(n_days AS HUGEINT) * CAST(n_days AS HUGEINT) - 1))
+            AS BIGINT) AS rho_micro
+FROM m WHERE n_days >= 2
+"""),
+    doc="pairwise SPEARMAN rank correlation of daily returns — the "
+        "robust, outlier-immune complement to ref_ticker_correlation's "
+        "Pearson (one fat-tailed crash day dominates a Pearson moment; "
+        "ranks cap it at one position). Integer end to end where "
+        "Pearson needs five double moments: each return is ranked "
+        "within its pair by ROW_NUMBER (ties sequence-broken by "
+        "trading date — deterministic identical integer ranks in both "
+        "engines, since IEEE division makes the raw returns bit-equal), "
+        "then ρ = 1 − 6·Σd²/(n(n²−1)) is emitted as exact micro-units "
+        "via integral division of DECIMAL(38,0) products (Σd² ≤ n³ "
+        "honesty bound: exact to n ≈ 10^10 days). Plan: the returns "
+        "self-join halves the pair space (a < b); the rank windows "
+        "partition by pair — |pairs| × |days| rows, never a global "
+        "sort.",
+    tags=("reference", "window", "statistics"),
+)
+def q_spearman_tickers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sp = stock_prices(spark, sf_dir)
+    w = Window.partitionBy("stock_ticker").orderBy("stock_date")
+    r = sp.select(
+        "stock_ticker",
+        "stock_date",
+        (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
+    ).filter(F.col("ret").isNotNull())
+    a, b = r.alias("a"), r.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.stock_date") == F.col("b.stock_date"))
+        & (F.col("a.stock_ticker") < F.col("b.stock_ticker")),
+    ).select(
+        F.col("a.stock_ticker").alias("ticker_a"),
+        F.col("b.stock_ticker").alias("ticker_b"),
+        F.col("a.stock_date").alias("d"),
+        F.col("a.ret").alias("x"),
+        F.col("b.ret").alias("y"),
+    )
+    wx = Window.partitionBy("ticker_a", "ticker_b").orderBy("x", "d")
+    wy = Window.partitionBy("ticker_a", "ticker_b").orderBy("y", "d")
+    ranked = pairs.select(
+        "ticker_a",
+        "ticker_b",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    dec = "decimal(19,0)"
+    dd = (F.col("rx") - F.col("ry")).cast(dec)
+    m = ranked.groupBy("ticker_a", "ticker_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(dd * dd).alias("sd2"),
+    )
+    return m.filter(F.col("n_days") >= 2).select(
+        "ticker_a",
+        "ticker_b",
+        "n_days",
+        F.expr(
+            "1000000 - (sd2 * 6000000) div"
+            " (cast(n_days as decimal(19,0))"
+            "  * (cast(n_days as decimal(19,0))"
+            "     * cast(n_days as decimal(19,0)) - 1))"
+        ).alias("rho_micro"),
+    )
+
+
+@register(
     "ref_rsi14",
     with_reference_ctes("""
 , chg AS (
