@@ -196,6 +196,14 @@ BENCH_QUERIES = (
     "ana_basket_pairs",
     "ana_benford_profile",
     "ana_communities_lp",
+    # late round-13 (tail-listed for the r14 window, benched now):
+    # streaming EMD drain, variance-ratio test, Gini concentration,
+    # Zipf exponent, ANN recall eval
+    "stream_emd_drift",
+    "ref_variance_ratio",
+    "ana_gini_concentration",
+    "llm_zipf_slope",
+    "llm_ann_recall_eval",
 )
 
 
@@ -608,8 +616,75 @@ def scale_evidence(spark, sf_dir: str, factor: int = 10) -> dict:
     timed(f"ks_drift_{factor}x",
           lambda: skew.ks_drift(_sourced(docs_nx), "n_chars", "source"))
 
+    # EMD drift rides the same counts grid as KS — same near-flat
+    # expectation past the scan
+    timed("emd_drift_1x",
+          lambda: skew.emd_drift(_sourced(docs_1x), "n_chars", "source"))
+    timed(f"emd_drift_{factor}x",
+          lambda: skew.emd_drift(_sourced(docs_nx), "n_chars", "source"))
+
+    # Zipf slope: token-count shuffle scales with the corpus, the
+    # vocabulary relation (replicated text -> constant distinct terms)
+    # and the OLS reduction do not
+    timed("zipf_slope_1x", lambda: text_ops.zipf_slope(docs_1x))
+    timed(f"zipf_slope_{factor}x", lambda: text_ops.zipf_slope(docs_nx))
+
     for df in (docs_1x, docs_nx, emb_1x, emb_nx):
         df.unpersist()
+
+    # Gini: bucket offsets ride the value-domain relation (constant),
+    # the rank window partitions by bucket — wall should track the
+    # scan. Deterministic hash values over a 1e6 domain, 100 buckets.
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        gini_concentration,
+    )
+
+    def _gvals(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("v"),
+        )
+
+    timed("gini_1x",
+          lambda: gini_concentration(_gvals(200_000), "v", "k",
+                                     bucket_width=10_000))
+    timed(f"gini_{factor}x",
+          lambda: gini_concentration(_gvals(200_000 * factor), "v", "k",
+                                     bucket_width=10_000))
+
+    # basket pairs: fixed item universe (10k), 4-item baskets — the
+    # pair self-join fan-out is C(4,2) per basket, linear in baskets
+    from utn_dataengineering_stockmarketpipeline_spark.operators.baskets import (
+        copurchase_pairs,
+    )
+
+    def _baskets(n):
+        return spark.range(4 * n).select(
+            (F.col("id") % n).alias("bk"),
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("it"),
+        )
+
+    timed("basket_pairs_1x",
+          lambda: copurchase_pairs(_baskets(100_000), "bk", "it"))
+    timed(f"basket_pairs_{factor}x",
+          lambda: copurchase_pairs(_baskets(100_000 * factor), "bk", "it"))
+
+    # label propagation: 3 rounds over a degree-6 random graph — per
+    # round one edges⋈labels join, so wall should scale with edges
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    def _lpa_edges(n):
+        return spark.range(3 * n).select(
+            F.pmod(F.xxhash64("id"), F.lit(n)).cast("string").alias("src"),
+            F.pmod(F.xxhash64(F.col("id") + 1), F.lit(n)).cast("string")
+            .alias("dst"),
+        )
+
+    timed("lpa_1x", lambda: label_propagation(_lpa_edges(20_000), rounds=3))
+    timed(f"lpa_{factor}x",
+          lambda: label_propagation(_lpa_edges(20_000 * factor), rounds=3))
 
     # round-9 span/pixel operators on affine-scrambled replicas (clean
     # corpus growth — suffix-variant replicas would share every k-gram

@@ -633,3 +633,67 @@ def test_round12_queries_plan_shapes(spark):
     assert "Scan parquet" not in plan and "Join" not in plan
     plan = plan_of(CATALOG["ana_kcore_suppliers"].build(spark, SF_SMOKE))
     assert "Scan parquet" not in plan
+
+
+def test_round13_queries_plan_shapes(spark):
+    # EMD drift: the ks_drift discipline — groups/values/total AND the
+    # probe all derive from ONE counts exchange; reuse materializes in
+    # the EXECUTED plan (AQE), exactly like the ks_drift guard
+    df = CATALOG["ana_emd_drift"].build(spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 3
+
+    # Spearman: the rank windows partition BY PAIR — the plan must not
+    # contain a partition-free global Sort feeding a Window
+    plan = plan_of(CATALOG["ref_spearman_tickers"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    # basket pairs: the pair generator is an EQUI self-join on the
+    # basket key (never a nested loop) and the basket-size gate is a
+    # semi-join; the only nested-loop join is the single 1-row
+    # n_baskets assembly crossJoin (the triangle-census idiom)
+    plan = plan_of(CATALOG["ana_basket_pairs"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count(") BroadcastNestedLoopJoin") == 1
+
+    # Benford: ONE 9-group count aggregation over the fact scan, then
+    # everything (total, ppm, deviation) derives from the checkpointed
+    # 9-row counts — the lazy tail must contain no parquet scan at all
+    plan = plan_of(CATALOG["ana_benford_profile"].build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan
+    assert "SortMergeJoin" not in plan
+
+    # label propagation: returned labels are a checkpointed loop
+    # result — flat tail, no parquet re-scan, no join re-derivation
+    plan = plan_of(CATALOG["ana_communities_lp"].build(spark, SF_SMOKE))
+    assert "Scan parquet" not in plan and "Join" not in plan
+
+    # Gini: the corpus-side window partitions BY BUCKET; the only
+    # unpartitioned window cumulates the tiny bucket relation. Guard:
+    # every Window in the plan that consumes the ranked corpus comes
+    # after the bucket hash exchange, and offsets broadcast back
+    plan = plan_of(CATALOG["ana_gini_concentration"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # variance ratio: both moment aggregations share the one
+    # per-ticker sort (window exchange reuse); the m1⋈mq join is on
+    # the tiny per-ticker relation
+    plan = plan_of(CATALOG["ref_variance_ratio"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    # Zipf slope: rides vocabulary's offset-ranked window — broadcast
+    # offsets, count-partitioned window, no single-partition global
+    # sort of the vocabulary
+    plan = plan_of(CATALOG["llm_zipf_slope"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+    # ANN recall eval: the exact side is the bounded broadcast
+    # baseline; the hit join is an equi-join on (query, neighbor)
+    plan = plan_of(CATALOG["llm_ann_recall_eval"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan

@@ -258,3 +258,192 @@ def test_label_propagation_matches_bruteforce_random(spark):
             for r in label_propagation(df, rounds=rounds).collect()
         }
         assert got == _brute_lpa(edges, rounds), rounds
+
+
+def _brute_vr(xs, q):
+    n = len(xs)
+    ys = [sum(xs[i - q + 1:i + 1]) for i in range(q - 1, n)]
+    nq = len(ys)
+    sx, sxx = sum(xs), sum(v * v for v in xs)
+    sy, syy = sum(ys), sum(v * v for v in ys)
+    if nq < 2 or n * sxx - sx * sx <= 0:
+        return None
+    return ((float(nq) * syy - float(sy) * sy) * float(n) * n) / (
+        (float(n) * sxx - float(sx) * sx) * float(nq) * nq * q
+    )
+
+
+def test_variance_ratio_matches_bruteforce(spark):
+    """variance_ratio == the plain-Python moment formula, and it
+    separates momentum (trending: VR > 1) from mean reversion
+    (alternating: VR < 1) — the diagnostic the operator exists for."""
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        variance_ratio,
+    )
+
+    series = {
+        "TREND": [1000] * 6 + [2000] * 6 + [1500] * 8,   # sticky levels
+        "FLIP": [1000, -1000] * 10,                       # alternating
+        "MIX": [300, -200, 900, -50, 120, 700, -640, 80, 10, -400,
+                250, 330, -75, 60, -900, 410, 220, -130, 505, -20],
+    }
+    rows = [
+        (t, dt.date(2020, 1, 1) + dt.timedelta(days=i), v)
+        for t, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, ret_ppm long"
+    )
+    got = {r.stock_ticker: r for r in variance_ratio(df, q=5).collect()}
+    for t, xs in series.items():
+        want = _brute_vr(xs, 5)
+        assert got[t].n_obs == len(xs)
+        assert got[t].n_q == len(xs) - 4
+        assert got[t].vr == want, t   # bit-exact: same pinned association
+    assert got["TREND"].vr > 1.0 > got["FLIP"].vr
+
+
+def test_variance_ratio_rejects_degenerate(spark):
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        variance_ratio,
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        variance_ratio(None, q=1)
+    # zero 1-period variance: entity dropped, not NULL/inf
+    rows = [
+        ("Z", dt.date(2020, 1, 1) + dt.timedelta(days=i), 500)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, ret_ppm long"
+    )
+    assert variance_ratio(df, q=5).count() == 0
+
+
+def test_gini_concentration_known_values(spark):
+    """Gini == the rank-sum formula: 0 for perfect equality, the exact
+    closed form for one-holder concentration, brute-force parity on an
+    arbitrary multiset (with ties), and a narrow bucket width — which
+    forces many buckets — must not change the result."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        gini_concentration,
+    )
+
+    def brute(vals):
+        xs = sorted(vals)
+        n, sx = len(xs), sum(xs)
+        srx = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * srx - (n + 1) * sx) * 1_000_000 // (n * sx)
+
+    equal = [(i, 500) for i in range(10)]
+    onehot = [(i, 0) for i in range(9)] + [(9, 900)]
+    mixed = [(i, v) for i, v in enumerate(
+        [5, 5, 5, 20, 100, 0, 0, 33, 33, 7, 250, 1]
+    )]
+    for rows, width in ((equal, 100), (onehot, 100), (mixed, 100),
+                        (mixed, 3)):
+        df = spark.createDataFrame(rows, "k long, v long")
+        r = gini_concentration(df, "v", "k", bucket_width=width).collect()[0]
+        vals = [v for _, v in rows]
+        assert r.n_units == len(vals)
+        assert r.total_value == sum(vals)
+        assert int(r.gini_ppm) == brute(vals), (rows, width)
+    assert gini_concentration(
+        spark.createDataFrame(equal, "k long, v long"), "v", "k"
+    ).collect()[0].gini_ppm == 0
+
+
+def test_gini_rejects_negative(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        gini_concentration,
+    )
+
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, 5), (2, -3)], "k long, v long")
+    with _pytest.raises(Exception, match="negative value"):
+        gini_concentration(df, "v", "k").collect()
+
+
+def test_zipf_slope_matches_bruteforce(spark):
+    """zipf_slope == the plain-Python quantized OLS over the same
+    (rank, count) vocabulary, and a steeper synthetic corpus yields a
+    larger alpha than a flatter one."""
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.text import (
+        zipf_slope,
+    )
+
+    def corpus(freqs):
+        # term i appears freqs[i] times; single-doc corpus
+        words = []
+        for i, f in enumerate(freqs):
+            words += [f"w{i:03d}"] * f
+        return [(0, " ".join(words))]
+
+    def brute(freqs):
+        ranked = sorted(
+            ((f, f"w{i:03d}") for i, f in enumerate(freqs)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        pts = [
+            (
+                math.floor(math.log(r + 1) * 1e6 + 0.5),
+                math.floor(math.log(f) * 1e6 + 0.5),
+            )
+            for r, (f, _) in enumerate(ranked)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        return (sx * sy - n * sxy) * 1_000_000 // (n * sxx - sx * sx)
+
+    steep = [729, 243, 81, 27, 9, 3, 1, 1]          # ~r^-3 head
+    flat = [64, 54, 47, 42, 38, 35, 32, 30]          # ~r^-0.4
+    alphas = {}
+    for name, freqs in (("steep", steep), ("flat", flat)):
+        df = spark.createDataFrame(corpus(freqs), "doc_id long, text string")
+        r = zipf_slope(df).collect()[0]
+        assert r.n_terms == len(freqs)
+        assert int(r.zipf_alpha_micro) == brute(freqs), name
+        alphas[name] = int(r.zipf_alpha_micro)
+    assert alphas["steep"] > alphas["flat"] > 0
+
+
+def test_ann_recall_eval_bounds_and_identity(spark):
+    """Catalog recall eval: every query scores in [0, 1e6] with
+    n_exact = 5 at SF_SMOKE, recall_ppm is exactly the integral ratio,
+    and an index evaluated against ITSELF scores perfect recall."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+
+    rows = CATALOG["llm_ann_recall_eval"].build(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_hit <= r.n_exact
+        assert int(r.recall_ppm) == r.n_hit * 1_000_000 // r.n_exact
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import similarity
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(corpus=emb, queries=q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    assert hits.count() == exact.count()

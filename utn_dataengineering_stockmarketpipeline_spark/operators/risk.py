@@ -386,3 +386,72 @@ def cusum_alarms(
             F.when(F.col("__s") > h_ppm, F.col(date_col))
         ).alias("first_alarm_date"),
     )
+
+
+def variance_ratio(
+    rets: DataFrame,
+    q: int = 5,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+) -> DataFrame:
+    """Variance-ratio white-noise test per entity (Lo-MacKinlay 1988
+    shape) → ``(entity, n_obs, n_q, vr)``: the ratio of the variance
+    of OVERLAPPING q-period aggregated returns to q times the 1-period
+    variance. Under a random walk VR ≈ 1; VR > 1 = momentum
+    (positively correlated increments stack), VR < 1 = mean reversion
+    — the horizon-q generalization of :func:`autocorr_lag1`'s single
+    lag.
+
+    Defined on partial SUMS of the ppm simple-return series (additive
+    by construction, so the iid null "Var of a q-sum = q·Var" holds
+    exactly — the log-return refinement would put a libm ``ln`` on
+    every row, the cross-engine boundary-flake class this module
+    bans). Module float discipline: the q-sums ride ONE rolling
+    window over the entity partitioning (full frames only), all five
+    moments are exact BIGINT sums, and VR is emitted UNROUNDED from
+    one pinned double association over those integers (population
+    variances; the two sample sizes differ by q−1 and each normalizes
+    by its own n²) — bit-identical cross-engine, same as autocorr.
+    Zero 1-period variance drops the entity (NULL/inf divergence).
+    """
+    if q < 2:
+        raise ValueError("q must be >= 2 (q = 1 is identically VR = 1)")
+    w = Window.partitionBy(entity_col).orderBy(date_col)
+    wq = w.rowsBetween(-(q - 1), 0)
+    base = rets.select(
+        entity_col,
+        F.col("ret_ppm").alias("x"),
+        F.sum("ret_ppm").over(wq).alias("yq"),
+        F.row_number().over(w).alias("rn"),
+    )
+    m1 = base.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mq = base.filter(F.col("rn") >= q).groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    # one pinned association, shared verbatim with the SQL oracle
+    vr_expr = (
+        "((cast(nq as double) * syy - cast(sy as double) * sy)"
+        " * cast(n as double) * n)"
+        " / ((cast(n as double) * sxx - cast(sx as double) * sx)"
+        f"    * cast(nq as double) * nq * {q})"
+    )
+    return (
+        m1.join(mq, entity_col)
+        .filter(
+            (F.col("nq") >= 2)
+            & (F.expr("cast(n as double) * sxx - cast(sx as double) * sx")
+               > 0)
+        )
+        .select(
+            entity_col,
+            F.col("n").alias("n_obs"),
+            F.col("nq").alias("n_q"),
+            F.expr(vr_expr).alias("vr"),
+        )
+    )

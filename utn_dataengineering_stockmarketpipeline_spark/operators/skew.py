@@ -531,3 +531,83 @@ def emd_drift_from_counts(counts: DataFrame, value_col: str,
             ).alias("emd_micro"),
         )
     )
+
+
+def gini_concentration(df: DataFrame, value_col: str, tiebreak_col: str,
+                       bucket_width: int = 1_000_000_000) -> DataFrame:
+    """Exact Gini coefficient of a nonnegative integer measure → ONE
+    row ``(n_units, total_value, gini_ppm)`` — the concentration /
+    inequality profile (how skewed is revenue across customers, tokens
+    across documents, traffic across keys) that :func:`key_skew_profile`
+    eyeballs with percentiles and this op states as the canonical
+    scalar: ``G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx)``, emitted as exact
+    integral-division ppm.
+
+    The global rank is the scale problem (a window ``ORDER BY`` with no
+    partition funnels the corpus through ONE task): ranks derive
+    instead from VALUE BUCKETS — ``bucket = value div bucket_width``
+    gives a relation bounded by the value DOMAIN, its cumulative
+    counts ride one tiny ordered window and broadcast back as offsets,
+    and the within-bucket ``row_number`` partitions BY BUCKET. Since
+    the bucket id is monotone in the value, ``offset + within-bucket
+    rank`` equals the exact global ``ROW_NUMBER() OVER (ORDER BY
+    value, tiebreak)`` — the windows.exact_row_number idea with the
+    driver fold replaced by a window and raw values replaced by
+    domain-bounded buckets. Ties contribute identically under any
+    permutation (Σ rank over a tie group is rank-sum-invariant), the
+    tiebreak just pins determinism.
+
+    Integer end to end: rank·x products ride DECIMAL(19,0)×DECIMAL(19,0)
+    (n ≤ 1e11 units × values ≤ 1e13 micro-dollars stay inside the
+    DECIMAL(38,0) accumulator), gini_ppm is integral division. Values
+    must be nonnegative (Gini is undefined below zero — enforced by
+    filter semantics documented here, not silently clamped: negative
+    inputs raise in the guard below).
+    """
+    x = F.col(value_col)
+    base = df.select(
+        x.cast("bigint").alias("x"), F.col(tiebreak_col).alias("tb")
+    ).withColumn("bk", F.expr(f"x div {int(bucket_width)}"))
+    # Gini needs a nonnegative measure; a negative value would silently
+    # corrupt both the rank-sum identity and the normalization.
+    # assert_true evaluates per-row inside the scan — no extra pass.
+    base = base.withColumn(
+        "x",
+        F.when(F.col("x") >= 0, F.col("x")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("gini_concentration: negative value "),
+                    F.col("x").cast("string"),
+                )
+            ).cast("bigint")
+        ),
+    )
+    from pyspark.sql import Window
+
+    bc = base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+    w_off = Window.orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the ordered window runs on the BUCKET relation — value-domain
+    # bounded, never the corpus
+    off = bc.withColumn(
+        "off", F.coalesce(F.sum("c").over(w_off), F.lit(0))
+    ).select("bk", "off")
+    w_in = Window.partitionBy("bk").orderBy("x", "tb")
+    dec = "decimal(19,0)"
+    ranked = base.join(F.broadcast(off), "bk").withColumn(
+        "rnk", F.col("off") + F.row_number().over(w_in)
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("rnk").cast(dec) * F.col("x").cast(dec)).alias("srx"),
+    )
+    return m.filter((F.col("n") > 0) & (F.col("sx") > 0)).select(
+        F.col("n").alias("n_units"),
+        F.col("sx").cast("bigint").alias("total_value"),
+        F.expr(
+            "((2 * srx - (n + 1) * sx) * 1000000)"
+            " div (cast(n as decimal(19,0)) * sx)"
+        ).alias("gini_ppm"),
+    )

@@ -1316,3 +1316,58 @@ def temperature_resample(df: DataFrame, budget: int = 100_000,
                 .otherwise(0)).alias("n_copies"),
         )
     )
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               min_count: int = 1) -> DataFrame:
+    """Zipf exponent of the corpus vocabulary → ONE row ``(n_terms,
+    zipf_alpha_micro)``: the log-log OLS slope of frequency against
+    rank, negated to the conventional positive α (freq ∝ rank^(−α),
+    natural language ≈ 1). The corpus-statistics diagnostic behind
+    vocabulary sizing and quality triage — a corpus whose α collapses
+    toward 0 is boilerplate/spam-flooded (flat head), one far above 1
+    is template-dominated (cliff past the head).
+
+    Exactness discipline (the ccnet/psi/mi rule): rank and count are
+    identical integers on both engines (rank from
+    :func:`vocabulary`'s exact_row_number with its (count DESC, term)
+    total order), each ``ln`` term is quantized ONCE to int64
+    micro-nats from those identical integers, all five OLS moments are
+    exact integer sums, and α is emitted by integral division of two
+    nonnegative integers — engine-identical truncation.
+
+    Scale: rides :func:`vocabulary` (one token-count shuffle + the
+    offset-ranked window, no single-partition sort even at 1e8 terms);
+    the OLS reduction is one map-side-combined aggregate over the
+    vocabulary relation. Σ(qx·qy) ≤ |V|·(ln|V|·1e6)·(ln N·1e6) ≈
+    1e8·2e7·6e7 ≈ 1e23 — DECIMAL(38,0) accumulators, not BIGINT.
+    """
+    voc = vocabulary(df, text_col, min_count=min_count)
+    q = voc.select(
+        F.floor(F.log(F.col("term_id").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qx"),
+        F.floor(F.log(F.col("count").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qy"),
+    )
+    dec = "decimal(19,0)"
+    m = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qx").cast(dec)).alias("sx"),
+        F.sum(F.col("qy").cast(dec)).alias("sy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qy").cast(dec)).alias("sxy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qx").cast(dec)).alias("sxx"),
+    )
+    # slope is negative for any Zipfian corpus; the negated numerator
+    # keeps both integral-division operands nonnegative, so truncation
+    # direction can't differ cross-engine even in degenerate corpora
+    return m.filter(
+        F.expr("cast(n as decimal(19,0)) * sxx - sx * sx") > 0
+    ).select(
+        F.col("n").alias("n_terms"),
+        F.expr(
+            "((sx * sy - cast(n as decimal(19,0)) * sxy) * 1000000)"
+            " div (cast(n as decimal(19,0)) * sxx - sx * sx)"
+        ).alias("zipf_alpha_micro"),
+    )

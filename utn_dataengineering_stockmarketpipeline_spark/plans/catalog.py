@@ -266,6 +266,15 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_shortest_path",
     "llm_gopher_gate",
     "llm_dup_triangles",
+    # -- late round-13 registrations, EXPLICITLY tail-listed so they
+    #    wait for the round-14 window instead of displacing this
+    #    round's (the driver-window-budget rule; local strict sweeps
+    #    at both SFs are their evidence until then) --
+    "stream_emd_drift",
+    "ref_variance_ratio",
+    "ana_gini_concentration",
+    "llm_zipf_slope",
+    "llm_ann_recall_eval",
 )
 
 

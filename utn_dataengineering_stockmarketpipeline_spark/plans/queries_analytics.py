@@ -1776,9 +1776,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ana_emd_drift",
-    """
+#: shared with stream_emd_drift (queries_streaming): the drained
+#: streaming monitor must converge to the batch statistic, so both
+#: entries verify against this SQL verbatim (the KS-drift contract).
+_EMD_DRIFT_ORACLE_SQL = """
 WITH counts AS (
   SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM documents
@@ -1808,7 +1809,12 @@ SELECT source, n_g AS n_docs,
             // (CAST(n_g AS HUGEINT) * CAST(n - n_g AS HUGEINT))
             AS BIGINT) AS emd_micro
 FROM areas WHERE n_g < n GROUP BY source, n_g, n
-""",
+"""
+
+
+@register(
+    "ana_emd_drift",
+    _EMD_DRIFT_ORACLE_SQL,
     doc="per-source exact 1-Wasserstein (earth-mover) drift of the "
         "document-length distribution vs the REST of the corpus "
         "(skew.emd_drift) — the third drift monitor beside ana_ks_drift "
@@ -1829,6 +1835,62 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), value_col="n_chars",
         group_col="source",
     )
+
+
+@register(
+    "ana_gini_concentration",
+    """
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS rev_mu
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey),
+ranked AS (
+  SELECT rev_mu,
+         ROW_NUMBER() OVER (ORDER BY rev_mu, o_custkey) AS rnk
+  FROM per_cust),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(rev_mu AS HUGEINT)) AS sx,
+         SUM(CAST(rnk AS HUGEINT) * CAST(rev_mu AS HUGEINT)) AS srx
+  FROM ranked)
+SELECT n AS n_units, CAST(sx AS BIGINT) AS total_value,
+       CAST(((2 * srx - (n + 1) * sx) * 1000000)
+            // (CAST(n AS HUGEINT) * sx) AS BIGINT) AS gini_ppm
+FROM m WHERE n > 0 AND sx > 0
+""",
+    doc="Gini coefficient of revenue concentration across customers "
+        "(skew.gini_concentration): the canonical inequality scalar "
+        "G = (2·Σ rank·x − (n+1)·Σx)/(n·Σx) in exact integral ppm over "
+        "micro-dollar revenues — the one-number complement to "
+        "ana_join_key_skew's percentile profile. The global rank NEVER "
+        "runs as an unpartitioned window: ranks = bucket offsets "
+        "(cumulative counts over the value-DOMAIN-bounded bucket "
+        "relation, broadcast back) + row_number partitioned BY BUCKET, "
+        "exactly equal to ROW_NUMBER() OVER (ORDER BY value, tiebreak) "
+        "because the bucket id is monotone in the value — the oracle "
+        "states that global form directly. Integer end to end "
+        "(DECIMAL(38,0) rank·value products; 1e11 units × 1e13 "
+        "micro-dollars inside the accumulator)",
+    tags=("analytics", "profile", "skew", "scale"),
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import gini_concentration
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg((F.sum(rev) * 1_000_000).cast("bigint").alias("rev_mu"))
+    )
+    return gini_concentration(per_cust, "rev_mu", "o_custkey")
 
 
 @register(
@@ -1875,8 +1937,15 @@ def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     ).cast("bigint")
-    obs = li.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # localCheckpoint the ≤9-row digit counts: tot re-aggregates obs,
+    # and without the checkpoint Catalyst inlines the corpus scan into
+    # BOTH branches (a broadcast exchange and a shuffle exchange of the
+    # same child never reuse each other) — two full scans at 100 TB
+    obs = (
+        li.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     tot = obs.agg(F.sum("cnt").alias("n"))
     benford = spark.createDataFrame(

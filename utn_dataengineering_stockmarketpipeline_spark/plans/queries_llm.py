@@ -989,6 +989,110 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_oracle_sql(dim: int = 64, n_centroids: int = 16,
+                           iters: int = 5, n_probe: int = 4, k: int = 5,
+                           q_max: int = 10) -> str:
+    """llm_ann_recall_eval oracle: the shared IVF assignment chain →
+    IVF top-k, an exact brute-force top-k over the same queries, and
+    the per-query intersection count — recall@k as exact integral
+    ppm."""
+    from ..operators.similarity import IVF_ROUND_SIM
+
+    ctes = _ivf_assign_ctes(dim, n_centroids, iters)
+    dot_nc = ("list_sum(list_transform(list_zip(n.v, c.v), "
+              "z -> z[1]::DOUBLE * z[2]::DOUBLE))")
+    ctes.append(f"""aq AS MATERIALIZED (
+  SELECT vec_id AS query_id, c FROM (
+    SELECT n.vec_id, c.c,
+           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+             ORDER BY round({dot_nc}, {IVF_ROUND_SIM}) DESC, c.c) AS rk
+    FROM norm n CROSS JOIN c{iters} c
+    WHERE n.vec_id < {q_max}) WHERE rk <= {n_probe})""")
+    ctes.append(f"""cand AS MATERIALIZED (
+  SELECT DISTINCT aq.query_id, ac.neighbor_id
+  FROM aq JOIN ac USING (c) WHERE aq.query_id != ac.neighbor_id)""")
+    ctes.append(f"""iscored AS MATERIALIZED (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+  FROM cand cd
+  JOIN embeddings ea ON ea.vec_id = cd.query_id
+  JOIN embeddings eb ON eb.vec_id = cd.neighbor_id)""")
+    ctes.append(f"""itop AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM iscored) WHERE rk <= {k})""")
+    ctes.append(f"""escored AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cosine
+  FROM embeddings q CROSS JOIN embeddings c
+  WHERE q.vec_id < {q_max} AND q.vec_id != c.vec_id)""")
+    ctes.append(f"""etop AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rk
+    FROM escored) WHERE rk <= {k})""")
+    return ("WITH " + ",\n".join(ctes) + """
+SELECT b.query_id, b.n_exact, COALESCE(h.n_hit, 0) AS n_hit,
+       CAST((COALESCE(h.n_hit, 0) * 1000000) // b.n_exact AS BIGINT)
+         AS recall_ppm
+FROM (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM etop GROUP BY query_id) b
+LEFT JOIN (SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+           FROM etop e JOIN itop i
+             ON e.query_id = i.query_id
+            AND e.neighbor_id = i.neighbor_id
+           GROUP BY e.query_id) h
+  ON b.query_id = h.query_id""")
+
+
+@register(
+    "llm_ann_recall_eval",
+    _ann_recall_oracle_sql(),
+    doc="recall@5 evaluation of the IVF ANN index against the exact "
+        "brute-force top-5, per query — the EVAL LOOP on the ANN "
+        "family (what ref_var_backtest is to the VaR fits): an index "
+        "is only as good as its measured recall, and this runs the "
+        "measurement as a first-class relational op instead of a "
+        "pytest assertion. Per query: |IVF top-5 ∩ exact top-5| via "
+        "one equi-join on (query, neighbor) — both top-5 sets are "
+        "already deterministic cross-engine constants (their own "
+        "oracles) — and recall as exact integral ppm. Scale: the "
+        "exact side is the bounded-broadcast baseline (enforced "
+        "MAX_BROADCAST_ROWS); production evals sample queries exactly "
+        "like this q<10 slice, so the plan shape IS the 100 TB shape",
+    tags=("llm", "similarity", "ann", "eval"),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(corpus=emb, queries=q, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk(corpus=emb, queries=q, dim=64, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    base = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr(
+                "(coalesce(n_hit, 0) * 1000000) div n_exact"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
 def _random_projection_oracle_sql(dim_out: int = 16) -> str:
     """llm_random_projection oracle: identical literal ±1 JL matrix,
     integer micro-unit quantization, exact int64 folds."""
@@ -2188,6 +2292,53 @@ FROM counts
 )
 def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocabulary(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_zipf_slope",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+counts AS (
+  SELECT term, COUNT(*) AS count FROM tok WHERE term != '' GROUP BY term),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY count DESC, term) AS BIGINT)
+           AS term_id,
+         count
+  FROM counts),
+q AS (
+  SELECT CAST(floor(ln(CAST(term_id AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS qx,
+         CAST(floor(ln(CAST(count AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS qy
+  FROM ranked),
+m AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(qx AS HUGEINT)) AS sx, SUM(CAST(qy AS HUGEINT)) AS sy,
+         SUM(CAST(qx AS HUGEINT) * qy) AS sxy,
+         SUM(CAST(qx AS HUGEINT) * qx) AS sxx
+  FROM q)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       CAST(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx)
+            AS BIGINT) AS zipf_alpha_micro
+FROM m WHERE n * sxx - sx * sx > 0
+""",
+    doc="Zipf exponent of the corpus vocabulary (text.zipf_slope): "
+        "negated log-log OLS slope of term frequency on frequency rank "
+        "in exact micro-units — the corpus-statistics diagnostic (α≈1 "
+        "for natural language; collapsed α flags boilerplate floods, "
+        "inflated α flags template domination). Rank and count are "
+        "identical integers both engines (exact_row_number total "
+        "order), every ln term quantizes ONCE to int64 micro-nats from "
+        "those integers (the ccnet/psi/MI discipline), the five OLS "
+        "moments are exact DECIMAL(38,0) sums, and α is an integral "
+        "division of two nonnegative integers. Rides vocabulary's "
+        "no-global-sort ranking; the OLS is one map-side aggregate "
+        "over the vocabulary relation",
+    tags=("llm", "text", "statistics", "scale"),
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.zipf_slope(load_table(spark, sf_dir, "documents"))
 
 
 @register(

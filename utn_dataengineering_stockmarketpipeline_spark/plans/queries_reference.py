@@ -2112,6 +2112,67 @@ def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_variance_ratio",
+    with_reference_ctes("""
+SELECT stock_ticker, n_obs, n_q, vr
+FROM (
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  r2 AS (SELECT * FROM rets WHERE ret_ppm IS NOT NULL),
+  b AS (
+    SELECT stock_ticker, ret_ppm AS x,
+           SUM(ret_ppm) OVER (PARTITION BY stock_ticker
+                              ORDER BY stock_date
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                             ) AS yq,
+           ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                              ORDER BY stock_date) AS rn
+    FROM r2),
+  m1 AS (
+    SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM b GROUP BY stock_ticker),
+  mq AS (
+    SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS nq,
+           CAST(SUM(yq) AS BIGINT) AS sy,
+           CAST(SUM(yq * yq) AS BIGINT) AS syy
+    FROM b WHERE rn >= 5 GROUP BY stock_ticker)
+  SELECT m1.stock_ticker, n AS n_obs, nq AS n_q,
+         ((cast(nq as double) * syy - cast(sy as double) * sy)
+          * cast(n as double) * n)
+         / ((cast(n as double) * sxx - cast(sx as double) * sx)
+            * cast(nq as double) * nq * 5) AS vr
+  FROM m1 JOIN mq ON m1.stock_ticker = mq.stock_ticker
+  WHERE nq >= 2
+    AND cast(n as double) * sxx - cast(sx as double) * sx > 0)
+"""),
+    doc="variance-ratio white-noise test per ticker, horizon q=5 "
+        "(operators/risk.variance_ratio, Lo-MacKinlay 1988 shape): "
+        "Var(overlapping 5-day aggregated ppm returns) / (5 · Var(1-"
+        "day)) — VR ≈ 1 under a random walk, > 1 momentum, < 1 mean "
+        "reversion; the horizon generalization of ref_autocorr_lag1. "
+        "Defined on partial SUMS of simple ppm returns (exactly "
+        "additive — the log-return refinement would put a libm ln on "
+        "every row, the cross-engine flake class). One rolling window "
+        "+ one rank window on the entity partitioning, five exact "
+        "BIGINT moments, VR emitted UNROUNDED from one pinned double "
+        "association shared verbatim with the oracle",
+    tags=("reference", "risk", "window", "statistics"),
+)
+def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.variance_ratio(
+        risk.returns_ppm(stock_prices(spark, sf_dir)), q=5
+    )
+
+
+@register(
     "ref_underwater_duration",
     with_reference_ctes("""
 SELECT stock_ticker, underwater_days, start_date, end_date

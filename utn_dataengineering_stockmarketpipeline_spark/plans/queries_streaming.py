@@ -1099,6 +1099,104 @@ def _register_stream_ks_drift() -> None:
 _register_stream_ks_drift()
 
 
+def _register_stream_emd_drift() -> None:
+    """Same late-import discipline as stream_ks_drift: the oracle is
+    the batch ana_emd_drift SQL verbatim (stream==batch)."""
+    from .queries_analytics import _EMD_DRIFT_ORACLE_SQL
+
+    @register(
+        "stream_emd_drift",
+        _EMD_DRIFT_ORACLE_SQL,
+        doc="STREAMING per-source earth-mover drift monitor — the "
+            "stream_ks_drift protocol carrying the 1-Wasserstein "
+            "statistic: per micro-batch the corpus slice reduces to "
+            "its partial (source, n_chars) counts grid (mergeable "
+            "state bounded by the VALUE DOMAIN), written to an "
+            "idempotent batch_id=N overwrite partition; after the "
+            "drain one groupBy-sum merges the partials and "
+            "skew.emd_drift_from_counts re-derives the exact integer "
+            "micro-unit statistic — hash-equal to the batch "
+            "ana_emd_drift oracle verbatim. KS and EMD share the SAME "
+            "mergeable state, so a production monitor maintains ONE "
+            "counts grid and reads every distributional statistic "
+            "(KS, PSI, EMD) from it after each ingest batch",
+        tags=("streaming", "drift", "quality", "scale"),
+    )
+    def q_stream_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import shutil
+        import tempfile
+        import time as _time
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators.skew import emd_drift_from_counts
+
+        table = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source", "n_chars"],
+        )
+        tmp = tempfile.mkdtemp(prefix="emdstream_")
+        try:
+            in_dir = os.path.join(tmp, "in")
+            os.makedirs(in_dir)
+            now = int(_time.time())
+            doc_mod = table.column("doc_id").to_numpy() % 3
+            for k in range(3):
+                part = table.filter(pa.array(doc_mod == k))
+                path = os.path.join(in_dir, f"part{k}.parquet")
+                pq.write_table(part, path)
+                os.utime(path, (now - 90 + 30 * k, now - 90 + 30 * k))
+
+            parts_dir = os.path.join(tmp, "partials")
+            n_batches = [0]
+
+            def handle(batch_df: DataFrame, batch_id: int) -> None:
+                n_batches[0] += 1
+                (
+                    batch_df.filter(
+                        F.col("source").isNotNull()
+                        & F.col("n_chars").isNotNull()
+                    )
+                    .groupBy("source", "n_chars")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(parts_dir, f"batch_id={batch_id}"))
+                )
+
+            with _capped_state_partitions(spark, 8):
+                q = (
+                    spark.readStream.schema(
+                        "doc_id long, source string, n_chars long"
+                    )
+                    .option("maxFilesPerTrigger", "1")
+                    .parquet(in_dir)
+                    .writeStream.foreachBatch(handle)
+                    .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            assert n_batches[0] == 3, (
+                f"expected 3 micro-batches, got {n_batches[0]}"
+            )
+
+            merged = (
+                spark.read.parquet(parts_dir)
+                .groupBy("source", "n_chars")
+                .agg(F.sum("c").alias("c"))
+            )
+            out = emd_drift_from_counts(merged, "n_chars", "source")
+            # materialize BEFORE the temp partials vanish
+            return spark.createDataFrame(out.collect(), schema=out.schema)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+_register_stream_emd_drift()
+
+
 @register(
     "stream_quarantine_gate",
     """
