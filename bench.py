@@ -204,6 +204,8 @@ BENCH_QUERIES = (
     "ana_gini_concentration",
     "llm_zipf_slope",
     "llm_ann_recall_eval",
+    "stream_psi_drift",
+    "ref_theil_sen_slope",
 )
 
 

@@ -447,3 +447,100 @@ def test_ann_recall_eval_bounds_and_identity(spark):
     )
     hits = exact.join(exact, ["query_id", "neighbor_id"], "left_semi")
     assert hits.count() == exact.count()
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    """theil_sen_slope == the plain-Python median pairwise slope with
+    the same lower-median discrete rule, and one huge outlier tick
+    must NOT drag the slope (the property OLS fails)."""
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        theil_sen_slope,
+    )
+
+    series = {
+        # clean +1.00/day trend with one absurd tick
+        "ROBUST": [10.0, 11.0, 12.0, 13.0, 999.0, 15.0, 16.0, 17.0],
+        "FLAT": [50.0, 50.0, 50.0, 50.0, 50.0],
+        "DOWN": [90.0, 88.5, 87.1, 85.0, 84.2, 82.9],
+    }
+    # strictly increasing, irregularly spaced trading days
+    rows = [
+        (t, dt.date(2021, 3, 1) + dt.timedelta(days=2 * i + (i % 2)), v)
+        for t, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {r.stock_ticker: r for r in theil_sen_slope(df).collect()}
+
+    from collections import defaultdict
+
+    by_t = defaultdict(list)
+    for t, d, v in rows:
+        by_t[t].append((d, round(v * 100)))
+    for t, obs in by_t.items():
+        obs.sort()
+        pairs = [
+            (
+                (vj - vi) / (dj - di).days,
+                di,
+                dj,
+                vj - vi,
+                (dj - di).days,
+            )
+            for i, (di, vi) in enumerate(obs)
+            for dj, vj in obs[i + 1:]
+        ]
+        pairs.sort(key=lambda p: (p[0], p[1], p[2]))
+        m = len(pairs)
+        _, _, _, dvc, dd = pairs[(m + 1) // 2 - 1]
+        want = (dvc * 10000) // dd if dvc >= 0 else -((-dvc * 10000) // dd)
+        assert got[t].n_pairs == m
+        assert int(got[t].slope_micro) == want, t
+    # robustness: the outlier tick leaves the trend ≈ 1.00 $/day
+    assert abs(int(got["ROBUST"].slope_micro) - 1_000_000) < 600_000
+    assert int(got["FLAT"].slope_micro) == 0
+    assert int(got["DOWN"].slope_micro) < 0
+
+
+def test_theil_sen_refuses_quadratic_blowup(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    old = risk.MAX_THEIL_SEN_OBS
+    risk.MAX_THEIL_SEN_OBS = 10
+    try:
+        rows = [
+            ("X", dt.date(2021, 1, 1) + dt.timedelta(days=i), 1.0 + i)
+            for i in range(11)
+        ]
+        df = spark.createDataFrame(
+            rows, "stock_ticker string, stock_date date, stock_close double"
+        )
+        with _pytest.raises(ValueError, match="O\\(n²/2\\)"):
+            risk.theil_sen_slope(df)
+    finally:
+        risk.MAX_THEIL_SEN_OBS = old
+
+
+def test_stream_monitors_share_one_grid(spark):
+    """The three streaming monitors are the SAME drain with a different
+    statistic: their oracles are the batch SQL verbatim, and their
+    builders all route through _drained_counts_monitor."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans.catalog import CATALOG
+    from utn_dataengineering_stockmarketpipeline_spark.plans import (
+        queries_analytics as qa,
+    )
+
+    assert CATALOG["stream_ks_drift"].oracle == qa._KS_DRIFT_ORACLE_SQL
+    assert CATALOG["stream_emd_drift"].oracle == qa._EMD_DRIFT_ORACLE_SQL
+    assert CATALOG["stream_psi_drift"].oracle == qa._PSI_DRIFT_ORACLE_SQL
+    assert CATALOG["ana_ks_drift"].oracle == qa._KS_DRIFT_ORACLE_SQL
+    assert CATALOG["ana_emd_drift"].oracle == qa._EMD_DRIFT_ORACLE_SQL
+    assert CATALOG["ana_psi_drift"].oracle == qa._PSI_DRIFT_ORACLE_SQL

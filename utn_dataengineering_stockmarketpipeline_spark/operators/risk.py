@@ -455,3 +455,113 @@ def variance_ratio(
             F.expr(vr_expr).alias("vr"),
         )
     )
+
+
+#: theil_sen_slope observation cap PER ENTITY: the pair join is
+#: inherently O(n²/2) in the entity's observation count (that is the
+#: estimator's definition, not an implementation shortcut), so a 1e6-day
+#: series would generate 5e11 pairs. Past the cap the operator raises
+#: with the named alternative (sample the series, or fit OLS) instead of
+#: silently running a quadratic job — the similarity.MAX_BROADCAST_ROWS
+#: discipline.
+MAX_THEIL_SEN_OBS = 100_000
+
+
+def theil_sen_slope(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Theil-Sen robust trend per entity → ``(entity, n_pairs,
+    slope_micro)``: the MEDIAN over all observation pairs of the
+    pairwise slope ``(v_j − v_i)/(days_j − days_i)`` — the trend line
+    outliers cannot drag (OLS breaks down at one bad tick; Theil-Sen
+    tolerates 29% corruption). Emitted as exact micro-dollars-per-day.
+
+    Exactness: pair slopes compare as doubles (cent-quantized value
+    deltas over integer day gaps — one IEEE division on identical
+    integers, bit-equal cross-engine), the median is the DISCRETE
+    lower-median order statistic picked by a deterministic
+    (slope, date_i, date_j) row_number (the VaR quantile rule — never
+    an interpolated percentile), and the SELECTED pair's slope is
+    emitted by integral division of its own integers — both engines
+    truncate toward zero, so even negative slopes agree.
+
+    Scale: the pair generator is an equi-self-join on the ENTITY key
+    (pairs of the same series only), O(n²/2) per entity by definition
+    — guarded by :data:`MAX_THEIL_SEN_OBS` (raises, never silently
+    quadratic). The median rank does NOT ride a per-entity window (one
+    task would sort all n²/2 pairs of an entity): ranks derive from
+    SLOPE BUCKETS — ``floor(slope)`` cumulative counts over the small
+    (entity, bucket) relation broadcast back as offsets, plus a
+    row_number partitioned by (entity, bucket) — the
+    skew.gini_concentration decomposition; the bucket id is monotone
+    in the slope, so the composed rank equals the per-entity global
+    ROW_NUMBER the oracle states directly.
+    """
+    per = prices.groupBy(entity_col).agg(F.count(F.lit(1)).alias("n"))
+    worst = per.agg(F.max("n").alias("m")).collect()
+    if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
+        raise ValueError(
+            f"theil_sen_slope: an entity has {worst[0]['m']} observations "
+            f"(> {MAX_THEIL_SEN_OBS}); the pair space is O(n²/2) by "
+            f"definition. Downsample the series or fit a non-robust "
+            f"trend instead."
+        )
+    base = prices.select(
+        F.col(entity_col).alias("e"),
+        F.col(date_col).alias("d"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("vc"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.e").alias("e"),
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+        (F.col("b.vc") - F.col("a.vc")).alias("dvc"),
+        F.datediff(F.col("b.d"), F.col("a.d")).cast("bigint").alias("dd"),
+    ).withColumn(
+        # try_divide, not `/`: dd >= 1 for every row the join condition
+        # emits, but ANSI-mode codegen may evaluate collapsed projection
+        # expressions speculatively (observed: DIVIDE_BY_ZERO thrown
+        # from the window sorter under the engine session) — the total
+        # function keeps the plan side-effect-free without changing any
+        # surviving value
+        "slope", F.expr("try_divide(cast(dvc as double), dd)")
+    )
+    # localCheckpoint: the bucket counts AND the rank probe both read
+    # the pair relation — without it the O(n²/2) pair join runs twice
+    pb = pairs.withColumn(
+        "bk", F.floor("slope").cast("bigint")
+    ).localCheckpoint()
+    bc = pb.groupBy("e", "bk").agg(F.count(F.lit(1)).alias("c"))
+    # cumulative offsets ride the (entity, bucket) relation — bounded
+    # by the slope DOMAIN in cents/day, never the pair count
+    w_off = Window.partitionBy("e").orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bc.select(
+        "e", "bk", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    m_per = bc.groupBy("e").agg(F.sum("c").alias("m"))
+    w_in = Window.partitionBy("e", "bk").orderBy("slope", "di", "dj")
+    ranked = (
+        pb.join(F.broadcast(off), ["e", "bk"])
+        .withColumn("rn", F.col("off") + F.row_number().over(w_in))
+    )
+    # lower median: rank (m+1) div 2 — discrete, deterministic
+    return (
+        ranked.join(F.broadcast(m_per), "e")
+        .filter(F.expr("rn = (m + 1) div 2"))
+        .select(
+            F.col("e").alias(entity_col),
+            F.col("m").alias("n_pairs"),
+            # micro-dollars/day of the selected exact rational:
+            # dvc cents / dd days -> (dvc * 1e6) div (100 * dd)
+            F.expr("(dvc * 10000) div dd").alias("slope_micro"),
+        )
+    )

@@ -358,13 +358,23 @@ def psi_drift(df: DataFrame, value_col: str, group_col: str,
     values| (bounded by the value domain) and |groups| × n_bins
     relations; boundaries broadcast.
     """
-    from pyspark.sql import Window
-
     counts = (
         df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(group_col, value_col)
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return psi_drift_from_counts(counts, value_col, group_col, n_bins)
+
+
+def psi_drift_from_counts(counts: DataFrame, value_col: str,
+                          group_col: str, n_bins: int = 10) -> DataFrame:
+    """:func:`psi_drift` over a pre-aggregated non-null ``(group,
+    value, c)`` counts relation — the mergeable-state entry point
+    shared with :func:`ks_drift_from_counts` /
+    :func:`emd_drift_from_counts`: one additive counts grid per ingest
+    batch serves ALL THREE distributional monitors."""
+    from pyspark.sql import Window
+
     w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
     vals = (
         counts.groupBy(value_col)
@@ -374,7 +384,7 @@ def psi_drift(df: DataFrame, value_col: str, group_col: str,
     tot = counts.agg(F.sum("c").alias("n"))
     # percentile-disc boundaries j = 1..n_bins-1: smallest value whose
     # cumulative corpus count reaches j/n_bins — a |bins|-row relation
-    bins = df.sparkSession.range(1, n_bins).select(
+    bins = counts.sparkSession.range(1, n_bins).select(
         F.col("id").alias("j")
     )
     bounds = (
@@ -405,7 +415,7 @@ def psi_drift(df: DataFrame, value_col: str, group_col: str,
     bin_tot = gb.groupBy("bin").agg(F.sum("c_g").alias("c_bin"))
     # dense (group × bin) grid: zero cells must contribute their
     # smoothed term, not vanish
-    all_bins = df.sparkSession.range(n_bins).select(
+    all_bins = counts.sparkSession.range(n_bins).select(
         F.col("id").cast("bigint").alias("bin")
     )
     grid = (

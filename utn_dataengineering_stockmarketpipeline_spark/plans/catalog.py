@@ -275,6 +275,8 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_gini_concentration",
     "llm_zipf_slope",
     "llm_ann_recall_eval",
+    "stream_psi_drift",
+    "ref_theil_sen_slope",
 )
 
 

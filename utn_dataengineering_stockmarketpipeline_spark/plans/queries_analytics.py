@@ -2490,9 +2490,11 @@ def q_mutual_info_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ana_psi_drift",
-    """
+#: shared with stream_psi_drift (queries_streaming): the drained
+#: streaming monitor must converge to the batch statistic, so both
+#: entries verify against this SQL verbatim (the KS/EMD contract —
+#: all three distributional monitors read ONE mergeable counts grid).
+_PSI_DRIFT_ORACLE_SQL = """
 WITH counts AS (
   SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM documents
@@ -2536,7 +2538,12 @@ terms AS (
   FROM grid WHERE n_g < n)
 SELECT source, n_g AS n_docs, CAST(SUM(tm) AS BIGINT) AS psi_micro
 FROM terms GROUP BY source, n_g
-""",
+"""
+
+
+@register(
+    "ana_psi_drift",
+    _PSI_DRIFT_ORACLE_SQL,
     doc="Population Stability Index per source vs the REST of the "
         "corpus (skew.psi_drift) — the model-monitoring drift metric "
         "beside ana_ks_drift: KS reads the worst single CDF gap, PSI "

@@ -2173,6 +2173,54 @@ def q_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ref_theil_sen_slope",
+    with_reference_ctes("""
+SELECT stock_ticker, n_pairs, slope_micro
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices),
+  pairs AS (
+    SELECT a.e, a.d AS di, b.d AS dj, b.vc - a.vc AS dvc,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dd,
+           CAST(b.vc - a.vc AS DOUBLE)
+             / CAST(date_diff('day', a.d, b.d) AS BIGINT) AS slope
+    FROM base a JOIN base b ON a.e = b.e AND a.d < b.d),
+  ranked AS (
+    SELECT e, dvc, dd,
+           ROW_NUMBER() OVER (PARTITION BY e
+                              ORDER BY slope, di, dj) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY e) AS BIGINT) AS m
+    FROM pairs)
+  SELECT e AS stock_ticker, m AS n_pairs,
+         CAST((CAST(dvc AS HUGEINT) * 10000) // dd AS BIGINT)
+           AS slope_micro
+  FROM ranked WHERE rn = (m + 1) // 2)
+"""),
+    doc="Theil-Sen robust trend per ticker (operators/risk."
+        "theil_sen_slope): the MEDIAN pairwise slope over all day "
+        "pairs, in exact micro-dollars/day — the trend line one bad "
+        "tick cannot drag (OLS breaks at a single outlier; Theil-Sen "
+        "tolerates 29% corruption). Pair slopes compare as one IEEE "
+        "division of cent-delta over integer day gap (bit-equal both "
+        "engines), the median is the DISCRETE lower-median order "
+        "statistic with a (slope, date, date) total order (the VaR "
+        "quantile rule), and the selected pair's slope is emitted by "
+        "integral division of its own integers (toward-zero in both "
+        "engines, negative-safe). The pair join is O(n²/2) per entity "
+        "BY DEFINITION — guarded by risk.MAX_THEIL_SEN_OBS, which "
+        "raises with the named alternative instead of silently "
+        "running quadratic",
+    tags=("reference", "risk", "statistics", "robust"),
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.theil_sen_slope(stock_prices(spark, sf_dir))
+
+
+@register(
     "ref_underwater_duration",
     with_reference_ctes("""
 SELECT stock_ticker, underwater_days, start_date, end_date

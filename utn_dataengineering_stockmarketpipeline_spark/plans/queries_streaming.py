@@ -994,6 +994,93 @@ def _register_stream_heavy_hitters() -> None:
 _register_stream_heavy_hitters()
 
 
+def _drained_counts_monitor(spark: SparkSession, sf_dir: str, stat_fn,
+                            prefix: str) -> DataFrame:
+    """Shared drain for ALL streaming distributional monitors (KS /
+    EMD / PSI): the corpus arrives as a 3-file stream
+    (maxFilesPerTrigger=1), each micro-batch reduces to its partial
+    (source, n_chars) counts grid — the mergeable monitoring state,
+    bounded by the VALUE DOMAIN, never the batch — written to a
+    batch_id=N partition with OVERWRITE (the quarantine sink's
+    idempotent replay protocol). Counts are ADDITIVE, so after the
+    drain one groupBy-sum merges the partials and ``stat_fn`` (one of
+    skew.{ks,emd,psi}_drift_from_counts) re-derives the exact integer
+    statistic — hash-equal to its batch oracle verbatim
+    (stream==batch). ONE grid, every statistic: this helper is the
+    production shape where a monitor keeps the merged grid, adds each
+    batch's partial, and reads KS, EMD, and PSI from the same state.
+    In-query guard asserts the 3-batch split actually happened."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        now = int(_time.time())
+        doc_mod = table.column("doc_id").to_numpy() % 3
+        for k in range(3):
+            part = table.filter(pa.array(doc_mod == k))
+            path = os.path.join(in_dir, f"part{k}.parquet")
+            pq.write_table(part, path)
+            os.utime(path, (now - 90 + 30 * k, now - 90 + 30 * k))
+
+        parts_dir = os.path.join(tmp, "partials")
+        n_batches = [0]
+
+        def handle(batch_df: DataFrame, batch_id: int) -> None:
+            n_batches[0] += 1
+            (
+                batch_df.filter(
+                    F.col("source").isNotNull()
+                    & F.col("n_chars").isNotNull()
+                )
+                .groupBy("source", "n_chars")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(parts_dir, f"batch_id={batch_id}"))
+            )
+
+        with _capped_state_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(
+                    "doc_id long, source string, n_chars long"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(in_dir)
+                .writeStream.foreachBatch(handle)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        assert n_batches[0] == 3, (
+            f"expected 3 micro-batches, got {n_batches[0]}"
+        )
+
+        merged = (
+            spark.read.parquet(parts_dir)
+            .groupBy("source", "n_chars")
+            .agg(F.sum("c").alias("c"))
+        )
+        out = stat_fn(merged, "n_chars", "source")
+        # materialize BEFORE the temp partials vanish (the finally
+        # removes them; the returned relation must not read lazily
+        # from a deleted directory)
+        return spark.createDataFrame(out.collect(), schema=out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _register_stream_ks_drift() -> None:
     """Registered via a helper so the oracle imports from
     queries_analytics after that module loads (same SQL verbatim: the
@@ -1023,77 +1110,11 @@ def _register_stream_ks_drift() -> None:
         tags=("streaming", "drift", "quality", "scale"),
     )
     def q_stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
-        import shutil
-        import tempfile
-        import time as _time
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from ..operators.skew import ks_drift_from_counts
 
-        table = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "source", "n_chars"],
+        return _drained_counts_monitor(
+            spark, sf_dir, ks_drift_from_counts, "ksstream_"
         )
-        tmp = tempfile.mkdtemp(prefix="ksstream_")
-        try:
-            in_dir = os.path.join(tmp, "in")
-            os.makedirs(in_dir)
-            now = int(_time.time())
-            doc_mod = table.column("doc_id").to_numpy() % 3
-            for k in range(3):
-                part = table.filter(pa.array(doc_mod == k))
-                path = os.path.join(in_dir, f"part{k}.parquet")
-                pq.write_table(part, path)
-                os.utime(path, (now - 90 + 30 * k, now - 90 + 30 * k))
-
-            parts_dir = os.path.join(tmp, "partials")
-            n_batches = [0]
-
-            def handle(batch_df: DataFrame, batch_id: int) -> None:
-                n_batches[0] += 1
-                (
-                    batch_df.filter(
-                        F.col("source").isNotNull()
-                        & F.col("n_chars").isNotNull()
-                    )
-                    .groupBy("source", "n_chars")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(parts_dir, f"batch_id={batch_id}"))
-                )
-
-            with _capped_state_partitions(spark, 8):
-                q = (
-                    spark.readStream.schema(
-                        "doc_id long, source string, n_chars long"
-                    )
-                    .option("maxFilesPerTrigger", "1")
-                    .parquet(in_dir)
-                    .writeStream.foreachBatch(handle)
-                    .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-            assert n_batches[0] == 3, (
-                f"expected 3 micro-batches, got {n_batches[0]}"
-            )
-
-            merged = (
-                spark.read.parquet(parts_dir)
-                .groupBy("source", "n_chars")
-                .agg(F.sum("c").alias("c"))
-            )
-            out = ks_drift_from_counts(merged, "n_chars", "source")
-            # materialize BEFORE the temp partials vanish (the finally
-            # removes them; the returned relation must not read lazily
-            # from a deleted directory)
-            return spark.createDataFrame(out.collect(), schema=out.schema)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 _register_stream_ks_drift()
@@ -1123,78 +1144,46 @@ def _register_stream_emd_drift() -> None:
         tags=("streaming", "drift", "quality", "scale"),
     )
     def q_stream_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import os
-        import shutil
-        import tempfile
-        import time as _time
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
         from ..operators.skew import emd_drift_from_counts
 
-        table = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "source", "n_chars"],
+        return _drained_counts_monitor(
+            spark, sf_dir, emd_drift_from_counts, "emdstream_"
         )
-        tmp = tempfile.mkdtemp(prefix="emdstream_")
-        try:
-            in_dir = os.path.join(tmp, "in")
-            os.makedirs(in_dir)
-            now = int(_time.time())
-            doc_mod = table.column("doc_id").to_numpy() % 3
-            for k in range(3):
-                part = table.filter(pa.array(doc_mod == k))
-                path = os.path.join(in_dir, f"part{k}.parquet")
-                pq.write_table(part, path)
-                os.utime(path, (now - 90 + 30 * k, now - 90 + 30 * k))
-
-            parts_dir = os.path.join(tmp, "partials")
-            n_batches = [0]
-
-            def handle(batch_df: DataFrame, batch_id: int) -> None:
-                n_batches[0] += 1
-                (
-                    batch_df.filter(
-                        F.col("source").isNotNull()
-                        & F.col("n_chars").isNotNull()
-                    )
-                    .groupBy("source", "n_chars")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .write.mode("overwrite")
-                    .parquet(os.path.join(parts_dir, f"batch_id={batch_id}"))
-                )
-
-            with _capped_state_partitions(spark, 8):
-                q = (
-                    spark.readStream.schema(
-                        "doc_id long, source string, n_chars long"
-                    )
-                    .option("maxFilesPerTrigger", "1")
-                    .parquet(in_dir)
-                    .writeStream.foreachBatch(handle)
-                    .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
-                    .trigger(availableNow=True)
-                    .start()
-                )
-                q.awaitTermination()
-            assert n_batches[0] == 3, (
-                f"expected 3 micro-batches, got {n_batches[0]}"
-            )
-
-            merged = (
-                spark.read.parquet(parts_dir)
-                .groupBy("source", "n_chars")
-                .agg(F.sum("c").alias("c"))
-            )
-            out = emd_drift_from_counts(merged, "n_chars", "source")
-            # materialize BEFORE the temp partials vanish
-            return spark.createDataFrame(out.collect(), schema=out.schema)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
 
 
 _register_stream_emd_drift()
+
+
+def _register_stream_psi_drift() -> None:
+    """Same late-import discipline: oracle = the batch ana_psi_drift
+    SQL verbatim (stream==batch)."""
+    from .queries_analytics import _PSI_DRIFT_ORACLE_SQL
+
+    @register(
+        "stream_psi_drift",
+        _PSI_DRIFT_ORACLE_SQL,
+        doc="STREAMING Population Stability Index monitor — completes "
+            "the streaming monitor trio on the stream_ks_drift "
+            "protocol: per micro-batch partial (source, n_chars) "
+            "counts grids in idempotent batch_id=N partitions, one "
+            "post-drain groupBy-sum merge, then "
+            "skew.psi_drift_from_counts re-derives the exact "
+            "micro-unit PSI — hash-equal to the batch ana_psi_drift "
+            "oracle verbatim. KS, EMD, and PSI now all read from ONE "
+            "shared mergeable counts grid, so a production feed pays "
+            "one partial-counts write per batch and gets all three "
+            "distributional verdicts",
+        tags=("streaming", "drift", "quality", "scale"),
+    )
+    def q_stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.skew import psi_drift_from_counts
+
+        return _drained_counts_monitor(
+            spark, sf_dir, psi_drift_from_counts, "psistream_"
+        )
+
+
+_register_stream_psi_drift()
 
 
 @register(
