@@ -50,6 +50,12 @@ from utn_dataengineering_stockmarketpipeline_spark.session import (  # noqa: E40
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # The x100 graph section persists ~140M-row undirected edge
+    # relations; the engine's 8g default heap is marginal there (two
+    # captures OOMed in pagerank/LPA at x100 while every operator
+    # section passed). The capture is a one-off evidence tool on a
+    # 128 GiB box — default it to a roomier heap, overridable.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "32g")
     spark = get_spark("utn-stockmarket-scale100")
 
     from pyspark.sql import functions as F
@@ -128,6 +134,16 @@ def main() -> None:
     pair("psi_drift",
          lambda: skew.psi_drift(_sourced(docs_1x), "n_chars", "source"),
          lambda: skew.psi_drift(_sourced(docs_nx), "n_chars", "source"))
+    # EMD rides the same counts grid as KS/PSI — same scan-bound
+    # expectation (r13)
+    pair("emd_drift",
+         lambda: skew.emd_drift(_sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.emd_drift(_sourced(docs_nx), "n_chars", "source"))
+    # Zipf slope: the token-count shuffle scales, the vocabulary
+    # relation (replicated text -> constant distinct terms) does not
+    pair("zipf_slope",
+         lambda: text_ops.zipf_slope(docs_1x),
+         lambda: text_ops.zipf_slope(docs_nx))
 
     def _points(docs):
         return docs.select(
@@ -257,6 +273,64 @@ def main() -> None:
                       "rows": rows}
         print(f"  {label}: {out[label]}", flush=True)
         edges.unpersist()
+
+    # label propagation (r13) on the same namespace replica: per round
+    # one edges⋈labels join + a (node,label) count + an argmax window
+    # partitioned by node — wall should scale with edges, like pagerank
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    for label, fac in (("lpa_1x", 1), (f"lpa_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = label_propagation(edges, rounds=3).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
+    # Gini (r13): bucket offsets ride the value domain, the rank
+    # window partitions by bucket — wall should track the scan
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        gini_concentration,
+    )
+
+    def _gvals(n):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("v"),
+        )
+
+    pair("gini",
+         lambda: gini_concentration(_gvals(200_000), "v", "k",
+                                    bucket_width=10_000),
+         lambda: gini_concentration(_gvals(200_000 * factor), "v", "k",
+                                    bucket_width=10_000))
+
+    # basket pairs (r13): fixed 10k-item universe, 4-item baskets —
+    # C(4,2) fan-out per basket, linear in baskets
+    from utn_dataengineering_stockmarketpipeline_spark.operators.baskets import (
+        copurchase_pairs,
+    )
+
+    def _baskets(n):
+        return spark.range(4 * n).select(
+            (F.col("id") % n).alias("bk"),
+            F.pmod(F.xxhash64("id"), F.lit(10_000)).alias("it"),
+        )
+
+    pair("basket_pairs",
+         lambda: copurchase_pairs(_baskets(100_000), "bk", "it"),
+         lambda: copurchase_pairs(_baskets(100_000 * factor), "bk", "it"))
 
     # --- round-11 operators: BFS reach, historical VaR, quarantine ----
     print("round-11 operators", flush=True)

@@ -432,11 +432,24 @@ def label_propagation(edges: DataFrame, rounds: int,
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
+    # pagerank's edge-scaled loop width, and PERSIST rather than an
+    # unpartitioned localCheckpoint: the undirected relation is 2|E|
+    # rows read every round, and checkpointing it into a handful of
+    # input-shaped partitions OOMed the 100x scale capture (140M rows
+    # in ~4 partitions). Partitioned by the per-round join key ("b" —
+    # labels attach to the neighbor), so each round's join reuses the
+    # layout and only re-exchanges the small label relation.
+    spark = edges.sparkSession
+    m = e.count()
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
     und = (
         e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .repartition(loop_parts, "b")
+        .persist()
     )
+    und.count()
     labels = und.select(F.col("a").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -454,4 +467,9 @@ def label_propagation(edges: DataFrame, rounds: int,
             .select("node", "label")
             .localCheckpoint()
         )
+    if rounds == 0:
+        # no round checkpointed the labels; materialize before the
+        # edge relation releases (pagerank's eager-final discipline)
+        labels = labels.localCheckpoint()
+    und.unpersist()
     return labels
