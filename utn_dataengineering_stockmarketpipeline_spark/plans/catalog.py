@@ -56,72 +56,27 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-13 rotation, AMENDED at r13 start per VERDICT r12 (the r11
-# lesson: never park a red row in the green tail):
-#   1. the full remaining r9-stale cohort (27 block-4 entries + the 5
-#      reference-parity entries the round-12 registrations traded out
-#      of slots 46-50 — the oldest evidence anywhere), then the 4
-#      oldest r10-green entries, then the r12-red `ana_ks_drift` +
-#      its shared-oracle twin `stream_ks_drift` + the never-checked
-#      libm-sensitive monitors `ana_psi_drift` / `ref_cusum_alarms`
-#      (all four MUST verify this round) = 40-name head,
-#   2. (pin = 40 = 50 - 5 late-r12 auto-slots - 5 planned r13
-#      registrations, set at round START per the window-budget rule):
-#      the 5 unlisted late-r12 registrations (kcore / autocorr /
-#      underwater / winsorized / mutual_info) slot in here, then the
-#      5 new r13 registrations,
-#   3. the 9 r10-green entries the amendment displaced head the tail
-#      (first into the r14 window), then the rest of the r10-green
-#      cohort, then r11-green, then the 50 round-12 window entries
-#      (freshest evidence, safely outside).
+# Round-14 rotation (freshness after r13: late-r13 never-checked x7 /
+# r10x46 / r11x49 / r12x49 / r13x50):
+#   1. the 7 late-r13 registrations (strict-sweep green both SFs, no
+#      driver row yet), then the 38 oldest r10-green entries,
+#   2. (pin = 45 = 50 - 5 planned round-14 registrations, set at round
+#      START per the driver-window-budget rule; re-pin to 50 - planned
+#      if the plan changes),
+#   3. the remaining 8 r10-green head the tail (first into the r15
+#      window), then r11-green, then r12-green, then the 50 round-13
+#      window entries (freshest evidence, safely outside).
+# NOTE: if CORRECTNESS_r13 has red rows, move them to the head before
+# applying (the r11 lesson: never park a red row in the green tail).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- r9-stale head (27 + 5 slid-out) + 13 oldest r10-green --
-    "ref_drawdown",
-    "ref_ohlc_monthly",
-    "ref_rolling_30day_mean",
-    "ref_rsi14",
-    "ref_scd0_new_markets",
-    "ref_scd0_new_stock_keys",
-    "ref_ticker_beta",
-    "ref_ticker_correlation",
-    "ref_top_movers",
-    "ref_vwap_monthly",
-    "ref_watermarks",
-    "ref_zscore_anomalies",
-    "stream_events_hourly",
-    "stream_hourly_topk",
-    "stream_purchase_error_join",
-    "stream_sliding_counts",
-    "stream_user_sessions",
-    "llm_substring_dedup",
-    "llm_substring_scrub",
-    "llm_bpe_tokens",
-    "llm_ann_ivfpq_topk",
-    "llm_image_phash_pairs",
-    "llm_dedup_keep_best",
-    "llm_token_budget_selection",
-    "llm_embedding_outliers",
-    "stream_quota_admission",
-    "stream_dedup_within_watermark",
-    "ref_get_last_price",
-    "ref_global_max_date",
-    "ref_latest_per_ticker",
-    "ref_normalize_market_payload",
-    "ref_normalize_stock_payload",
-    "ana_price_histogram",
-    "ana_set_ops",
-    "ref_markets_table",
-    "ref_scalar_functions",
-    # -- the r12 red + its shared-oracle twin + the two never-checked
-    #    libm-sensitive monitors: must-verify this round --
-    "ana_ks_drift",
-    "stream_ks_drift",
-    "ana_psi_drift",
-    "ref_cusum_alarms",
-    # -- (pin = 40: 5 late-r12 + 5 new r13 registrations slot HERE) --
-    # -- tail: the 9 r10-green the amendment displaced (first into the
-    #    r14 window), remaining r10-green, then r11-green, then the 50
-    #    round-12 window entries (freshest) --
+    # -- 7 late-r13 (never driver-checked) + 38 oldest r10-green --
+    "stream_emd_drift",
+    "ref_variance_ratio",
+    "ana_gini_concentration",
+    "llm_zipf_slope",
+    "llm_ann_recall_eval",
+    "stream_psi_drift",
+    "ref_theil_sen_slope",
     "ref_stock_prices_table",
     "ana_approx_sketches",
     "ana_chi_square_lang_source",
@@ -160,6 +115,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ref_scd1_markets",
     "ref_scd2_markets",
     "ref_stochastic_14",
+    # -- (pin = 45: new round-14 registrations slot in HERE) --
+    # -- tail: remaining r10-green, then r11, r12, and the 50
+    #    round-13 window entries (freshest) --
     "ref_unpivot_ohlc",
     "stream_static_enrich",
     "ref_scd2_as_of",
@@ -266,25 +224,62 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_shortest_path",
     "llm_gopher_gate",
     "llm_dup_triangles",
-    # -- late round-13 registrations, EXPLICITLY tail-listed so they
-    #    wait for the round-14 window instead of displacing this
-    #    round's (the driver-window-budget rule; local strict sweeps
-    #    at both SFs are their evidence until then) --
-    "stream_emd_drift",
-    "ref_variance_ratio",
-    "ana_gini_concentration",
-    "llm_zipf_slope",
-    "llm_ann_recall_eval",
-    "stream_psi_drift",
-    "ref_theil_sen_slope",
+    "ref_drawdown",
+    "ref_ohlc_monthly",
+    "ref_rolling_30day_mean",
+    "ref_rsi14",
+    "ref_scd0_new_markets",
+    "ref_scd0_new_stock_keys",
+    "ref_ticker_beta",
+    "ref_ticker_correlation",
+    "ref_top_movers",
+    "ref_vwap_monthly",
+    "ref_watermarks",
+    "ref_zscore_anomalies",
+    "stream_events_hourly",
+    "stream_hourly_topk",
+    "stream_purchase_error_join",
+    "stream_sliding_counts",
+    "stream_user_sessions",
+    "llm_substring_dedup",
+    "llm_substring_scrub",
+    "llm_bpe_tokens",
+    "llm_ann_ivfpq_topk",
+    "llm_image_phash_pairs",
+    "llm_dedup_keep_best",
+    "llm_token_budget_selection",
+    "llm_embedding_outliers",
+    "stream_quota_admission",
+    "stream_dedup_within_watermark",
+    "ref_get_last_price",
+    "ref_global_max_date",
+    "ref_latest_per_ticker",
+    "ref_normalize_market_payload",
+    "ref_normalize_stock_payload",
+    "ana_price_histogram",
+    "ana_set_ops",
+    "ref_markets_table",
+    "ref_scalar_functions",
+    "ana_ks_drift",
+    "stream_ks_drift",
+    "ana_psi_drift",
+    "ref_cusum_alarms",
+    "ref_spearman_tickers",
+    "ref_autocorr_lag1",
+    "ref_underwater_duration",
+    "ana_emd_drift",
+    "ana_benford_profile",
+    "ana_basket_pairs",
+    "ana_communities_lp",
+    "ana_kcore_suppliers",
+    "ana_winsorized_stats",
+    "ana_mutual_info_lang_source",
 )
 
 
-# New (unlisted) queries slot in after the must-verify head: the 5
-# late-r12 registrations + 5 planned round-13 registrations.
-# 40 + 5 + 5 = the full 50-query window (pin set at round START per
-# the driver-window-budget rule).
-_WINDOW_PIN = 40
+# New (unlisted) queries slot in after the must-verify head.
+# 45 + 5 planned round-14 registrations = the full 50-query window.
+_WINDOW_PIN = 45
 
 
 def _apply_driver_order() -> None:
