@@ -206,6 +206,14 @@ BENCH_QUERIES = (
     "llm_ann_recall_eval",
     "stream_psi_drift",
     "ref_theil_sen_slope",
+    # round-14 additions: CUSUM drift (batch + streaming drain),
+    # Mann-Whitney rank-sum drift, Mann-Kendall trend test,
+    # robust-trend contamination eval
+    "ana_cusum_drift",
+    "stream_cusum_drift",
+    "ana_mann_whitney_drift",
+    "ref_mann_kendall",
+    "ref_theil_sen_eval",
 )
 
 

@@ -60,3 +60,9 @@ def test_stream_ks_drift_shares_the_batch_oracle_verbatim():
     )
 
     assert CATALOG["stream_ks_drift"].oracle == CATALOG["ana_ks_drift"].oracle
+    assert (CATALOG["stream_emd_drift"].oracle
+            == CATALOG["ana_emd_drift"].oracle)
+    assert (CATALOG["stream_psi_drift"].oracle
+            == CATALOG["ana_psi_drift"].oracle)
+    assert (CATALOG["stream_cusum_drift"].oracle
+            == CATALOG["ana_cusum_drift"].oracle)

@@ -520,7 +520,10 @@ def test_ks_drift_reuses_the_counts_exchange(spark):
     df = CATALOG["ana_ks_drift"].build(spark, SF_SMOKE)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert executed.count("ReusedExchange") >= 3
+    # exchange-reuse materialization is a runtime artifact sensitive to
+    # Spark version / AQE config / input sizes (r13 ADVICE) — assert
+    # that reuse happened at all, not an exact node count
+    assert "ReusedExchange" in executed
 
     # fertility: one scan, one map-side-combined aggregation — nothing else
     plan = plan_of(CATALOG["llm_token_fertility"].build(spark, SF_SMOKE))
@@ -645,7 +648,8 @@ def test_round13_queries_plan_shapes(spark):
     assert "BroadcastHashJoin" in plan
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
-    assert executed.count("ReusedExchange") >= 3
+    # exact reuse-node counts are engine/AQE sensitive (r13 ADVICE)
+    assert "ReusedExchange" in executed
 
     # Spearman: the rank windows partition BY PAIR — the plan must not
     # contain a partition-free global Sort feeding a Window
@@ -697,3 +701,26 @@ def test_round13_queries_plan_shapes(spark):
     # baseline; the hit join is an equi-join on (query, neighbor)
     plan = plan_of(CATALOG["llm_ann_recall_eval"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_round14_queries_plan_shapes(spark):
+    # CUSUM / Mann-Whitney drift: the ks_drift grid discipline — the
+    # per-(group, value) counts relation feeds every consumer, the
+    # grid joins broadcast, nothing sort-merges the corpus
+    for name in ("ana_cusum_drift", "ana_mann_whitney_drift"):
+        plan = plan_of(CATALOG[name].build(spark, SF_SMOKE))
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+    # Mann-Kendall: the capped equi-self-join pair generator (same as
+    # theil_sen) + one map-side-combined aggregate — no cartesian, no
+    # window anywhere
+    plan = plan_of(CATALOG["ref_mann_kendall"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+    # Theil-Sen eval: the contaminated pair join is still an equi-join;
+    # the OLS legs are moment aggregates — no cartesian fallback
+    plan = plan_of(CATALOG["ref_theil_sen_eval"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -471,8 +471,15 @@ def test_theil_sen_matches_bruteforce(spark):
         for t, xs in series.items()
         for i, v in enumerate(xs)
     ]
+    # NULL-price ticks must be dropped before pairing, not counted
+    # into the bucket offsets (the r13 ADVICE defect class)
+    null_rows = [
+        ("ROBUST", dt.date(2021, 2, 1), None),
+        ("FLAT", dt.date(2021, 2, 2), None),
+    ]
     df = spark.createDataFrame(
-        rows, "stock_ticker string, stock_date date, stock_close double"
+        rows + null_rows,
+        "stock_ticker string, stock_date date, stock_close double",
     )
     got = {r.stock_ticker: r for r in theil_sen_slope(df).collect()}
 

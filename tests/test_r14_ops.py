@@ -1,0 +1,200 @@
+"""Round-14 operator tests: pair-join cap guards, the trimmed Theil-Sen
+median-bucket rank stage, and the r14 registrations (streaming CUSUM
+drain, Theil-Sen vs OLS contamination eval, and friends)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from tests.conftest import SF_SMOKE  # noqa: F401  (fixtures)
+
+
+def test_ticker_pair_guard_refuses_wide_universe(spark):
+    """The ticker-pair self-joins refuse entity universes whose pair
+    space exceeds MAX_PAIR_TICKERS — the MAX_THEIL_SEN_OBS discipline
+    applied to ref_ticker_correlation / ref_spearman_tickers."""
+    from utn_dataengineering_stockmarketpipeline_spark.plans import (
+        queries_reference as qr,
+    )
+
+    rows = [
+        (f"T{i:04d}", dt.date(2021, 1, 1 + d), 10.0 + d)
+        for i in range(12)
+        for d in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    ).select("stock_ticker", "stock_date", "stock_close")
+    old = qr.MAX_PAIR_TICKERS
+    qr.MAX_PAIR_TICKERS = 10
+    try:
+        with pytest.raises(ValueError, match="O\\(T²/2\\)"):
+            qr._guard_ticker_pairs(df)
+    finally:
+        qr.MAX_PAIR_TICKERS = old
+    # under the cap: no raise
+    qr._guard_ticker_pairs(df)
+
+
+def _grid_rows():
+    """Synthetic (group, value) observations with ties, NULLs, and a
+    contiguous over-represented band in group B (the case CUSUM is
+    built to catch)."""
+    rows = []
+    rows += [("A", v) for v in (1, 2, 2, 3, 5, 8, 9, 10, 12, 15)]
+    # B piles mass into the 6..8 band (offset by light tails)
+    rows += [("B", v) for v in (1, 6, 6, 7, 7, 7, 8, 8, 15, 20)]
+    rows += [("C", v) for v in (2, 3, 4, 5, 6, 9, 11, 13)]
+    rows += [(None, 7), ("A", None)]  # dropped by the null filter
+    return rows
+
+
+def _brute_cusum(rows, h_ppm=100_000):
+    from collections import Counter
+
+    clean = [(g, v) for g, v in rows if g is not None and v is not None]
+    n = len(clean)
+    values = sorted({v for _, v in clean})
+    out = {}
+    for g in sorted({g for g, _ in clean}):
+        cg = Counter(v for gg, v in clean if gg == g)
+        cr = Counter(v for gg, v in clean if gg != g)
+        n_g, n_r = sum(cg.values()), sum(cr.values())
+        if n_r == 0:
+            continue
+        cum_g = cum_r = 0
+        run_min = 0
+        best = 0
+        alarm = None
+        for v in values:
+            cum_g += cg.get(v, 0)
+            cum_r += cr.get(v, 0)
+            d = cum_g * n_r - cum_r * n_g
+            run_min = min(run_min, d)
+            s = d - min(0, run_min)
+            best = max(best, s)
+            if alarm is None and s * 1_000_000 > h_ppm * n_g * n_r:
+                alarm = v
+        out[g] = (n_g, best, (best * 1_000_000) // (n_g * n_r), alarm)
+    return out
+
+
+def test_cusum_drift_matches_bruteforce(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        cusum_drift,
+    )
+
+    df = spark.createDataFrame(_grid_rows(), "source string, n_chars long")
+    got = {
+        r.source: (r.n_docs, r.cusum_num, r.cusum_ppm, r.alarm_value)
+        for r in cusum_drift(df, "n_chars", "source").collect()
+    }
+    want = _brute_cusum(_grid_rows())
+    assert got == want
+    # the banded group must alarm, and at a value inside its band
+    assert want["B"][3] is not None and 6 <= want["B"][3] <= 8
+
+
+def _brute_mann_whitney(rows):
+    clean = [(g, v) for g, v in rows if g is not None and v is not None]
+    out = {}
+    for g in sorted({g for g, _ in clean}):
+        xs = [v for gg, v in clean if gg == g]
+        ys = [v for gg, v in clean if gg != g]
+        if not ys:
+            continue
+        u2 = sum(
+            2 if x > y else (1 if x == y else 0) for x in xs for y in ys
+        )
+        ngnr = len(xs) * len(ys)
+        num = (u2 - ngnr) * 1_000_000
+        # integral division truncates toward zero in both engines
+        rb = num // ngnr if num >= 0 else -((-num) // ngnr)
+        out[g] = (len(xs), u2, rb)
+    return out
+
+
+def test_mann_whitney_matches_bruteforce(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        mann_whitney_drift,
+    )
+
+    df = spark.createDataFrame(_grid_rows(), "source string, n_chars long")
+    got = {
+        r.source: (r.n_docs, r.u2, r.rank_biserial_ppm)
+        for r in mann_whitney_drift(df, "n_chars", "source").collect()
+    }
+    assert got == _brute_mann_whitney(_grid_rows())
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    """S and tau-a against the plain-Python pair scan, including a
+    tied-value series (ties contribute 0 to S) and a downtrend
+    (negative integral division)."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        mann_kendall,
+    )
+
+    series = {
+        "UP": [10.0, 11.0, 12.0, 11.5, 13.0, 14.0],
+        "DOWN": [90.0, 88.5, 89.0, 85.0, 84.2, 80.9],
+        "TIED": [50.0, 50.0, 51.0, 50.0, 50.0],
+    }
+    # 2i + (i%2) is strictly increasing (2i + (i%3) is NOT: i=2,3
+    # collide, and tied-date pairs are excluded by the a.d < b.d join)
+    rows = [
+        (t, dt.date(2021, 3, 1) + dt.timedelta(days=2 * i + (i % 2)), v)
+        for t, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    rows.append(("UP", dt.date(2021, 2, 1), None))  # null discipline
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {
+        r.stock_ticker: (r.n_obs, r.s_stat, r.tau_a_ppm)
+        for r in mann_kendall(df).collect()
+    }
+    for t, xs in series.items():
+        vc = [round(v * 100) for v in xs]
+        s = sum(
+            (1 if vc[j] > vc[i] else (-1 if vc[j] < vc[i] else 0))
+            for i in range(len(vc))
+            for j in range(i + 1, len(vc))
+        )
+        npairs = len(vc) * (len(vc) - 1) // 2
+        num = s * 1_000_000
+        tau = num // npairs if num >= 0 else -((-num) // npairs)
+        assert got[t] == (len(vc), s, tau), t
+    assert got["UP"][1] > 0 and got["DOWN"][1] < 0
+
+
+def test_theil_sen_eval_robust_wins_on_contaminated_trend(spark):
+    """On a clean linear trend with md5-deterministic ×10 spikes, the
+    Theil-Sen slope must stay nearer the clean-OLS truth than the
+    contaminated OLS — the measured robustness verdict."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        theil_sen_eval,
+    )
+
+    rows = [
+        ("TREND", dt.date(2020, 1, 1) + dt.timedelta(days=i), 100.0 + i)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    out = theil_sen_eval(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_obs == 80
+    # md5 band is ~10%: deterministic, but sanity-bound it
+    assert 1 <= r.n_spiked <= 25
+    # clean truth = +1.00 $/day exactly (integer day grid)
+    assert r.slope_clean_micro == 1_000_000
+    assert r.robust_wins is True
+    assert abs(r.slope_ts_micro - 1_000_000) < abs(
+        r.slope_ols_micro - 1_000_000
+    )

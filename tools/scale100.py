@@ -478,7 +478,13 @@ def main() -> None:
             f"{factor}; exact-copy LSH pair generation and cc_minhash "
             "excluded by construction (quadratic pair output is a "
             "replica data property — see tools/scale100.py docstring); "
-            f"ratios are {factor}x/1x wall, so ~{factor} = linear"
+            f"ratios are {factor}x/1x wall, so ~{factor} = linear. "
+            "semantic_dedup's ~linear ratio is OUTPUT-ROW-BOUND, not a "
+            "plan property: its output rows scale exactly with the "
+            "corpus (every replica emits its dedup verdict; 2000 -> "
+            "200000 at 100x) and wall per output row is flat "
+            "(~0.24 ms at both scales) under the documented k ~ n "
+            "centroid policy that keeps per-cluster pair cost constant"
         ),
         f"ratios_{factor}x_over_1x": ratios,
         "evidence": out,

@@ -494,26 +494,54 @@ def theil_sen_slope(
     quadratic). The median rank does NOT ride a per-entity window (one
     task would sort all n²/2 pairs of an entity): ranks derive from
     SLOPE BUCKETS — ``floor(slope)`` cumulative counts over the small
-    (entity, bucket) relation broadcast back as offsets, plus a
-    row_number partitioned by (entity, bucket) — the
-    skew.gini_concentration decomposition; the bucket id is monotone
-    in the slope, so the composed rank equals the per-entity global
+    (entity, bucket) relation broadcast back as offsets; only the ONE
+    bucket per entity whose offset interval contains the median rank
+    is ever windowed (the others are filtered out by the broadcast
+    semi-join BEFORE any sort), so the window input is one bucket per
+    entity, not n²/2 rows — the skew.gini_concentration decomposition
+    plus a median-bucket probe; the bucket id is monotone in the
+    slope, so the composed rank equals the per-entity global
     ROW_NUMBER the oracle states directly.
+
+    NULL rows in ``value_col``/``date_col`` are dropped up front
+    (returns_ppm's null discipline): a NULL price would produce NULL
+    slopes that the groupBy counts into the bucket offsets but the
+    rank join silently drops, shifting every composed rank — and
+    NULL ordering diverges cross-engine anyway.
     """
-    per = prices.groupBy(entity_col).agg(F.count(F.lit(1)).alias("n"))
-    worst = per.agg(F.max("n").alias("m")).collect()
-    if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
-        raise ValueError(
-            f"theil_sen_slope: an entity has {worst[0]['m']} observations "
-            f"(> {MAX_THEIL_SEN_OBS}); the pair space is O(n²/2) by "
-            f"definition. Downsample the series or fit a non-robust "
-            f"trend instead."
-        )
-    base = prices.select(
+    base = prices.filter(
+        F.col(value_col).isNotNull() & F.col(date_col).isNotNull()
+    ).select(
         F.col(entity_col).alias("e"),
         F.col(date_col).alias("d"),
         F.round(F.col(value_col) * 100).cast("bigint").alias("vc"),
     )
+    _enforce_pair_cap(base, "theil_sen_slope")
+    return _theil_sen_from_base(base).select(
+        F.col("e").alias(entity_col), "n_pairs", "slope_micro"
+    )
+
+
+def _enforce_pair_cap(base: DataFrame, op_name: str) -> None:
+    """Raise when any entity's observation count makes the O(n²/2)
+    pair space unreasonable (shared by theil_sen_slope, mann_kendall,
+    theil_sen_eval — one tiny max aggregate, never a pair)."""
+    per = base.groupBy("e").agg(F.count(F.lit(1)).alias("n"))
+    worst = per.agg(F.max("n").alias("m")).collect()
+    if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
+        raise ValueError(
+            f"{op_name}: an entity has {worst[0]['m']} observations "
+            f"(> {MAX_THEIL_SEN_OBS}); the pair space is O(n²/2) by "
+            f"definition. Downsample the series or fit a non-robust "
+            f"trend instead."
+        )
+
+
+def _theil_sen_from_base(base: DataFrame) -> DataFrame:
+    """The Theil-Sen median machinery over a prepared non-null
+    ``(e, d, vc)`` relation → ``(e, n_pairs, slope_micro)`` — the
+    bucket-offset rank decomposition shared by :func:`theil_sen_slope`
+    and :func:`theil_sen_eval`. Caller enforces the pair cap."""
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -548,20 +576,224 @@ def theil_sen_slope(
         "e", "bk", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
     )
     m_per = bc.groupBy("e").agg(F.sum("c").alias("m"))
+    # median-bucket probe: the lower-median rank (m+1) div 2 lands in
+    # exactly ONE bucket per entity — the one with off < tgt <= off+c.
+    # Resolving it on the small (entity, bucket) relation FIRST means
+    # the broadcast join below discards every other bucket's pairs
+    # before the window, so the sort input is one bucket per entity
+    # instead of all n²/2 pairs.
+    tgt = (
+        bc.join(off, ["e", "bk"])
+        .join(m_per, "e")
+        .withColumn("tgt", F.expr("(m + 1) div 2"))
+        .filter(
+            (F.col("off") < F.col("tgt"))
+            & (F.col("tgt") <= F.col("off") + F.col("c"))
+        )
+        .select("e", "bk", "off", "m", "tgt")
+    )
     w_in = Window.partitionBy("e", "bk").orderBy("slope", "di", "dj")
     ranked = (
-        pb.join(F.broadcast(off), ["e", "bk"])
+        pb.join(F.broadcast(tgt), ["e", "bk"])
         .withColumn("rn", F.col("off") + F.row_number().over(w_in))
     )
-    # lower median: rank (m+1) div 2 — discrete, deterministic
     return (
-        ranked.join(F.broadcast(m_per), "e")
-        .filter(F.expr("rn = (m + 1) div 2"))
+        ranked.filter(F.col("rn") == F.col("tgt"))
         .select(
-            F.col("e").alias(entity_col),
+            "e",
             F.col("m").alias("n_pairs"),
             # micro-dollars/day of the selected exact rational:
             # dvc cents / dd days -> (dvc * 1e6) div (100 * dd)
             F.expr("(dvc * 10000) div dd").alias("slope_micro"),
+        )
+    )
+
+
+def _trend_base(
+    prices: DataFrame,
+    entity_col: str,
+    date_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Prepared non-null ``(e, d, vc)`` relation shared by the trend
+    estimators: cent-quantized values, NULL prices/dates dropped up
+    front (the returns_ppm null discipline — a NULL would shift bucket
+    offsets and diverge cross-engine on NULL ordering)."""
+    return prices.filter(
+        F.col(value_col).isNotNull() & F.col(date_col).isNotNull()
+    ).select(
+        F.col(entity_col).alias("e"),
+        F.col(date_col).alias("d"),
+        F.round(F.col(value_col) * 100).cast("bigint").alias("vc"),
+    )
+
+
+def mann_kendall(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Mann-Kendall monotone-trend test per entity → ``(entity, n_obs,
+    s_stat, tau_a_ppm)`` — the SIGNIFICANCE companion to
+    :func:`theil_sen_slope` (the pair is how hydrology/finance report
+    robust trends: Mann-Kendall says WHETHER a monotone trend exists,
+    Theil-Sen says HOW STEEP):
+
+        S = Σ_{i<j} sign(v_j − v_i)          (Mann 1945, Kendall 1975)
+
+    over all observation pairs ordered by date; ``tau_a = S / C(n,2)``
+    is Kendall's tau-a in exact signed ppm. Integer end to end: signs
+    compare cent-quantized BIGINTs (no doubles at all — strictly
+    tighter than theil_sen's one IEEE division), S and the pair count
+    are exact integer sums, and tau_a_ppm is integral division
+    (truncation toward zero, engine-identical even for downtrends).
+
+    Scale: the same capped equi-self-join pair generator as
+    theil_sen_slope (:data:`MAX_THEIL_SEN_OBS` raises with the named
+    alternative); the reduction is one map-side-combined aggregate —
+    no window, no sort, no collect beyond the cap probe.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    _enforce_pair_cap(base, "mann_kendall")
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.e").alias("e"),
+        (F.col("b.vc") - F.col("a.vc")).alias("dvc"),
+    )
+    sgn = (
+        F.when(F.col("dvc") > 0, F.lit(1))
+        .when(F.col("dvc") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    m = pairs.groupBy("e").agg(
+        F.sum(sgn).alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n_obs = base.groupBy("e").agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        m.join(n_obs, "e")
+        .select(
+            F.col("e").alias(entity_col),
+            "n_obs",
+            "s_stat",
+            # tau_a = S / C(n,2) in exact signed ppm
+            F.expr("(s_stat * 1000000) div n_pairs").alias("tau_a_ppm"),
+        )
+    )
+
+
+def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
+    """Exact-moment OLS trend per entity over ``(e, d, vc)`` →
+    ``(e, <out_col>)`` in micro-dollars/day: x = day offset from the
+    entity's first date, y = cents; slope = (nΣxy − ΣxΣy)/(nΣxx −
+    (Σx)²) emitted by integral division of DECIMAL(38,0) integer
+    moments — the variance_ratio moment discipline, no doubles."""
+    x = F.datediff(
+        F.col("d"), F.min("d").over(Window.partitionBy("e"))
+    ).cast("bigint")
+    dec = "decimal(19,0)"
+    withx = base.select("e", x.alias("x"), F.col("vc").alias("y"))
+    m = withx.groupBy("e").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+    )
+    return m.filter(
+        F.expr("n >= 2 AND n * sxx - sx * sx > 0")
+    ).select(
+        "e",
+        # cents/day = num/den; micro-$/day = num·1e4 div den (toward-
+        # zero truncation in both engines, negative-safe)
+        F.expr("((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)")
+        .alias(out_col),
+    )
+
+
+def theil_sen_eval(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+    contaminate_permille: int = 100,
+    spike_factor: int = 10,
+) -> DataFrame:
+    """The EVAL LOOP on the robust-trend family (the var_backtest
+    pattern applied to estimators instead of risk forecasts) →
+    ``(entity, n_obs, n_spiked, slope_ts_micro, slope_ols_micro,
+    slope_clean_micro, robust_wins)``: deterministically contaminate
+    ~``contaminate_permille``/1000 of each entity's ticks (md5-uniform
+    hash of (entity, date) — reproducible, engine-identical, no RNG),
+    multiply those cent values by ``spike_factor``, then fit BOTH
+    estimators on the contaminated series and exact-moment OLS on the
+    clean series as the truth proxy. ``robust_wins`` is the verdict:
+    |theil_sen − clean| < |ols − clean| — measuring, not asserting,
+    the 29%-breakdown robustness claim that justifies shipping the
+    O(n²/2) estimator at all.
+
+    All three slopes are exact integers in micro-dollars/day (the
+    theil_sen / variance_ratio disciplines), the contamination flag is
+    a pure-integer md5 band compare (the train/val/test split rule),
+    and the verdict is an integer comparison — nothing floats.
+
+    Scale: one contaminated projection feeds the capped theil-sen pair
+    join and a map-side-combined OLS moment aggregate; the clean OLS
+    reads the base projection. No new shuffle shapes beyond the two
+    estimators themselves.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    _enforce_pair_cap(base, "theil_sen_eval")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("e"), F.col("d").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    # pure integer band compare (u·1000 < permille·2^32), the
+    # split_assignment rule — no float boundary
+    spiked = (u * 1000) < F.lit(contaminate_permille * (1 << 32))
+    cont = base.select(
+        "e",
+        "d",
+        F.when(spiked, F.col("vc") * spike_factor)
+        .otherwise(F.col("vc"))
+        .alias("vc"),
+        spiked.cast("int").alias("__spiked"),
+    )
+    counts = cont.groupBy("e").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__spiked").cast("bigint").alias("n_spiked"),
+    )
+    ts = _theil_sen_from_base(cont.select("e", "d", "vc")).select(
+        "e", F.col("slope_micro").alias("slope_ts_micro")
+    )
+    ols_cont = _ols_slope_micro(
+        cont.select("e", "d", "vc"), "slope_ols_micro"
+    )
+    ols_clean = _ols_slope_micro(base, "slope_clean_micro")
+    return (
+        counts.join(ts, "e")
+        .join(ols_cont, "e")
+        .join(ols_clean, "e")
+        .select(
+            F.col("e").alias(entity_col),
+            "n_obs",
+            "n_spiked",
+            "slope_ts_micro",
+            "slope_ols_micro",
+            "slope_clean_micro",
+            (
+                F.abs(F.col("slope_ts_micro") - F.col("slope_clean_micro"))
+                < F.abs(F.col("slope_ols_micro") - F.col("slope_clean_micro"))
+            ).alias("robust_wins"),
         )
     )

@@ -543,6 +543,216 @@ def emd_drift_from_counts(counts: DataFrame, value_col: str,
     )
 
 
+def cusum_drift(df: DataFrame, value_col: str, group_col: str,
+                h_ppm: int = 100_000) -> DataFrame:
+    """CUSUM drift per group vs the REST of the corpus, taken over the
+    ORDERED VALUE DOMAIN → ``(group, n_docs, cusum_num, cusum_ppm,
+    alarm_value)`` — the fourth leg of the drift-monitor family. Where
+    :func:`ks_drift` reads the worst single point of CDF divergence,
+    the CUSUM statistic is the MAXIMAL ASCENT of the signed
+    CDF-difference curve
+
+        S_v = D_v − min(0, min_{u≤v} D_u),   D_v = F_g(v) − F_rest(v)
+
+    (Page 1954's recurrence in its exact two-cumulative-window form,
+    the risk.cusum_alarms decomposition applied across values instead
+    of time). It detects a CONTIGUOUS over-represented value band even
+    when earlier under-representation cancels it out of the one-sided
+    KS⁺ supremum: a source that dumps truncated documents into one
+    narrow length band drifts the ascent long before it moves the KS
+    point. ``alarm_value`` is the smallest value at which the ascent
+    crosses ``h_ppm`` (NULL when it never does) — the quarantine
+    trigger, telling the operator WHERE in the domain the mass piles
+    up.
+
+    Integer end to end, the ks_drift discipline: D rides the same
+    integer numerator ``cum_g·n_rest − cum_rest·n_g`` (signed,
+    DECIMAL(38,0) products for 1e11-row honesty), the running minimum
+    and the ascent are integer window arithmetic, ``cusum_ppm`` is
+    exact integral division, and the alarm threshold compares
+    ``s·1e6 > h_ppm·n_g·n_rest`` as pure integers — no division
+    rounding at the boundary, no doubles anywhere.
+
+    Scale posture identical to ks_drift: one map-side-combined counts
+    shuffle, then the |groups| × |distinct values| grid bounded by the
+    VALUE DOMAIN; per-group CDFs and minima ride windows partitioned
+    by group, and the only unpartitioned window cumulates the tiny
+    distinct-values relation.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cusum_drift_from_counts(counts, value_col, group_col, h_ppm)
+
+
+def cusum_drift_from_counts(counts: DataFrame, value_col: str,
+                            group_col: str,
+                            h_ppm: int = 100_000) -> DataFrame:
+    """:func:`cusum_drift` over a pre-aggregated non-null ``(group,
+    value, c)`` counts relation — the mergeable-state entry point
+    shared with KS/PSI/EMD: ONE counts grid, every distributional
+    statistic."""
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        counts.groupBy(value_col)
+        .agg(F.sum("c").alias("v_cnt"))
+        .withColumn("cum_all", F.sum("v_cnt").over(w_all))
+    )
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    grid = (
+        groups.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vals))
+        .join(counts, [group_col, value_col], "left")
+        .withColumn("g_c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_g = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(19,0)"
+    cum_g = F.sum("g_c").over(w_g)
+    # SIGNED CDF-difference numerator (ks_drift takes its |abs|)
+    signed = grid.select(
+        group_col,
+        "n_g",
+        "n",
+        F.col(value_col).alias("__v"),
+        (
+            cum_g.cast(dec) * (F.col("n") - F.col("n_g")).cast(dec)
+            - (F.col("cum_all") - cum_g).cast(dec) * F.col("n_g").cast(dec)
+        ).alias("d"),
+    )
+    w_min = Window.partitionBy(group_col).orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    s = signed.withColumn(
+        "s", F.col("d") - F.least(zero, F.min("d").over(w_min))
+    )
+    return (
+        s.groupBy(group_col, "n_g", "n")
+        .agg(
+            F.max("s").alias("cusum_num"),
+            # pure-integer alarm compare: s·1e6 > h_ppm·n_g·n_rest —
+            # no integral-division rounding at the threshold boundary
+            F.min(
+                F.when(
+                    # h_ppm·n_g stays in BIGINT (≤ 1e5·3e9 = 3e14), so
+                    # both sides are single decimal(19)×decimal(19)
+                    # products — no >38-digit intermediate
+                    F.col("s") * F.lit(1_000_000)
+                    > (F.lit(h_ppm) * F.col("n_g")).cast(dec)
+                    * (F.col("n") - F.col("n_g")).cast(dec),
+                    F.col("__v"),
+                )
+            ).alias("alarm_value"),
+        )
+        # a group that IS the whole corpus has no rest (mirror ks_drift)
+        .filter(F.col("n_g") < F.col("n"))
+        .select(
+            group_col,
+            F.col("n_g").alias("n_docs"),
+            # emitted BIGINT (< n_g·n_rest·2 — exact to ~2e9 rows/side;
+            # past that, widen both engines), the ks_num discipline
+            F.col("cusum_num").cast("bigint").alias("cusum_num"),
+            F.expr(
+                "(cusum_num * 1000000) div (cast(n_g as decimal(19,0))"
+                " * cast(n - n_g as decimal(19,0)))"
+            ).alias("cusum_ppm"),
+            "alarm_value",
+        )
+    )
+
+
+def mann_whitney_drift(df: DataFrame, value_col: str,
+                       group_col: str) -> DataFrame:
+    """Exact tie-aware Mann-Whitney U (Wilcoxon rank-sum) per group vs
+    the REST of the corpus → ``(group, n_docs, u2, rank_biserial_ppm)``
+    — the fifth drift monitor: where KS/EMD/CUSUM read the CDF gap
+    pointwise, Mann-Whitney reads the PAIRWISE STOCHASTIC ORDER,
+    ``U = #{(x∈g, y∈rest): x > y} + ½·#{x = y}`` — the
+    location-shift test that stays powerful when the two shapes match
+    but one source is systematically longer/shorter. Emitted in the
+    doubled integer form ``u2 = 2U`` (ties contribute exactly 1, so u2
+    is always an exact integer) plus the effect size
+    ``rank_biserial = 2U/(n_g·n_rest) − 1`` as exact signed ppm —
+    positive means the group stochastically dominates the rest.
+
+    Never a pair join: on the counts grid, every (group value v) ×
+    (rest value u) comparison collapses to
+    ``u2 = Σ_v c_g(v)·(2·cumrest(v⁻) + c_rest(v))`` where cumrest(v⁻)
+    is the rest-mass strictly below v — one cumulative window per
+    group over the value-domain grid, integer end to end
+    (DECIMAL(38,0) products for 1e11-row honesty, integral-division
+    ppm, no doubles).
+
+    Scale posture identical to ks_drift: one counts shuffle, then the
+    |groups| × |distinct values| grid.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return mann_whitney_from_counts(counts, value_col, group_col)
+
+
+def mann_whitney_from_counts(counts: DataFrame, value_col: str,
+                             group_col: str) -> DataFrame:
+    """:func:`mann_whitney_drift` over a pre-aggregated non-null
+    ``(group, value, c)`` counts relation (the shared mergeable
+    monitoring state — same grid as KS/PSI/EMD/CUSUM)."""
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        counts.groupBy(value_col)
+        .agg(F.sum("c").alias("v_cnt"))
+        .withColumn("cum_all", F.sum("v_cnt").over(w_all))
+    )
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    grid = (
+        groups.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vals))
+        .join(counts, [group_col, value_col], "left")
+        .withColumn("g_c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_g = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(19,0)"
+    cum_g = F.sum("g_c").over(w_g)
+    # rest mass at v and strictly below v, from the shared cumulatives
+    c_rest = F.col("v_cnt") - F.col("g_c")
+    cumrest_below = (F.col("cum_all") - cum_g) - c_rest
+    term = F.col("g_c").cast(dec) * (
+        F.lit(2) * cumrest_below.cast(dec) + c_rest.cast(dec)
+    )
+    return (
+        grid.select(group_col, "n_g", "n", term.alias("tm"))
+        .groupBy(group_col, "n_g", "n")
+        .agg(F.sum("tm").alias("u2_num"))
+        .filter(F.col("n_g") < F.col("n"))  # a lone group has no rest
+        .select(
+            group_col,
+            F.col("n_g").alias("n_docs"),
+            F.col("u2_num").cast("bigint").alias("u2"),
+            # rank-biserial = (2U − n_g·n_rest)/(n_g·n_rest), exact ppm
+            F.expr(
+                "((u2_num - cast(n_g as decimal(19,0))"
+                "   * cast(n - n_g as decimal(19,0))) * 1000000)"
+                " div (cast(n_g as decimal(19,0))"
+                "      * cast(n - n_g as decimal(19,0)))"
+            ).alias("rank_biserial_ppm"),
+        )
+    )
+
+
 def gini_concentration(df: DataFrame, value_col: str, tiebreak_col: str,
                        bucket_width: int = 1_000_000_000) -> DataFrame:
     """Exact Gini coefficient of a nonnegative integer measure → ONE

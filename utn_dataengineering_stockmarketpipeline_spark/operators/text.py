@@ -1343,6 +1343,15 @@ def zipf_slope(df: DataFrame, text_col: str = "text",
     1e8·2e7·6e7 ≈ 1e23 — DECIMAL(38,0) accumulators, not BIGINT.
     """
     voc = vocabulary(df, text_col, min_count=min_count)
+    # Residual libm risk (r13 ADVICE, accepted as the established
+    # ccnet/psi/MI pattern): JVM Math.log and DuckDB ln are each
+    # allowed 1-ulp error, so an ln value landing within an ulp of a
+    # micro-nat quantization boundary COULD flip one qx/qy unit
+    # cross-engine. The inputs are small integers (rank, count) whose
+    # ln is never near a representable boundary in practice — no flake
+    # observed across the strict sweeps — but a correctly-rounded
+    # integer-ln table (the IVF HUGEINT→VARCHAR→DOUBLE hop) is the
+    # escape hatch if one ever appears.
     q = voc.select(
         F.floor(F.log(F.col("term_id").cast("double")) * 1e6 + F.lit(0.5))
         .cast("long")

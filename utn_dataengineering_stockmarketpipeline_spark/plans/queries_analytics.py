@@ -1837,6 +1837,138 @@ def q_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared with stream_cusum_drift (queries_streaming): the drained
+#: streaming monitor must converge to the batch statistic, so both
+#: entries verify against this SQL verbatim (the KS-drift contract).
+#: The alarm threshold 100000 ppm is skew.cusum_drift's default h_ppm.
+_CUSUM_DRIFT_ORACLE_SQL = """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vcum AS (
+  SELECT v, v_cnt, CAST(SUM(v_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+cums AS (
+  SELECT g.source, g.n_g, t.n, vc.v, vc.cum_all,
+         CAST(SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY vc.v) AS BIGINT) AS cum_g
+  FROM grp g CROSS JOIN tot t CROSS JOIN vcum vc
+  LEFT JOIN counts c ON c.source = g.source AND c.v = vc.v),
+diffs AS (
+  SELECT source, n_g, n, v,
+         CAST(cum_g AS DECIMAL(19,0)) * CAST(n - n_g AS DECIMAL(19,0))
+           - CAST(cum_all - cum_g AS DECIMAL(19,0))
+             * CAST(n_g AS DECIMAL(19,0)) AS d
+  FROM cums),
+ascent AS (
+  SELECT source, n_g, n, v,
+         d - LEAST(CAST(0 AS DECIMAL(38,0)),
+                   MIN(d) OVER (PARTITION BY source ORDER BY v)) AS s
+  FROM diffs)
+SELECT source, n_g AS n_docs,
+       CAST(MAX(s) AS BIGINT) AS cusum_num,
+       CAST((CAST(MAX(s) AS HUGEINT) * 1000000)
+            // (CAST(n_g AS HUGEINT) * CAST(n - n_g AS HUGEINT))
+            AS BIGINT) AS cusum_ppm,
+       MIN(CASE WHEN CAST(s AS HUGEINT) * 1000000
+                     > CAST(100000 AS HUGEINT) * n_g * (n - n_g)
+                THEN v END) AS alarm_value
+FROM ascent WHERE n_g < n GROUP BY source, n_g, n
+"""
+
+
+@register(
+    "ana_cusum_drift",
+    _CUSUM_DRIFT_ORACLE_SQL,
+    doc="per-source CUSUM drift of the document-length distribution vs "
+        "the REST of the corpus (skew.cusum_drift) — the fourth drift "
+        "monitor: Page's CUSUM recurrence in its exact two-cumulative-"
+        "window form (the risk.cusum_alarms decomposition) taken over "
+        "the ORDERED VALUE DOMAIN, reading the maximal ASCENT of the "
+        "signed CDF-difference curve. Detects a contiguous over-"
+        "represented value band that earlier under-representation "
+        "cancels out of the one-sided KS supremum — e.g. a source "
+        "dumping truncated documents into one narrow length band — and "
+        "emits alarm_value, the first domain value where the ascent "
+        "crosses h_ppm (the quarantine trigger: WHERE the mass piles "
+        "up, not just that it does). Integer end to end on the same "
+        "counts grid as KS/PSI/EMD: signed integer CDF numerators, "
+        "integer window minima, integral-division ppm, and a pure-"
+        "integer threshold compare (s·1e6 > h·n_g·n_rest) — no "
+        "boundary rounding, no libm",
+    tags=("analytics", "drift", "quality", "scale"),
+)
+def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.cusum_drift(
+        load_table(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )
+
+
+@register(
+    "ana_mann_whitney_drift",
+    """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vcum AS (
+  SELECT v, v_cnt, CAST(SUM(v_cnt) OVER (ORDER BY v) AS BIGINT) AS cum_all
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM counts),
+cums AS (
+  SELECT g.source, g.n_g, t.n, vc.v_cnt, vc.cum_all,
+         COALESCE(c.c, 0) AS g_c,
+         CAST(SUM(COALESCE(c.c, 0)) OVER (
+           PARTITION BY g.source ORDER BY vc.v) AS BIGINT) AS cum_g
+  FROM grp g CROSS JOIN tot t CROSS JOIN vcum vc
+  LEFT JOIN counts c ON c.source = g.source AND c.v = vc.v),
+terms AS (
+  SELECT source, n_g, n,
+         CAST(g_c AS DECIMAL(19,0))
+           * (2 * CAST((cum_all - cum_g) - (v_cnt - g_c) AS DECIMAL(19,0))
+              + CAST(v_cnt - g_c AS DECIMAL(19,0))) AS tm
+  FROM cums)
+SELECT source, n_g AS n_docs,
+       CAST(SUM(tm) AS BIGINT) AS u2,
+       CAST(((CAST(SUM(tm) AS HUGEINT)
+              - CAST(n_g AS HUGEINT) * (n - n_g)) * 1000000)
+            // (CAST(n_g AS HUGEINT) * (n - n_g)) AS BIGINT)
+         AS rank_biserial_ppm
+FROM terms WHERE n_g < n GROUP BY source, n_g, n
+""",
+    doc="per-source exact tie-aware Mann-Whitney U (Wilcoxon rank-sum) "
+        "of document length vs the REST of the corpus "
+        "(skew.mann_whitney_drift) — the fifth drift monitor: the "
+        "PAIRWISE STOCHASTIC-ORDER test, powerful when shapes match "
+        "but one source runs systematically longer/shorter. Never a "
+        "pair join: every cross-pair comparison collapses on the "
+        "counts grid to u2 = Σ c_g(v)·(2·cumrest(v⁻) + c_rest(v)) — "
+        "one cumulative window per group over the value domain, ties "
+        "exact in the doubled-U integer form. Effect size emitted as "
+        "exact signed rank-biserial ppm via integral division "
+        "(truncation toward zero is engine-identical, the theil-sen "
+        "discipline). Same scale posture as ana_ks_drift: one counts "
+        "shuffle, then the |sources| × |values| grid",
+    tags=("analytics", "drift", "quality", "scale", "statistics"),
+)
+def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.mann_whitney_drift(
+        load_table(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )
+
+
 @register(
     "ana_gini_concentration",
     """

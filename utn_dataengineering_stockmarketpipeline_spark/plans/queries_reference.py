@@ -619,6 +619,31 @@ def q_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: cap for the ticker-pair self-joins (ref_ticker_correlation,
+#: ref_spearman_tickers): the date-equi join emits O(T²/2) pairs per
+#: trading day — fine for any real exchange (T ≈ 10⁴ → 5·10⁷ pairs/day,
+#: still partitioned equi-join work), but a user-supplied entity column
+#: with 10⁶ distinct values would silently submit a 5·10¹¹-rows/day
+#: job. Past the cap the query raises with the named alternative — the
+#: risk.MAX_THEIL_SEN_OBS / similarity.MAX_BROADCAST_ROWS discipline.
+MAX_PAIR_TICKERS = 20_000
+
+
+def _guard_ticker_pairs(r: DataFrame, entity_col: str = "stock_ticker") -> None:
+    """Raise if the pair space of a ticker×ticker date-equi self-join
+    is beyond :data:`MAX_PAIR_TICKERS` entities (one tiny distinct-count
+    aggregate — the cap probe never materializes a pair)."""
+    t = r.select(entity_col).distinct().count()
+    if t > MAX_PAIR_TICKERS:
+        raise ValueError(
+            f"ticker-pair self-join: {t} distinct entities "
+            f"(> {MAX_PAIR_TICKERS}); the pair space is O(T²/2) per "
+            f"trading day. Restrict the universe (sector/index subset) "
+            f"or switch to a factor-model covariance instead of "
+            f"all-pairs correlation."
+        )
+
+
 @register(
     "ref_ticker_correlation",
     with_reference_ctes("""
@@ -666,6 +691,7 @@ def q_ticker_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stock_date",
         (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
     ).filter(F.col("ret").isNotNull())
+    _guard_ticker_pairs(r)
     a, b = r.alias("a"), r.alias("b")
     pairs = a.join(
         b,
@@ -759,6 +785,7 @@ def q_spearman_tickers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stock_date",
         (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
     ).filter(F.col("ret").isNotNull())
+    _guard_ticker_pairs(r)
     a, b = r.alias("a"), r.alias("b")
     pairs = a.join(
         b,
@@ -2180,7 +2207,8 @@ FROM (
   WITH base AS (
     SELECT stock_ticker AS e, stock_date AS d,
            CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
-    FROM stock_prices),
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
   pairs AS (
     SELECT a.e, a.d AS di, b.d AS dj, b.vc - a.vc AS dvc,
            CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dd,
@@ -2218,6 +2246,161 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import risk
 
     return risk.theil_sen_slope(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_mann_kendall",
+    with_reference_ctes("""
+SELECT stock_ticker, n_obs, s_stat, tau_a_ppm
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
+  m AS (
+    SELECT a.e,
+           CAST(SUM(CASE WHEN b.vc > a.vc THEN 1
+                         WHEN b.vc < a.vc THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM base a JOIN base b ON a.e = b.e AND a.d < b.d
+    GROUP BY a.e),
+  cnt AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM base GROUP BY e)
+  SELECT m.e AS stock_ticker, cnt.n_obs, m.s_stat,
+         CAST((CAST(m.s_stat AS HUGEINT) * 1000000)
+              // CAST(m.n_pairs AS HUGEINT) AS BIGINT) AS tau_a_ppm
+  FROM m JOIN cnt ON m.e = cnt.e)
+"""),
+    doc="Mann-Kendall monotone-trend test per ticker (operators/risk."
+        "mann_kendall): S = Σ sign(v_j − v_i) over all day pairs, with "
+        "Kendall's tau-a = S/C(n,2) in exact signed ppm — the "
+        "SIGNIFICANCE companion to ref_theil_sen_slope (whether a "
+        "monotone trend exists vs how steep it is; the classic "
+        "robust-trend reporting pair). Strictly integer: signs compare "
+        "cent-quantized BIGINTs (no IEEE division anywhere, tighter "
+        "than theil_sen), S and pair counts are exact sums, tau via "
+        "integral division (toward-zero in both engines, downtrend-"
+        "safe — verified: DuckDB HUGEINT // truncates toward zero). "
+        "Shares theil_sen's capped equi-self-join pair generator "
+        "(risk.MAX_THEIL_SEN_OBS raises with the named alternative); "
+        "the reduction is one map-side-combined aggregate, no window, "
+        "no sort",
+    tags=("reference", "risk", "statistics", "robust"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.mann_kendall(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_theil_sen_eval",
+    with_reference_ctes("""
+SELECT stock_ticker, n_obs, n_spiked, slope_ts_micro, slope_ols_micro,
+       slope_clean_micro, robust_wins
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
+  cont AS (
+    SELECT e, d,
+           CASE WHEN spiked THEN vc * 10 ELSE vc END AS vc,
+           CASE WHEN spiked THEN 1 ELSE 0 END AS sp
+    FROM (SELECT e, d, vc,
+                 ('0x' || substr(md5(e || '|' || CAST(d AS VARCHAR)),
+                                 1, 8))::BIGINT * 1000
+                   < 100 * (1::BIGINT << 32) AS spiked
+          FROM base)),
+  counts AS (
+    SELECT e, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(sp) AS BIGINT) AS n_spiked
+    FROM cont GROUP BY e),
+  pairs AS (
+    SELECT a.e, a.d AS di, b.d AS dj, b.vc - a.vc AS dvc,
+           CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dd,
+           CAST(b.vc - a.vc AS DOUBLE)
+             / CAST(date_diff('day', a.d, b.d) AS BIGINT) AS slope
+    FROM cont a JOIN cont b ON a.e = b.e AND a.d < b.d),
+  ranked AS (
+    SELECT e, dvc, dd,
+           ROW_NUMBER() OVER (PARTITION BY e
+                              ORDER BY slope, di, dj) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY e) AS BIGINT) AS m
+    FROM pairs),
+  ts AS (
+    SELECT e, CAST((CAST(dvc AS HUGEINT) * 10000) // dd AS BIGINT)
+                AS slope_ts_micro
+    FROM ranked WHERE rn = (m + 1) // 2),
+  cx AS (
+    SELECT e, vc AS y,
+           CAST(date_diff('day', MIN(d) OVER (PARTITION BY e), d)
+                AS BIGINT) AS x
+    FROM cont),
+  ols_cont AS (
+    SELECT e,
+           CAST(((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+                  - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)))
+                 * 10000)
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+                    - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)))
+                AS BIGINT) AS slope_ols_micro
+    FROM cx GROUP BY e
+    HAVING COUNT(*) >= 2
+       AND CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+           - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) > 0),
+  bx AS (
+    SELECT e, vc AS y,
+           CAST(date_diff('day', MIN(d) OVER (PARTITION BY e), d)
+                AS BIGINT) AS x
+    FROM base),
+  ols_clean AS (
+    SELECT e,
+           CAST(((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+                  - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)))
+                 * 10000)
+                // (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+                    - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)))
+                AS BIGINT) AS slope_clean_micro
+    FROM bx GROUP BY e
+    HAVING COUNT(*) >= 2
+       AND CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+           - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) > 0)
+  SELECT counts.e AS stock_ticker, counts.n_obs, counts.n_spiked,
+         ts.slope_ts_micro, ols_cont.slope_ols_micro,
+         ols_clean.slope_clean_micro,
+         ABS(ts.slope_ts_micro - ols_clean.slope_clean_micro)
+           < ABS(ols_cont.slope_ols_micro - ols_clean.slope_clean_micro)
+           AS robust_wins
+  FROM counts
+  JOIN ts ON counts.e = ts.e
+  JOIN ols_cont ON counts.e = ols_cont.e
+  JOIN ols_clean ON counts.e = ols_clean.e)
+"""),
+    doc="the EVAL LOOP on the robust-trend family (operators/risk."
+        "theil_sen_eval — the var_backtest pattern applied to "
+        "estimators): deterministically spike ~10% of each ticker's "
+        "ticks (md5-uniform (ticker, date) hash ×10 on the cents — "
+        "reproducible, engine-identical, no RNG), fit Theil-Sen AND "
+        "exact-moment OLS on the contaminated series, and exact-moment "
+        "OLS on the clean series as truth; robust_wins measures — not "
+        "asserts — whether |TS − clean| < |OLS − clean|, i.e. whether "
+        "the 29%-breakdown robustness claim that justifies the O(n²/2) "
+        "estimator holds on THIS corpus. All three slopes are exact "
+        "integer micro-dollars/day (theil_sen's discrete lower-median "
+        "rule; OLS via integral division of DECIMAL(38,0) integer "
+        "moments), the contamination flag is the split_assignment "
+        "pure-integer md5 band compare. Same capped pair join; the OLS "
+        "legs are map-side-combined moment aggregates",
+    tags=("reference", "risk", "statistics", "robust", "eval"),
+)
+def q_theil_sen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.theil_sen_eval(stock_prices(spark, sf_dir))
 
 
 @register(

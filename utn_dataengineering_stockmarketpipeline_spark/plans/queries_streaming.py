@@ -1186,6 +1186,40 @@ def _register_stream_psi_drift() -> None:
 _register_stream_psi_drift()
 
 
+def _register_stream_cusum_drift() -> None:
+    """Same late-import discipline: oracle = the batch ana_cusum_drift
+    SQL verbatim (stream==batch)."""
+    from .queries_analytics import _CUSUM_DRIFT_ORACLE_SQL
+
+    @register(
+        "stream_cusum_drift",
+        _CUSUM_DRIFT_ORACLE_SQL,
+        doc="STREAMING CUSUM drift monitor — the last of the four "
+            "distributional monitors to get its streaming twin, on the "
+            "stream_ks_drift protocol: per micro-batch partial "
+            "(source, n_chars) counts grids in idempotent batch_id=N "
+            "overwrite partitions, one post-drain groupBy-sum merge, "
+            "then skew.cusum_drift_from_counts re-derives the exact "
+            "max-ascent statistic and its alarm_value — hash-equal to "
+            "the batch ana_cusum_drift oracle verbatim. KS, EMD, PSI, "
+            "and CUSUM now ALL read from the one shared mergeable "
+            "counts grid: a production feed pays one partial-counts "
+            "write per ingest batch and gets every distributional "
+            "verdict, including WHERE in the value domain the drift "
+            "mass concentrates",
+        tags=("streaming", "drift", "quality", "scale"),
+    )
+    def q_stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators.skew import cusum_drift_from_counts
+
+        return _drained_counts_monitor(
+            spark, sf_dir, cusum_drift_from_counts, "cusumstream_"
+        )
+
+
+_register_stream_cusum_drift()
+
+
 @register(
     "stream_quarantine_gate",
     """
