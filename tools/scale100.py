@@ -139,6 +139,16 @@ def main() -> None:
     pair("emd_drift",
          lambda: skew.emd_drift(_sourced(docs_1x), "n_chars", "source"),
          lambda: skew.emd_drift(_sourced(docs_nx), "n_chars", "source"))
+    # CUSUM + Mann-Whitney (r14) ride the SAME counts grid — the whole
+    # drained-monitor family should show the identical scan-bound ~2
+    pair("cusum_drift",
+         lambda: skew.cusum_drift(_sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.cusum_drift(_sourced(docs_nx), "n_chars", "source"))
+    pair("mann_whitney",
+         lambda: skew.mann_whitney_drift(
+             _sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.mann_whitney_drift(
+             _sourced(docs_nx), "n_chars", "source"))
     # Zipf slope: the token-count shuffle scales, the vocabulary
     # relation (replicated text -> constant distinct terms) does not
     pair("zipf_slope",
@@ -394,6 +404,30 @@ def main() -> None:
          lambda: risk.var_cvar(risk.returns_ppm(var_1x)),
          lambda: risk.var_cvar(risk.returns_ppm(var_nx)))
     var_1x.unpersist(), var_nx.unpersist()
+
+    # Mann-Kendall + Theil-Sen eval (r14): the O(n²/2)-per-entity pair
+    # estimators under the 100x TICKER namespace replica. The series is
+    # first downsampled ~1/5 (hash rule, deterministic) so per-entity
+    # pair work is a constant ~60k pairs — the claim under test is
+    # that entity COUNT scales freely (pairs ride an equi-join on the
+    # entity key), not that a single series may grow quadratically
+    # (that is the estimator's definition, capped by
+    # MAX_THEIL_SEN_OBS). Expected: near-linear wall in the factor.
+    def trend_series(fac):
+        return tickers(fac).filter(
+            F.pmod(F.xxhash64("stock_date"), F.lit(5)) == 0
+        )
+
+    tr_1x = trend_series(1).persist()
+    tr_nx = trend_series(factor).persist()
+    tr_1x.count(), tr_nx.count()
+    pair("mann_kendall",
+         lambda: risk.mann_kendall(tr_1x),
+         lambda: risk.mann_kendall(tr_nx))
+    pair("theil_sen_eval",
+         lambda: risk.theil_sen_eval(tr_1x),
+         lambda: risk.theil_sen_eval(tr_nx))
+    tr_1x.unpersist(), tr_nx.unpersist()
 
     # quarantine gate under MANY batches: fixed per-batch volume, 3 vs
     # 30 single-file micro-batches (fixed 10x regardless of the main
