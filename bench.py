@@ -1138,6 +1138,17 @@ def main() -> None:
         "lsh_family_note": "r9->r11 1.3-1.4x drift is warmup depth + "
                            "load, not code: path git-identical to r9; "
                            "interleaved A/B reconverges to 1.08-1.12x",
+        # r14 minhash_calibration re-measure (VERDICT r13 ask): path
+        # git-identical to r12 (c52f8f3..HEAD diff has zero
+        # calibration lines); an idle min-of-5 GC-isolated A/B
+        # converges monotonically 5.56 -> 2.76 -> 2.52 -> 2.36 -> 2.19 s
+        # within one session (vs r12 1.87 = 1.17x, vs r13 2.60 =
+        # 0.84x) — the same warmup-depth family as the LSH note above;
+        # no plan regression exists.
+        "calibration_note": "minhash_calibration r12->r14 drift is "
+                            "warmup depth, not code: path git-identical "
+                            "to r12; idle min-of-5 converges to 2.19s "
+                            "(1.17x r12, 0.84x r13)",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         f"scale_ratios_{factor}x_over_1x": ratios,
