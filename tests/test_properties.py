@@ -1055,3 +1055,89 @@ def test_cusum_matches_sequential_recurrence(spark, steps):
         if alarm_i is not None else None
     )
     assert r["first_alarm_date"] == want_alarm
+
+
+# (source, values): 1-3 groups over a tiny tied-heavy value domain —
+# ties and empty-rest cases are the adversarial surface of the
+# counts-grid monitors
+grid_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2", "s3"]),
+        st.lists(
+            st.integers(min_value=0, max_value=12),
+            min_size=1,
+            max_size=25,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+    unique_by=lambda t: t[0],
+)
+
+
+@SLOW
+@given(grid_strategy)
+def test_cusum_and_mann_whitney_match_bruteforce(spark, groups):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        cusum_drift,
+        mann_whitney_drift,
+    )
+
+    from test_r14_ops import _brute_cusum, _brute_mann_whitney
+
+    rows = [(g, v) for g, vals in groups for v in vals]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got_c = {
+        r.source: (r.n_docs, r.cusum_num, r.cusum_ppm, r.alarm_value)
+        for r in cusum_drift(df, "n_chars", "source").collect()
+    }
+    assert got_c == _brute_cusum(rows)
+    got_m = {
+        r.source: (r.n_docs, r.u2, r.rank_biserial_ppm)
+        for r in mann_whitney_drift(df, "n_chars", "source").collect()
+    }
+    assert got_m == _brute_mann_whitney(rows)
+    # invariants: 0 <= cusum_num <= 2*n_g*n_rest; |rank-biserial| <= 1e6
+    n = len(rows)
+    for g, (n_g, num, ppm, _alarm) in got_c.items():
+        assert 0 <= num <= 2 * n_g * (n - n_g)
+    for g, (_n_g, _u2, rb) in got_m.items():
+        assert -1_000_000 <= rb <= 1_000_000
+
+
+@SLOW
+@given(bars_strategy)
+def test_mann_kendall_matches_bruteforce_property(spark, groups):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        mann_kendall,
+    )
+
+    rows = []
+    want = {}
+    for ticker, offsets, base in groups:
+        vals = [
+            round((base + (i * 7919 % 13) * 0.37) * 100)
+            for i in range(len(offsets))
+        ]
+        for off, vc in zip(sorted(offsets), vals):
+            rows.append((ticker, _D0 + dt.timedelta(days=off), vc / 100))
+        if len(vals) >= 2:
+            s = sum(
+                (1 if vals[j] > vals[i] else (-1 if vals[j] < vals[i] else 0))
+                for i in range(len(vals))
+                for j in range(i + 1, len(vals))
+            )
+            npairs = len(vals) * (len(vals) - 1) // 2
+            num = s * 1_000_000
+            tau = num // npairs if num >= 0 else -((-num) // npairs)
+            want[ticker] = (len(vals), s, tau)
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {
+        r.stock_ticker: (r.n_obs, r.s_stat, r.tau_a_ppm)
+        for r in mann_kendall(df).collect()
+    }
+    assert got == want
+    for _n, s, tau in got.values():
+        assert -1_000_000 <= tau <= 1_000_000
