@@ -198,3 +198,38 @@ def test_theil_sen_eval_robust_wins_on_contaminated_trend(spark):
     assert abs(r.slope_ts_micro - 1_000_000) < abs(
         r.slope_ols_micro - 1_000_000
     )
+
+
+def test_gini_and_winsorized_ignore_null_rows(spark):
+    """NULL values/groups must not shift bucket offsets or rank counts
+    (the theil_sen r13-ADVICE defect class): results with NULL rows
+    present equal results with them absent, and gini must not raise
+    its negative-value error on a NULL."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        gini_concentration,
+        winsorized_stats,
+    )
+
+    clean = [(i, float(v)) for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    dirty = clean + [(100, None), (101, None)]
+    g_clean = gini_concentration(
+        spark.createDataFrame(clean, "k long, v double"), "v", "k",
+        bucket_width=3,
+    ).collect()
+    g_dirty = gini_concentration(
+        spark.createDataFrame(dirty, "k long, v double"), "v", "k",
+        bucket_width=3,
+    ).collect()
+    assert g_clean == g_dirty
+
+    wclean = [("g1", float(v)) for v in [1, 2, 3, 4, 100]] + [
+        ("g2", float(v)) for v in [5, 6, 7]
+    ]
+    wdirty = wclean + [("g1", None), (None, 3.0)]
+    w_a = winsorized_stats(
+        spark.createDataFrame(wclean, "g string, v double"), "v", "g"
+    ).collect()
+    w_b = winsorized_stats(
+        spark.createDataFrame(wdirty, "g string, v double"), "v", "g"
+    ).collect()
+    assert sorted(map(tuple, w_a)) == sorted(map(tuple, w_b))

@@ -278,6 +278,14 @@ def winsorized_stats(
     """
     from pyspark.sql import Window
 
+    # NULL discipline (the theil_sen lesson): NULL values inflate the
+    # rank count n (so k_lo/k_hi point past the real tail) and the two
+    # engines order NULLs oppositely in the rank window (Spark first,
+    # DuckDB last) — the statistic is defined over non-null
+    # (group, value) rows only.
+    df = df.filter(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    )
     st = (
         df.groupBy(group_col)
         .agg(F.count(F.lit(1)).alias("n"))
@@ -785,7 +793,15 @@ def gini_concentration(df: DataFrame, value_col: str, tiebreak_col: str,
     inputs raise in the guard below).
     """
     x = F.col(value_col)
-    base = df.select(
+    # NULL discipline (the theil_sen lesson): a NULL value would land
+    # in the NULL bucket — counted into the cumulative offsets (groupBy
+    # keeps NULL keys, and Spark windows order NULLs FIRST) but dropped
+    # by the equi-join back onto base, shifting every composed rank;
+    # it would also hit the negative-guard's otherwise-branch with a
+    # misleading error. Define the measure over non-null rows.
+    base = df.filter(
+        x.isNotNull() & F.col(tiebreak_col).isNotNull()
+    ).select(
         x.cast("bigint").alias("x"), F.col(tiebreak_col).alias("tb")
     ).withColumn("bk", F.expr(f"x div {int(bucket_width)}"))
     # Gini needs a nonnegative measure; a negative value would silently
