@@ -14,6 +14,27 @@ Usage:  python tools/next_rotation.py   (idempotent; run once, commit,
 then plan exactly 5 new registrations or re-pin _WINDOW_PIN to
 50 - planned, per the driver-window-budget rule. If
 CORRECTNESS_r14 shows red rows, amend the head first.)
+
+WARNING: main() applies on ANY invocation (argv is ignored — even
+--help rewrites catalog.py). Never run this mid-round; to inspect,
+read the file.
+
+Round-15 registration candidates (pick 5, each with a DuckDB oracle):
+- stream_mann_whitney_drift: the 4th streaming monitor twin — trivial
+  compose of _drained_counts_monitor + skew.mann_whitney_from_counts
+  (KS/EMD/PSI/CUSUM already share the drained grid).
+- llm_lsh_recall_eval: recall of MinHash-LSH candidate pairs vs exact
+  n-gram Jaccard >= t pairs — the dedup-family eval loop, mirroring
+  llm_ann_recall_eval (minhash_calibration calibrates P[col|sim], this
+  would measure recall directly).
+- ref_mann_kendall_seasonal: per-(ticker, month-of-year) Mann-Kendall
+  — the seasonal variant (Hirsch-Slack), reuses the capped pair join
+  with a composite entity key.
+- ana_cusum_drift on a second value column (quality_score) or
+  ana_jonckheere_trend: ordered-alternative rank test across source
+  buckets — the drift family's ordered-groups member.
+- ref_ols_trend: expose risk._ols_slope_micro as its own catalog entry
+  (exact-moment OLS trend — currently only inside theil_sen_eval).
 """
 
 from __future__ import annotations
