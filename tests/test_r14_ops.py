@@ -233,3 +233,40 @@ def test_gini_and_winsorized_ignore_null_rows(spark):
         spark.createDataFrame(wdirty, "g string, v double"), "v", "g"
     ).collect()
     assert sorted(map(tuple, w_a)) == sorted(map(tuple, w_b))
+
+
+def test_ols_trend_matches_bruteforce(spark):
+    """The standalone exact-moment OLS baseline: slope recovered
+    exactly on an integer-grid trend, negative-safe, NULL-immune, and
+    degenerate entities (single obs / single date) excluded."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        ols_trend,
+    )
+
+    rows = (
+        [("UP", dt.date(2022, 1, 1) + dt.timedelta(days=i), 50.0 + 2 * i)
+         for i in range(30)]
+        + [("DOWN", dt.date(2022, 1, 1) + dt.timedelta(days=3 * i),
+            90.0 - 0.5 * i) for i in range(20)]
+        + [("ONE", dt.date(2022, 1, 1), 10.0)]
+        + [("UP", dt.date(2021, 12, 1), None)]
+    )
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {r.stock_ticker: r for r in ols_trend(df).collect()}
+    assert set(got) == {"UP", "DOWN"}  # ONE excluded, NULL ignored
+    assert got["UP"].n_obs == 30
+    assert got["UP"].slope_micro == 2_000_000  # exactly +2.00 $/day
+    # DOWN: -0.50 $ per 3 days = -1/6 $/day; toward-zero truncation
+    num, den = -50 * 10_000 * 100, 3 * 100  # brute from integer moments
+    import statistics
+    xs = [3 * i for i in range(20)]
+    ys = [round((90.0 - 0.5 * i) * 100) for i in range(20)]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num, den = (n * sxy - sx * sy) * 10_000, n * sxx - sx * sx
+    want = num // den if num >= 0 else -((-num) // den)
+    assert got["DOWN"].slope_micro == want and want < 0

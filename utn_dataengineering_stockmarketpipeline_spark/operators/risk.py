@@ -687,6 +687,35 @@ def mann_kendall(
     )
 
 
+def ols_trend(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Exact-moment OLS trend per entity → ``(entity, n_obs,
+    slope_micro)`` in micro-dollars/day — the NON-robust baseline the
+    robust-trend family is measured against (theil_sen_eval fits it on
+    clean and contaminated series; this is the standalone form). One
+    map-side-combined five-moment aggregate over the null-filtered
+    cent projection; slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) by integral
+    division of DECIMAL(38,0) integer moments — no doubles, no libm,
+    engine-identical truncation. Entities with < 2 observations or a
+    degenerate (single-date) x-variance are excluded, mirroring the
+    theil_sen/variance_ratio guards.
+
+    Scale: linear — one scan, one groupBy; no window, no join, no pair
+    space (the O(n²/2) estimators cap; this one never needs to).
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    n_obs = base.groupBy("e").agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        _ols_slope_micro(base, "slope_micro")
+        .join(n_obs, "e")
+        .select(F.col("e").alias(entity_col), "n_obs", "slope_micro")
+    )
+
+
 def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
     """Exact-moment OLS trend per entity over ``(e, d, vc)`` →
     ``(e, <out_col>)`` in micro-dollars/day: x = day offset from the
