@@ -270,3 +270,62 @@ def test_ols_trend_matches_bruteforce(spark):
     num, den = (n * sxy - sx * sy) * 10_000, n * sxx - sx * sx
     want = num // den if num >= 0 else -((-num) // den)
     assert got["DOWN"].slope_micro == want and want < 0
+
+
+def test_seasonal_mann_kendall_matches_bruteforce(spark):
+    """Hirsch-Slack: within-month pairs only. A pure seasonal sawtooth
+    (high Jan, low Jul, no year-over-year change) must score S = 0,
+    while a cross-year uptrend scores positive; brute force checks the
+    exact S/tau on a mixed series."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        seasonal_mann_kendall,
+    )
+
+    rows = []
+    # SAW: monthly cycle, identical every year -> every within-month
+    # pair ties -> S = 0
+    for year in (2020, 2021, 2022):
+        for month in range(1, 13):
+            rows.append(
+                ("SAW", dt.date(year, month, 15), 100.0 + (month % 6))
+            )
+    # GROW: +1 every year in every month -> all within-month pairs
+    # concordant
+    for year in (2020, 2021, 2022):
+        for month in range(1, 13):
+            rows.append(
+                ("GROW", dt.date(year, month, 15), 50.0 + year - 2020)
+            )
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {
+        r.stock_ticker: (r.n_obs, r.s_stat, r.tau_a_ppm)
+        for r in seasonal_mann_kendall(df).collect()
+    }
+    # brute force: group by (ticker, month), pair within month by date
+    from collections import defaultdict
+
+    by_tm = defaultdict(list)
+    for t, d, v in rows:
+        by_tm[(t, d.month)].append((d, round(v * 100)))
+    want = {}
+    for t in ("SAW", "GROW"):
+        s = npairs = nobs = 0
+        for (tt, _m), obs in by_tm.items():
+            if tt != t:
+                continue
+            obs.sort()
+            nobs += len(obs)
+            for i in range(len(obs)):
+                for j in range(i + 1, len(obs)):
+                    npairs += 1
+                    s += (obs[j][1] > obs[i][1]) - (obs[j][1] < obs[i][1])
+        num = s * 1_000_000
+        tau = num // npairs if num >= 0 else -((-num) // npairs)
+        want[t] = (nobs, s, tau)
+    assert got == want
+    assert got["SAW"][1] == 0 and got["SAW"][2] == 0
+    assert got["GROW"][1] == 36 * 2 - 36  # 3 obs/month: C(3,2)=3 pairs,
+    # all concordant -> 12 months * 3 = 36; s == n_pairs
+    assert got["GROW"][2] == 1_000_000

@@ -716,6 +716,70 @@ def ols_trend(
     )
 
 
+def seasonal_mann_kendall(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Seasonal (Hirsch-Slack 1984) Mann-Kendall per entity →
+    ``(entity, n_obs, s_stat, tau_a_ppm)``: the trend test for series
+    with a periodic cycle — pairs are compared ONLY within the same
+    season (month-of-year here), so January never votes against July
+    and a pure seasonal swing contributes exactly zero to S. The
+    statistic is ``S = Σ_m S_m`` over the twelve monthly sub-series,
+    with ``tau_a = S / Σ_m C(n_m, 2)`` in exact signed ppm.
+
+    Same integer discipline as :func:`mann_kendall` (cent-BIGINT sign
+    compares, integral-division tau, toward-zero both engines). The
+    season key rides INSIDE the equi-join — the pair space shrinks
+    from C(n,2) to Σ_m C(n_m,2) ≈ n²/24, and the cap guard applies to
+    the largest (entity, season) sub-series, not the whole series.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col).withColumn(
+        "season", F.month("d")
+    )
+    per = base.groupBy("e", "season").agg(F.count(F.lit(1)).alias("n"))
+    worst = per.agg(F.max("n").alias("m")).collect()
+    if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
+        raise ValueError(
+            f"seasonal_mann_kendall: an (entity, season) sub-series has "
+            f"{worst[0]['m']} observations (> {MAX_THEIL_SEN_OBS}); the "
+            f"pair space is O(n²/2) by definition. Downsample the series "
+            f"or fit a non-robust trend instead."
+        )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.e") == F.col("b.e"))
+        & (F.col("a.season") == F.col("b.season"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.e").alias("e"),
+        (F.col("b.vc") - F.col("a.vc")).alias("dvc"),
+    )
+    sgn = (
+        F.when(F.col("dvc") > 0, F.lit(1))
+        .when(F.col("dvc") < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    m = pairs.groupBy("e").agg(
+        F.sum(sgn).alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    n_obs = base.groupBy("e").agg(F.count(F.lit(1)).alias("n_obs"))
+    return (
+        m.join(n_obs, "e")
+        .select(
+            F.col("e").alias(entity_col),
+            "n_obs",
+            "s_stat",
+            F.expr("(s_stat * 1000000) div n_pairs").alias("tau_a_ppm"),
+        )
+    )
+
+
 def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
     """Exact-moment OLS trend per entity over ``(e, d, vc)`` →
     ``(e, <out_col>)`` in micro-dollars/day: x = day offset from the
