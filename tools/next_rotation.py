@@ -27,14 +27,14 @@ Round-15 registration candidates (pick 5, each with a DuckDB oracle):
   n-gram Jaccard >= t pairs — the dedup-family eval loop, mirroring
   llm_ann_recall_eval (minhash_calibration calibrates P[col|sim], this
   would measure recall directly).
-- ref_mann_kendall_seasonal: per-(ticker, month-of-year) Mann-Kendall
-  — the seasonal variant (Hirsch-Slack), reuses the capped pair join
-  with a composite entity key.
-- ana_cusum_drift on a second value column (quality_score) or
-  ana_jonckheere_trend: ordered-alternative rank test across source
-  buckets — the drift family's ordered-groups member.
-- ref_ols_trend: expose risk._ols_slope_micro as its own catalog entry
-  (exact-moment OLS trend — currently only inside theil_sen_eval).
+- ref_seasonal_mann_kendall: OPERATOR ALREADY BUILT + brute-force
+  tested (risk.seasonal_mann_kendall, late r14) — registration +
+  oracle SQL only.
+- ref_ols_trend: OPERATOR ALREADY BUILT + tested (risk.ols_trend,
+  late r14) — registration + oracle SQL only.
+- ana_jonckheere_trend: ordered-alternative rank test across source
+  buckets — the drift family's ordered-groups member (from the same
+  counts grid).
 """
 
 from __future__ import annotations
