@@ -329,3 +329,52 @@ def test_seasonal_mann_kendall_matches_bruteforce(spark):
     assert got["GROW"][1] == 36 * 2 - 36  # 3 obs/month: C(3,2)=3 pairs,
     # all concordant -> 12 months * 3 = 36; s == n_pairs
     assert got["GROW"][2] == 1_000_000
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    """J-T against the all-pairs brute force (ordered group pairs,
+    ties at half weight), on ascending / flat / descending layouts."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        jonckheere_trend,
+    )
+
+    def brute(rows):
+        clean = [(g, v) for g, v in rows if g is not None and v is not None]
+        gs = sorted({g for g, _ in clean})
+        j2 = ej2 = 0
+        for i, a in enumerate(gs):
+            for b in gs[i + 1:]:
+                xs = [v for g, v in clean if g == a]
+                ys = [v for g, v in clean if g == b]
+                ej2 += len(xs) * len(ys)
+                j2 += sum(
+                    2 if y > x else (1 if y == x else 0)
+                    for x in xs
+                    for y in ys
+                )
+        num = (j2 - ej2) * 1_000_000
+        ppm = num // ej2 if num >= 0 else -((-num) // ej2)
+        return (len(gs), len(clean), j2, ej2, ppm)
+
+    ascending = (
+        [("r1", v) for v in (1, 2, 3, 2)]
+        + [("r2", v) for v in (3, 4, 5, 4)]
+        + [("r3", v) for v in (5, 6, 7, 8)]
+        + [("r1", None), (None, 9)]
+    )
+    descending = [("r1", 9), ("r1", 8), ("r2", 5), ("r2", 4), ("r3", 1)]
+    flat = [(g, v) for g in ("r1", "r2", "r3") for v in (4, 4, 4)]
+    for rows in (ascending, descending, flat):
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        got = [
+            (r.n_groups, r.n_obs, r.j2, r.ej2, r.trend_ppm)
+            for r in jonckheere_trend(df, "n_chars", "source").collect()
+        ]
+        assert got == [brute(rows)], rows[:3]
+    # direction sanity
+    df = spark.createDataFrame(ascending, "source string, n_chars long")
+    assert jonckheere_trend(df, "n_chars", "source").first().trend_ppm > 0
+    df = spark.createDataFrame(descending, "source string, n_chars long")
+    assert jonckheere_trend(df, "n_chars", "source").first().trend_ppm < 0
+    df = spark.createDataFrame(flat, "source string, n_chars long")
+    assert jonckheere_trend(df, "n_chars", "source").first().trend_ppm == 0

@@ -761,6 +761,112 @@ def mann_whitney_from_counts(counts: DataFrame, value_col: str,
     )
 
 
+def jonckheere_trend(df: DataFrame, value_col: str,
+                     group_col: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test → ONE row
+    ``(n_groups, n_obs, j2, ej2, trend_ppm)`` — the drift family's
+    ordered-groups member: where Mann-Whitney asks "does THIS group
+    differ from the rest", Jonckheere asks "do the groups TREND in
+    their given order" (e.g. do documents get systematically longer
+    across release batches r1 < r2 < ... < rK). ``J = Σ_{a<b} U_ab``
+    over ordered group pairs, emitted in the doubled-integer tie-exact
+    form ``j2 = 2J`` beside its exact null expectation
+    ``ej2 = Σ_{a<b} n_a·n_b`` and the normalized excess
+    ``trend_ppm = (j2 − ej2)·1e6 div ej2`` (positive = ascending
+    trend). Groups order by their natural sort of ``group_col`` —
+    callers encode the intended order in the key (release ids, date
+    buckets).
+
+    Never a group-pair join, never a value-pair join: with P(v,g) =
+    Σ_{a<g} cum_a(v) and Q(v,g) = Σ_{a<g} c_a(v) (prefix sums across
+    the GROUP order at each value), ``j2 = Σ_{v,g} c_g(v)·(2P − Q)``
+    — two nested cumulative windows on the |groups| × |values| counts
+    grid (one over the value domain per group, one over the group
+    order per value). Integer end to end: DECIMAL(38,0) products,
+    integral-division ppm, no libm.
+
+    Scale posture identical to ks_drift: one map-side-combined counts
+    shuffle, then grid-bounded windows.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return jonckheere_from_counts(counts, value_col, group_col)
+
+
+def jonckheere_from_counts(counts: DataFrame, value_col: str,
+                           group_col: str) -> DataFrame:
+    """:func:`jonckheere_trend` over a pre-aggregated non-null
+    ``(group, value, c)`` counts relation — the same mergeable
+    monitoring state as KS/PSI/EMD/CUSUM/Mann-Whitney."""
+    from pyspark.sql import Window
+
+    vals = counts.groupBy(value_col).agg(F.sum("c").alias("v_cnt"))
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    grid = (
+        groups.crossJoin(F.broadcast(vals))
+        .join(counts, [group_col, value_col], "left")
+        .withColumn("g_c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_g = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_prefix = Window.partitionBy(value_col).orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dec = "decimal(19,0)"
+    zero = F.lit(0).cast(dec)
+    staged = grid.select(
+        group_col,
+        value_col,
+        "n_g",
+        F.col("g_c").cast(dec).alias("gc"),
+        F.sum("g_c").over(w_g).cast(dec).alias("cum_g"),
+    )
+    prefixed = staged.select(
+        "n_g",
+        F.col(group_col).alias("__g"),
+        "gc",
+        F.coalesce(F.sum("cum_g").over(w_prefix), zero).alias("p"),
+        F.coalesce(F.sum("gc").over(w_prefix), zero).alias("q"),
+    )
+    term = F.col("gc") * (F.lit(2) * F.col("p") - F.col("q"))
+    j = prefixed.agg(
+        F.sum(term).alias("j2_num"),
+        F.count_distinct("__g").alias("n_groups"),
+    )
+    # exact null expectation ej2 = Σ_{a<b} n_a·n_b from group sizes
+    wg_ord = Window.orderBy(group_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    e = (
+        groups.select(
+            "n_g",
+            F.coalesce(F.sum("n_g").over(wg_ord), F.lit(0)).alias("before"),
+        )
+        .agg(
+            F.sum(
+                F.col("n_g").cast(dec) * F.col("before").cast(dec)
+            ).alias("ej2_num"),
+            F.sum("n_g").alias("n_obs"),
+        )
+    )
+    return (
+        j.crossJoin(F.broadcast(e))
+        .filter(F.col("ej2_num") > 0)  # < 2 groups: no ordered pairs
+        .select(
+            F.col("n_groups").cast("bigint").alias("n_groups"),
+            F.col("n_obs").cast("bigint").alias("n_obs"),
+            F.col("j2_num").cast("bigint").alias("j2"),
+            F.col("ej2_num").cast("bigint").alias("ej2"),
+            F.expr("((j2_num - ej2_num) * 1000000) div ej2_num")
+            .alias("trend_ppm"),
+        )
+    )
+
+
 def gini_concentration(df: DataFrame, value_col: str, tiebreak_col: str,
                        bucket_width: int = 1_000_000_000) -> DataFrame:
     """Exact Gini coefficient of a nonnegative integer measure → ONE
