@@ -32,9 +32,12 @@ Round-15 registration candidates (pick 5, each with a DuckDB oracle):
   oracle SQL only.
 - ref_ols_trend: OPERATOR ALREADY BUILT + tested (risk.ols_trend,
   late r14) — registration + oracle SQL only.
-- ana_jonckheere_trend: ordered-alternative rank test across source
-  buckets — the drift family's ordered-groups member (from the same
-  counts grid).
+- ana_jonckheere_trend: OPERATOR ALREADY BUILT + brute-force tested
+  (skew.jonckheere_trend/_from_counts, late r14) — registration +
+  oracle SQL only.
+With four of five pre-built, the fifth slot is open — e.g. a
+streaming jonckheere drain, a seasonal-MK eval, or whatever the r15
+verdict asks for.
 """
 
 from __future__ import annotations
