@@ -378,3 +378,61 @@ def test_jonckheere_matches_bruteforce(spark):
     assert jonckheere_trend(df, "n_chars", "source").first().trend_ppm < 0
     df = spark.createDataFrame(flat, "source string, n_chars long")
     assert jonckheere_trend(df, "n_chars", "source").first().trend_ppm == 0
+
+
+def test_counts_grid_mergeability_under_any_batching(spark):
+    """The streaming drains' core claim: per-batch partial counts are
+    ADDITIVE, so the statistic from the merged grid equals the batch
+    statistic regardless of how the corpus was split into batches.
+    Pinned here for every grid consumer (KS, PSI, EMD, CUSUM,
+    Mann-Whitney, Jonckheere) at 2-way and 5-way splits."""
+    from pyspark.sql import functions as F
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        cusum_drift_from_counts,
+        emd_drift_from_counts,
+        jonckheere_from_counts,
+        ks_drift_from_counts,
+        mann_whitney_from_counts,
+        psi_drift_from_counts,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).filter(F.col("source").isNotNull() & F.col("n_chars").isNotNull())
+    full_counts = docs.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stat_fns = (
+        ks_drift_from_counts,
+        psi_drift_from_counts,
+        emd_drift_from_counts,
+        cusum_drift_from_counts,
+        mann_whitney_from_counts,
+        jonckheere_from_counts,
+    )
+    want = [
+        sorted(map(tuple, fn(full_counts, "n_chars", "source").collect()))
+        for fn in stat_fns
+    ]
+    for k in (2, 5):
+        partials = [
+            docs.filter(F.col("doc_id") % k == i)
+            .groupBy("source", "n_chars")
+            .agg(F.count(F.lit(1)).alias("c"))
+            for i in range(k)
+        ]
+        merged = partials[0]
+        for p in partials[1:]:
+            merged = merged.unionByName(p)
+        merged = merged.groupBy("source", "n_chars").agg(
+            F.sum("c").alias("c")
+        )
+        for fn, w in zip(stat_fns, want):
+            got = sorted(
+                map(tuple, fn(merged, "n_chars", "source").collect())
+            )
+            assert got == w, (fn.__name__, k)
