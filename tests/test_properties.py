@@ -1141,3 +1141,38 @@ def test_mann_kendall_matches_bruteforce_property(spark, groups):
     assert got == want
     for _n, s, tau in got.values():
         assert -1_000_000 <= tau <= 1_000_000
+
+
+@SLOW
+@given(grid_strategy)
+def test_jonckheere_matches_bruteforce_property(spark, groups):
+    from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
+        jonckheere_trend,
+    )
+
+    rows = [(g, v) for g, vals in groups for v in vals]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    got = [
+        (r.n_groups, r.n_obs, r.j2, r.ej2, r.trend_ppm)
+        for r in jonckheere_trend(df, "n_chars", "source").collect()
+    ]
+    gs = sorted({g for g, _ in rows})
+    j2 = ej2 = 0
+    for i, a in enumerate(gs):
+        for b in gs[i + 1:]:
+            xs = [v for g, v in rows if g == a]
+            ys = [v for g, v in rows if g == b]
+            ej2 += len(xs) * len(ys)
+            j2 += sum(
+                2 if y > x else (1 if y == x else 0)
+                for x in xs
+                for y in ys
+            )
+    if ej2 == 0:
+        assert got == []
+    else:
+        num = (j2 - ej2) * 1_000_000
+        ppm = num // ej2 if num >= 0 else -((-num) // ej2)
+        assert got == [(len(gs), len(rows), j2, ej2, ppm)]
+        # bounded effect: j2 in [0, 2*ej2] -> trend_ppm in [-1e6, 1e6]
+        assert -1_000_000 <= got[0][4] <= 1_000_000
