@@ -35,7 +35,9 @@ Round-15 registration candidates (pick 5, each with a DuckDB oracle):
 - ana_jonckheere_trend: OPERATOR ALREADY BUILT + brute-force tested
   (skew.jonckheere_trend/_from_counts, late r14) — registration +
   oracle SQL only.
-With four of five pre-built, the fifth slot is open — e.g. a
+Validated oracle SQL for the three batch candidates is staged in
+tools/r15_staged_oracles.py (hash-matched both SFs — lift and
+register). With four of five pre-built, the fifth slot is open — e.g. a
 streaming jonckheere drain, a seasonal-MK eval, or whatever the r15
 verdict asks for.
 """
