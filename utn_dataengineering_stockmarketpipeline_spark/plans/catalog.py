@@ -56,68 +56,21 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-14 rotation (freshness after r13: late-r13 never-checked x7 /
-# r10x46 / r11x49 / r12x49 / r13x50):
-#   1. the 7 late-r13 registrations (strict-sweep green both SFs, no
-#      driver row yet), then the 38 oldest r10-green entries,
-#   2. (pin = 45 = 50 - 5 planned round-14 registrations, set at round
-#      START per the driver-window-budget rule; re-pin to 50 - planned
-#      if the plan changes),
-#   3. the remaining 8 r10-green head the tail (first into the r15
-#      window), then r11-green, then r12-green, then the 50 round-13
+# Round-15 rotation (freshness after r14, assuming the r14 window
+# greens: r10x8 / r11x49 / r12x49 / r13x50 / r14x50):
+#   1. the 8 remaining r10-green entries + the 37 oldest r11-green
+#      (burns the r10 backlog completely),
+#   2. (pin = 45 = 50 - 5 planned round-15 registrations, set at
+#      round START per the driver-window-budget rule; re-pin to
+#      50 - planned if the plan changes),
+#   3. the remaining 12 r11-green head the tail (first into the
+#      r16 window), then r12-green, r13-green, and the 50 round-14
 #      window entries (freshest evidence, safely outside).
-# NOTE: if CORRECTNESS_r13 has red rows, move them to the head before
-# applying (the r11 lesson: never park a red row in the green tail).
+# NOTE: if CORRECTNESS_r14 has red rows, move them to the head
+# before applying (the r11 lesson: never park a red row in the
+# green tail).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- 7 late-r13 (never driver-checked) + 38 oldest r10-green --
-    "stream_emd_drift",
-    "ref_variance_ratio",
-    "ana_gini_concentration",
-    "llm_zipf_slope",
-    "llm_ann_recall_eval",
-    "stream_psi_drift",
-    "ref_theil_sen_slope",
-    "ref_stock_prices_table",
-    "ana_approx_sketches",
-    "ana_chi_square_lang_source",
-    "ana_cube_returns",
-    "ana_grouping_sets",
-    "ana_market_share",
-    "ana_nation_flow",
-    "ana_priority_late_orders",
-    "ana_quantity_percentiles",
-    "ana_referential_orphans",
-    "join_asof_tolerance_price",
-    "llm_bigram_logprob",
-    "llm_boilerplate_ngrams",
-    "llm_containment_pairs",
-    "llm_contamination",
-    "llm_dedup_exact",
-    "llm_length_deciles",
-    "llm_minhash_lsh_pairs",
-    "llm_minhash_signatures",
-    "llm_multimodal_features",
-    "llm_ngram_jaccard_pairs",
-    "llm_simhash",
-    "llm_simhash_near_pairs",
-    "llm_split_assignment",
-    "llm_text_quality",
-    "llm_token_entropy",
-    "llm_token_stats",
-    "llm_unigram_logprob",
-    "llm_vocabulary",
-    "ref_bollinger_bands",
-    "ref_ema20",
-    "ref_ema20_chunked",
-    "ref_macd",
-    "ref_ohlc_incremental",
-    "ref_rolling_beta",
-    "ref_scd1_markets",
-    "ref_scd2_markets",
-    "ref_stochastic_14",
-    # -- (pin = 45: new round-14 registrations slot in HERE) --
-    # -- tail: remaining r10-green, then r11, r12, and the 50
-    #    round-13 window entries (freshest) --
+    # -- 8 r10-green + 37 oldest r11-green --
     "ref_unpivot_ohlc",
     "stream_static_enrich",
     "ref_scd2_as_of",
@@ -163,6 +116,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "stream_stateful_totals",
     "ref_table_diff",
     "llm_bm25_scores",
+    # -- (pin = 45: new round-15 registrations slot in HERE) --
+    # -- tail: remaining r11-green, then r12, r13, and the 50
+    #    round-14 window entries (freshest) --
     "llm_embedding_near_dup_lsh",
     "llm_ann_lsh_topk",
     "llm_dup_clusters",
@@ -274,11 +230,61 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_kcore_suppliers",
     "ana_winsorized_stats",
     "ana_mutual_info_lang_source",
+    "stream_emd_drift",
+    "ref_variance_ratio",
+    "ana_gini_concentration",
+    "llm_zipf_slope",
+    "llm_ann_recall_eval",
+    "stream_psi_drift",
+    "ref_theil_sen_slope",
+    "ref_stock_prices_table",
+    "ana_approx_sketches",
+    "ana_chi_square_lang_source",
+    "ana_cube_returns",
+    "ana_grouping_sets",
+    "ana_market_share",
+    "ana_nation_flow",
+    "ana_priority_late_orders",
+    "ana_quantity_percentiles",
+    "ana_referential_orphans",
+    "join_asof_tolerance_price",
+    "llm_bigram_logprob",
+    "llm_boilerplate_ngrams",
+    "llm_containment_pairs",
+    "llm_contamination",
+    "llm_dedup_exact",
+    "llm_length_deciles",
+    "llm_minhash_lsh_pairs",
+    "llm_minhash_signatures",
+    "llm_multimodal_features",
+    "llm_ngram_jaccard_pairs",
+    "llm_simhash",
+    "llm_simhash_near_pairs",
+    "llm_split_assignment",
+    "llm_text_quality",
+    "llm_token_entropy",
+    "llm_token_stats",
+    "llm_unigram_logprob",
+    "llm_vocabulary",
+    "ref_bollinger_bands",
+    "ref_ema20",
+    "ref_ema20_chunked",
+    "ref_macd",
+    "ref_ohlc_incremental",
+    "ref_rolling_beta",
+    "ref_scd1_markets",
+    "ref_scd2_markets",
+    "ref_stochastic_14",
+    "ref_mann_kendall",
+    "ref_theil_sen_eval",
+    "ana_cusum_drift",
+    "ana_mann_whitney_drift",
+    "stream_cusum_drift",
 )
 
 
 # New (unlisted) queries slot in after the must-verify head.
-# 45 + 5 planned round-14 registrations = the full 50-query window.
+# 45 + 5 planned round-15 registrations = the full 50-query window.
 _WINDOW_PIN = 45
 
 
