@@ -214,6 +214,14 @@ BENCH_QUERIES = (
     "ana_mann_whitney_drift",
     "ref_mann_kendall",
     "ref_theil_sen_eval",
+    # round-15 additions: OLS baseline trend, seasonal Mann-Kendall,
+    # Jonckheere-Terpstra ordered-trend, the Mann-Whitney streaming
+    # twin, and the LSH recall eval loop
+    "ref_ols_trend",
+    "ref_seasonal_mann_kendall",
+    "ana_jonckheere_trend",
+    "stream_mann_whitney_drift",
+    "llm_lsh_recall_eval",
 )
 
 

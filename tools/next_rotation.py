@@ -10,14 +10,15 @@ last of the r10 backlog) + the 37 oldest r11-green + 5 planned
 round-15 registrations. After r15 the oldest evidence anywhere is r11
 (12 entries).
 
-Usage:  python tools/next_rotation.py   (idempotent; run once, commit,
-then plan exactly 5 new registrations or re-pin _WINDOW_PIN to
+Usage:  python tools/next_rotation.py --apply   (idempotent; run once,
+commit, then plan exactly 5 new registrations or re-pin _WINDOW_PIN to
 50 - planned, per the driver-window-budget rule. If
 CORRECTNESS_r14 shows red rows, amend the head first.)
 
-WARNING: main() applies on ANY invocation (argv is ignored — even
---help rewrites catalog.py). Never run this mid-round; to inspect,
-read the file.
+Any other invocation (no args, --help, anything) prints this text and
+exits 2 WITHOUT touching catalog.py — the explicit-flag guard the r14
+advice asked for, after an inspection run mutated the catalog once.
+Still: never run this mid-round; to inspect, read the file.
 
 Round-15 registration candidates (pick 5, each with a DuckDB oracle):
 - stream_mann_whitney_drift: the 4th streaming monitor twin — trivial
@@ -54,6 +55,13 @@ _SECTION = '#\n# Round-15 rotation (freshness after r14, assuming the r14 window
 
 
 def main() -> None:
+    import sys
+
+    if sys.argv[1:] != ["--apply"]:
+        print(__doc__)
+        print("This script MUTATES plans/catalog.py. "
+              "Run with --apply (exactly) to do so.")
+        raise SystemExit(2)
     src = _CATALOG.read_text()
     if "Round-15 rotation" in src:
         print("already applied")

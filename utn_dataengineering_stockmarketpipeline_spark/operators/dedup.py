@@ -219,21 +219,17 @@ def embedding_bucket_sizes(df: DataFrame, dim: int, n_tables: int = 8,
     )
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
-
-    (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
-    Pure counting: |A∩B| via shared-shingle equi-join, |A|/|B| via
-    per-doc distinct-shingle counts — divisions of exact ints, so the
-    DuckDB oracle matches bit-for-bit.
+def shingle_pair_counts(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Exact shared-shingle pair counts: ``(id_a, id_b, n_shared, n_a,
+    n_b)`` with id_a < id_b for every pair sharing ≥1 shingle — the
+    integer core under :func:`ngram_jaccard_pairs` (which divides) and
+    :func:`lsh_recall_eval` (which bins and thresholds integrally).
 
     Shingle IDENTITY is the 31-bit composed token hash
     (hashing.shingle_hash_rows): the self-join shuffles 8-byte ints
     instead of ~30-byte shingle strings, which at corpus scale is the
-    difference between a shuffle that fits and one that spills. The
-    oracle computes Jaccard over the same hash sets.
+    difference between a shuffle that fits and one that spills.
     """
     sh = shingle_hash_rows(df, text_col, id_col, k).select(id_col, "h").distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -253,9 +249,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return shared.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
+
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    Pure counting via :func:`shingle_pair_counts`: |A∩B| from the
+    shared-shingle equi-join, |A|/|B| from per-doc distinct-shingle
+    counts — divisions of exact ints, so the DuckDB oracle matches
+    bit-for-bit (it computes Jaccard over the same hash sets).
+    """
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        shingle_pair_counts(df, text_col, id_col, k)
         .select(
             "id_a",
             "id_b",
@@ -265,6 +274,70 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_recall_eval(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    num_perms: int = 8, bands: int = 4) -> DataFrame:
+    """Measured recall of the MinHash-LSH candidate generator against
+    exact n-gram Jaccard truth, per similarity decile → ``(jaccard_bin,
+    n_truth, n_hit, recall_ppm)`` — the EVAL LOOP on the dedup family
+    (what llm_ann_recall_eval is to the ANN index): the banding
+    calibration (minhash_collision_calibration) predicts
+    P[collision | sim] from theory; this MEASURES it against ground
+    truth on the actual corpus, so a production pipeline can check the
+    (bands, rows) choice holds before trusting the dedup pass.
+
+    Truth = pairs with exact Jaccard ≥ 0.2, thresholded and binned
+    integrally (5·n_shared ≥ union; bin = min((10·n_shared) div union,
+    9)) — no float compares anywhere, so the DuckDB oracle matches
+    bit-for-bit. Hits = truth ∩ LSH candidates via one left-semi
+    equi-join on the pair key; recall as exact integral ppm per bin.
+    Deliberately measures the bucket-size skew cap's recall loss too
+    (capped buckets drop candidates; that loss is part of what the
+    eval exists to see).
+
+    Scale: the truth side is the exact shared-shingle join — the
+    expensive leg by construction (measuring recall requires ground
+    truth). Production evals run this on a sampled corpus slice
+    exactly like the ANN eval's query slice; the candidate side stays
+    the banded equi-join, never all-pairs.
+    """
+    counts = shingle_pair_counts(df, text_col, id_col, k)
+    union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    truth = (
+        counts.filter(F.col("n_shared") * 5 >= union)
+        .select(
+            "id_a",
+            "id_b",
+            F.least(
+                F.expr("(n_shared * 10) div (n_a + n_b - n_shared)"),
+                F.lit(9).cast("long"),
+            ).alias("jaccard_bin"),
+        )
+    )
+    cand = minhash_candidates(
+        df, text_col, id_col, k, num_perms=num_perms, bands=bands
+    ).select("id_a", "id_b")
+    truth_n = truth.groupBy("jaccard_bin").agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    hit_n = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .groupBy("jaccard_bin")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        truth_n.join(hit_n, "jaccard_bin", "left")
+        .select(
+            "jaccard_bin",
+            "n_truth",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.expr(
+                "(coalesce(n_hit, 0) * 1000000) div n_truth"
+            ).alias("recall_ppm"),
+        )
     )
 
 

@@ -473,3 +473,128 @@ def label_propagation(edges: DataFrame, rounds: int,
         labels = labels.localCheckpoint()
     und.unpersist()
     return labels
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 5, checkpoint_every: int = 2,
+         loop_parts: int | None = None) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over a directed edge list →
+    ``(node, hub_ppm, auth_ppm)`` — the DIRECTED-ROLE companion to
+    :func:`pagerank`: where PageRank gives one prestige score, HITS
+    separates "points at the important" (hub) from "is pointed at by
+    the important" (authority) — on an order graph, buyers with broad
+    high-quality supplier coverage vs suppliers serving the
+    best-covered buyers.
+
+    INTEGER recurrence (unlike pagerank's final-round rounding): both
+    vectors live as ppm BIGINTs, each half-round is an exact integer
+    sum over edges followed by a max-rescale ``x·1e6 div max(x)`` —
+    sums, max, and integral division are all order-independent, so
+    the result is bit-identical cross-engine BY CONSTRUCTION rather
+    than within-rounding, and magnitudes stay pinned at ≤ 1e6 forever
+    (no float normalization, no norm drift). The statistic is the
+    exact fixed iteration, not an approximation to tolerate.
+
+    Plan per round: two edge⋈vector equi-joins (edges pre-partitioned
+    by join key once, vectors co-partitioned), two map-side-combined
+    sums, and a 1-row max broadcast back via crossJoin — the rounds
+    chain lazily into one DAG like pagerank, localCheckpoint every
+    ``checkpoint_every`` rounds bounds plan depth. No collect anywhere.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")
+                     ).persist()
+    m = e.count()
+    nodes_raw = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes_raw.count()
+    if n == 0:
+        e.unpersist()
+        return nodes_raw.select(
+            "node",
+            F.lit(None).cast("bigint").alias("hub_ppm"),
+            F.lit(None).cast("bigint").alias("auth_ppm"),
+        )
+    spark = edges.sparkSession
+    if loop_parts is None:
+        session_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        loop_parts = max(4, min(session_parts, -(-m // 75_000)))
+    nodes = nodes_raw.repartition(loop_parts, "node").persist()
+    # both directions get a pre-partitioned edge copy: the hub→auth
+    # pass joins on src, the auth→hub pass on dst — partitioned ONCE
+    # each, so neither per-round join re-shuffles the edge list
+    e_src = e.repartition(loop_parts, "src").persist()
+    e_dst = e.repartition(loop_parts, "dst").persist()
+    e_src.count()
+    e_dst.count()
+
+    ppm = F.lit(1_000_000).cast("bigint")
+
+    def _rescale(vec: DataFrame, col: str) -> DataFrame:
+        mx = vec.agg(F.max(col).alias("__mx"))
+        # decimal(38,0) for the ×1e6: raw sums reach max_degree·1e6,
+        # so the BIGINT multiply would overflow past ~9e6 in-degree;
+        # the quotient is ≤ 1e6 and lands back in BIGINT
+        return (
+            vec.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.when(F.col("__mx") > 0,
+                       F.expr(f"(cast({col} as decimal(38,0)) * 1000000)"
+                              " div __mx"))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                .alias(col),
+            )
+        )
+
+    hub = nodes.select("node", ppm.alias("h"))
+    auth = None
+    for it in range(iters):
+        a_raw = (
+            e_src.join(hub, e_src["src"] == hub["node"])
+            .select("dst", "h")
+            .repartition(loop_parts, "dst")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = _rescale(
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .select("node", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")),
+            "a",
+        )
+        h_raw = (
+            e_dst.join(auth, e_dst["dst"] == auth["node"])
+            .select("src", "a")
+            .repartition(loop_parts, "src")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = _rescale(
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .select("node", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")),
+            "h",
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            hub = hub.localCheckpoint()
+            auth = auth.localCheckpoint()
+    out = (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_ppm"),
+            F.col("a").alias("auth_ppm"),
+        )
+        .localCheckpoint()
+    )
+    e.unpersist()
+    nodes_raw.unpersist()
+    nodes.unpersist()
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out

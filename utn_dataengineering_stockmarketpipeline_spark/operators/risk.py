@@ -524,10 +524,17 @@ def theil_sen_slope(
 
 def _enforce_pair_cap(base: DataFrame, op_name: str) -> None:
     """Raise when any entity's observation count makes the O(n²/2)
-    pair space unreasonable (shared by theil_sen_slope, mann_kendall,
-    theil_sen_eval — one tiny max aggregate, never a pair)."""
+    pair space unreasonable (shared by theil_sen_slope and
+    mann_kendall — one tiny max aggregate, never a pair).
+    theil_sen_eval folds the same probe into its counts aggregate via
+    :func:`_check_pair_cap` instead of paying a separate scan."""
     per = base.groupBy("e").agg(F.count(F.lit(1)).alias("n"))
-    worst = per.agg(F.max("n").alias("m")).collect()
+    _check_pair_cap(per.agg(F.max("n").alias("m")).collect(), op_name)
+
+
+def _check_pair_cap(worst, op_name: str) -> None:
+    """The raise half of :func:`_enforce_pair_cap`, over an already-
+    collected 1-row ``[Row(m=max_per_entity_count)]`` probe result."""
     if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
         raise ValueError(
             f"{op_name}: an entity has {worst[0]['m']} observations "
@@ -656,11 +663,23 @@ def mann_kendall(
     """
     base = _trend_base(prices, entity_col, date_col, value_col)
     _enforce_pair_cap(base, "mann_kendall")
+    return _mk_stat(base, entity_col)
+
+
+def _mk_stat(base: DataFrame, entity_col: str,
+             extra_keys: tuple[str, ...] = ()) -> DataFrame:
+    """Shared Mann-Kendall reduction over a prepared ``(e, d, vc[,
+    keys])`` relation: the equi-self-join on (e, *extra_keys) with
+    a.d < b.d, the cent-BIGINT sign aggregate, and tau_a = S / n_pairs
+    in exact signed ppm — :func:`mann_kendall` (no extra keys) and
+    :func:`seasonal_mann_kendall` (season key) are thin wrappers.
+    Callers run their own pair-cap probe BEFORE calling (the cap's
+    grouping differs: whole series vs per-season sub-series)."""
     a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d")),
-    ).select(
+    cond = (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d"))
+    for kcol in extra_keys:
+        cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
+    pairs = a.join(b, cond).select(
         F.col("a.e").alias("e"),
         (F.col("b.vc") - F.col("a.vc")).alias("dvc"),
     )
@@ -748,47 +767,27 @@ def seasonal_mann_kendall(
             f"pair space is O(n²/2) by definition. Downsample the series "
             f"or fit a non-robust trend instead."
         )
-    a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.e") == F.col("b.e"))
-        & (F.col("a.season") == F.col("b.season"))
-        & (F.col("a.d") < F.col("b.d")),
-    ).select(
-        F.col("a.e").alias("e"),
-        (F.col("b.vc") - F.col("a.vc")).alias("dvc"),
-    )
-    sgn = (
-        F.when(F.col("dvc") > 0, F.lit(1))
-        .when(F.col("dvc") < 0, F.lit(-1))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-    )
-    m = pairs.groupBy("e").agg(
-        F.sum(sgn).alias("s_stat"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-    n_obs = base.groupBy("e").agg(F.count(F.lit(1)).alias("n_obs"))
-    return (
-        m.join(n_obs, "e")
-        .select(
-            F.col("e").alias(entity_col),
-            "n_obs",
-            "s_stat",
-            F.expr("(s_stat * 1000000) div n_pairs").alias("tau_a_ppm"),
-        )
-    )
+    return _mk_stat(base, entity_col, extra_keys=("season",))
 
 
 def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
     """Exact-moment OLS trend per entity over ``(e, d, vc)`` →
-    ``(e, <out_col>)`` in micro-dollars/day: x = day offset from the
-    entity's first date, y = cents; slope = (nΣxy − ΣxΣy)/(nΣxx −
-    (Σx)²) emitted by integral division of DECIMAL(38,0) integer
-    moments — the variance_ratio moment discipline, no doubles."""
-    x = F.datediff(
-        F.col("d"), F.min("d").over(Window.partitionBy("e"))
-    ).cast("bigint")
+    ``(e, <out_col>)`` in micro-dollars/day: slope = (nΣxy − ΣxΣy) /
+    (nΣxx − (Σx)²) emitted by integral division of DECIMAL(38,0)
+    integer moments — the variance_ratio moment discipline, no doubles.
+
+    x is the day offset from the FIXED epoch, not the entity's first
+    date: both numerator and denominator are exactly invariant under a
+    per-entity shift x → x − c in integer arithmetic (nΣx'y − Σx'Σy =
+    nΣxy − ncΣy − (Σx − nc)Σy = nΣxy − ΣxΣy, same for the variance),
+    so the result is bit-identical to the MIN(d)-anchored oracle while
+    the plan drops the per-entity MIN window entirely — one map-side-
+    combined aggregate, no sort, no second shuffle. Moment magnitudes
+    stay far inside DECIMAL(38,0) (x ≤ ~2.5e4 days, y cents, n capped
+    or corpus-bounded: n·Σxy ≲ 1e25·1e4 < 1e38)."""
+    x = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
     dec = "decimal(19,0)"
     withx = base.select("e", x.alias("x"), F.col("vc").alias("y"))
     m = withx.groupBy("e").agg(
@@ -841,7 +840,6 @@ def theil_sen_eval(
     estimators themselves.
     """
     base = _trend_base(prices, entity_col, date_col, value_col)
-    _enforce_pair_cap(base, "theil_sen_eval")
     u = F.conv(
         F.substring(
             F.md5(F.concat_ws("|", F.col("e"), F.col("d").cast("string"))),
@@ -862,9 +860,16 @@ def theil_sen_eval(
         .alias("vc"),
         spiked.cast("int").alias("__spiked"),
     )
+    # The per-entity counts relation doubles as the pair-cap probe:
+    # localCheckpoint the (|entities|-row) aggregate once, read max()
+    # off it for the guard, and reuse it as the n_obs/n_spiked leg —
+    # one scan instead of a separate probe job (the r14 advice).
     counts = cont.groupBy("e").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum("__spiked").cast("bigint").alias("n_spiked"),
+    ).localCheckpoint()
+    _check_pair_cap(
+        counts.agg(F.max("n_obs").alias("m")).collect(), "theil_sen_eval"
     )
     ts = _theil_sen_from_base(cont.select("e", "d", "vc")).select(
         "e", F.col("slope_micro").alias("slope_ts_micro")
@@ -888,5 +893,128 @@ def theil_sen_eval(
                 F.abs(F.col("slope_ts_micro") - F.col("slope_clean_micro"))
                 < F.abs(F.col("slope_ols_micro") - F.col("slope_clean_micro"))
             ).alias("robust_wins"),
+        )
+    )
+
+
+def runs_test(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down sign sequence of daily
+    price changes per entity → ``(entity, n_up, n_down, n_runs,
+    runs_excess_ppm)`` — the RANDOMNESS companion to the trend family
+    (mann_kendall asks "is there a monotone trend", this asks "is the
+    sign sequence random at all": momentum regimes show too FEW runs,
+    mean-reversion too MANY, and either breaks the i.i.d. assumption
+    the VaR/Sharpe estimators lean on).
+
+    Zero changes (ties) are dropped per the classical test; a run is a
+    maximal streak of equal signs, counted as 1 + Σ sign-changes over
+    the tie-free sequence. Against the exact null expectation
+    ``E[R] = 1 + 2·n_up·n_down / n`` the excess is emitted as a pure
+    integer rational: ``runs_excess_ppm = (R·n − n − 2·n_up·n_down) ·
+    1e6 div (n + 2·n_up·n_down)`` — negative = momentum (too few
+    runs), positive = mean-reversion. Integer end to end: signs
+    compare cent-quantized BIGINTs, counts are exact, the ppm is
+    integral division (toward-zero both engines).
+
+    Scale: two per-entity windows (the diff lag and the run-boundary
+    lag over the tie-free rows) — each one partitioned sort, no pair
+    space, no collect. Entities with < 2 tie-free changes or a
+    one-sided sequence (n_up·n_down = 0, where the null variance is
+    degenerate) are excluded.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    w = Window.partitionBy("e").orderBy("d")
+    sgn = (
+        base.withColumn("dvc", F.col("vc") - F.lag("vc").over(w))
+        .filter(F.col("dvc").isNotNull() & (F.col("dvc") != 0))
+        .select(
+            "e",
+            "d",
+            F.when(F.col("dvc") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("s"),
+        )
+    )
+    runs = sgn.withColumn(
+        "chg",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) == F.col("s")),
+            F.lit(0),
+        ).otherwise(F.lit(1)),
+    )
+    agg = runs.groupBy("e").agg(
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).cast("bigint").alias("n_up"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).cast("bigint").alias("n_down"),
+        (F.sum("chg") + F.lit(1)).cast("bigint").alias("n_runs"),
+    )
+    return (
+        agg.filter((F.col("n_up") > 0) & (F.col("n_down") > 0))
+        .select(
+            F.col("e").alias(entity_col),
+            "n_up",
+            "n_down",
+            "n_runs",
+            F.expr(
+                "((n_runs * (n_up + n_down) - (n_up + n_down)"
+                "  - 2 * n_up * n_down) * 1000000)"
+                " div ((n_up + n_down) + 2 * n_up * n_down)"
+            ).alias("runs_excess_ppm"),
+        )
+    )
+
+
+def turning_points(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Turning-points randomness test per entity → ``(entity, n_obs,
+    n_turning, turning_excess_ppm)``: count strict local extrema
+    (v_{i-1} < v_i > v_{i+1} or v_{i-1} > v_i < v_{i+1}) in the
+    date-ordered cent series. Under the i.i.d. null the expectation is
+    exactly ``2(n−2)/3`` interior turning points; the excess is the
+    pure integer rational ``(3·n_turning − 2(n−2)) · 1e6 div
+    (2(n−2))`` — negative = smooth/trending (fewer reversals than
+    chance), positive = oscillating. The cheap screen next to
+    :func:`runs_test` (one window, lag+lead, no tie-free
+    re-sequencing); ties break strictness and simply don't count,
+    matching the classical treatment.
+
+    Scale: one per-entity window sort, one aggregate. Entities with
+    n < 3 (no interior point) are excluded.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    w = Window.partitionBy("e").orderBy("d")
+    marked = base.select(
+        "e",
+        (
+            (
+                (F.col("vc") > F.lag("vc").over(w))
+                & (F.col("vc") > F.lead("vc").over(w))
+            )
+            | (
+                (F.col("vc") < F.lag("vc").over(w))
+                & (F.col("vc") < F.lead("vc").over(w))
+            )
+        ).cast("int").alias("tp"),
+    )
+    agg = marked.groupBy("e").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("tp").cast("bigint").alias("n_turning"),
+    )
+    return (
+        agg.filter(F.col("n_obs") >= 3)
+        .select(
+            F.col("e").alias(entity_col),
+            "n_obs",
+            "n_turning",
+            F.expr(
+                "((3 * n_turning - 2 * (n_obs - 2)) * 1000000)"
+                " div (2 * (n_obs - 2))"
+            ).alias("turning_excess_ppm"),
         )
     )

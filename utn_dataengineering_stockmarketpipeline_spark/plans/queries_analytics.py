@@ -1911,9 +1911,7 @@ def q_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ana_mann_whitney_drift",
-    """
+_MW_DRIFT_ORACLE_SQL = """
 WITH counts AS (
   SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM documents
@@ -1944,7 +1942,12 @@ SELECT source, n_g AS n_docs,
             // (CAST(n_g AS HUGEINT) * (n - n_g)) AS BIGINT)
          AS rank_biserial_ppm
 FROM terms WHERE n_g < n GROUP BY source, n_g, n
-""",
+"""
+
+
+@register(
+    "ana_mann_whitney_drift",
+    _MW_DRIFT_ORACLE_SQL,
     doc="per-source exact tie-aware Mann-Whitney U (Wilcoxon rank-sum) "
         "of document length vs the REST of the corpus "
         "(skew.mann_whitney_drift) — the fifth drift monitor: the "
@@ -1964,6 +1967,83 @@ def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import skew
 
     return skew.mann_whitney_drift(
+        load_table(spark, sf_dir, "documents"), value_col="n_chars",
+        group_col="source",
+    )
+
+
+@register(
+    "ana_jonckheere_trend",
+    """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+grp AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_g FROM counts GROUP BY source),
+vals AS (SELECT v FROM counts GROUP BY v),
+grid AS (
+  SELECT g.source, vv.v, g.n_g, COALESCE(c.c, 0) AS g_c
+  FROM grp g CROSS JOIN vals vv
+  LEFT JOIN counts c ON c.source = g.source AND c.v = vv.v),
+staged AS (
+  SELECT source, v, g_c,
+         CAST(SUM(g_c) OVER (PARTITION BY source ORDER BY v)
+              AS DECIMAL(19,0)) AS cum_g
+  FROM grid),
+prefixed AS (
+  SELECT g_c,
+         COALESCE(SUM(cum_g) OVER (
+           PARTITION BY v ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS DECIMAL(19,0))) AS p,
+         COALESCE(SUM(CAST(g_c AS DECIMAL(19,0))) OVER (
+           PARTITION BY v ORDER BY source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS DECIMAL(19,0))) AS q
+  FROM staged),
+j AS (
+  SELECT SUM(CAST(g_c AS HUGEINT) * CAST(2 * p - q AS HUGEINT)) AS j2_num
+  FROM prefixed),
+e AS (
+  SELECT SUM(CAST(n_g AS HUGEINT)
+             * CAST(COALESCE(before, 0) AS HUGEINT)) AS ej2_num,
+         CAST(SUM(n_g) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) AS BIGINT) AS n_groups
+  FROM (SELECT n_g,
+               SUM(n_g) OVER (ORDER BY source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS before
+        FROM grp))
+SELECT e.n_groups, e.n_obs,
+       CAST(j.j2_num AS BIGINT) AS j2,
+       CAST(e.ej2_num AS BIGINT) AS ej2,
+       CAST(((j.j2_num - e.ej2_num) * 1000000) // e.ej2_num AS BIGINT)
+         AS trend_ppm
+FROM j CROSS JOIN e
+WHERE e.ej2_num > 0
+""",
+    doc="Jonckheere-Terpstra ordered-alternative trend over document "
+        "length across sources in their natural order "
+        "(skew.jonckheere_trend) — the drift family's ordered-groups "
+        "member: where Mann-Whitney asks 'does THIS group differ from "
+        "the rest', Jonckheere asks 'do the groups TREND in their given "
+        "order' (do documents get systematically longer across release "
+        "batches r1 < r2 < ... < rK). J = Σ_{a<b} U_ab over ordered "
+        "group pairs in the doubled-integer tie-exact form j2 = 2J "
+        "beside its exact null expectation ej2 = Σ_{a<b} n_a·n_b and "
+        "trend_ppm = (j2 − ej2)·1e6 div ej2. Never a group-pair or "
+        "value-pair join: j2 collapses to Σ_{v,g} c_g(v)·(2P − Q) via "
+        "two nested cumulative windows on the |groups| × |values| "
+        "counts grid — the same mergeable monitoring state as "
+        "KS/PSI/EMD/CUSUM/Mann-Whitney. Integer end to end: "
+        "DECIMAL(38,0) products, integral-division ppm, no libm",
+    tags=("analytics", "drift", "quality", "scale", "statistics"),
+)
+def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.jonckheere_trend(
         load_table(spark, sf_dir, "documents"), value_col="n_chars",
         group_col="source",
     )

@@ -1093,6 +1093,66 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_lsh_recall_eval",
+    f"""
+WITH {_BANDED_CTE.strip()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+sh AS (SELECT DISTINCT doc_id, s
+       FROM (SELECT doc_id, unnest(hs) AS s FROM hsh)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT id_a, id_b,
+         LEAST((n_shared * 10) // (sa.n + sb.n - n_shared),
+               CAST(9 AS BIGINT)) AS jaccard_bin
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_shared * 5 >= sa.n + sb.n - n_shared)
+SELECT t.jaccard_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(c.id_a) AS BIGINT) AS n_hit,
+       CAST((COUNT(c.id_a) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+GROUP BY t.jaccard_bin
+""",
+    doc="measured recall of the MinHash-LSH candidate generator vs "
+        "exact n-gram Jaccard ≥ 0.2 truth, per similarity decile "
+        "(operators/dedup.lsh_recall_eval) — the EVAL LOOP on the "
+        "dedup family, completing the pattern llm_ann_recall_eval set "
+        "for ANN: llm_minhash_calibration predicts P[collision | sim] "
+        "from banding theory, this MEASURES recall against ground "
+        "truth on the actual corpus (including the bucket-size skew "
+        "cap's recall loss — that loss is part of what the eval "
+        "exists to see). Fully integer: truth thresholded as "
+        "5·n_shared ≥ union and binned as (10·n_shared) div union "
+        "capped at 9 — no float compares, bit-exact cross-engine; "
+        "hits via one left-semi equi-join on the pair key; recall as "
+        "integral ppm. Scale: the truth leg is the exact shared-"
+        "shingle join (ground truth is the expensive side by "
+        "construction); production evals run it on a sampled slice "
+        "exactly like the ANN eval's q<10 query slice — the plan "
+        "shape IS the 100 TB shape",
+    tags=("llm", "dedup", "minhash", "lsh", "eval"),
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_recall_eval(
+        load_table(spark, sf_dir, "documents"),
+        num_perms=_NUM_PERMS,
+        bands=_BANDS,
+    )
+
+
 def _random_projection_oracle_sql(dim_out: int = 16) -> str:
     """llm_random_projection oracle: identical literal ±1 JL matrix,
     integer micro-unit quantization, exact int64 folds."""

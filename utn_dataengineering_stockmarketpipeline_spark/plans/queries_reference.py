@@ -632,7 +632,11 @@ MAX_PAIR_TICKERS = 20_000
 def _guard_ticker_pairs(r: DataFrame, entity_col: str = "stock_ticker") -> None:
     """Raise if the pair space of a ticker×ticker date-equi self-join
     is beyond :data:`MAX_PAIR_TICKERS` entities (one tiny distinct-count
-    aggregate — the cap probe never materializes a pair)."""
+    aggregate — the cap probe never materializes a pair). Probe the RAW
+    price projection, not the lag-window returns relation: the entity
+    universe is the same (minus single-tick entities, a conservative
+    superset for a cap) and the probe stays a scan-and-agg instead of
+    paying the per-ticker window sort as an extra eager job."""
     t = r.select(entity_col).distinct().count()
     if t > MAX_PAIR_TICKERS:
         raise ValueError(
@@ -691,7 +695,7 @@ def q_ticker_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stock_date",
         (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
     ).filter(F.col("ret").isNotNull())
-    _guard_ticker_pairs(r)
+    _guard_ticker_pairs(sp)
     a, b = r.alias("a"), r.alias("b")
     pairs = a.join(
         b,
@@ -785,7 +789,7 @@ def q_spearman_tickers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stock_date",
         (F.col("stock_close") / F.lag("stock_close").over(w) - 1).alias("ret"),
     ).filter(F.col("ret").isNotNull())
-    _guard_ticker_pairs(r)
+    _guard_ticker_pairs(sp)
     a, b = r.alias("a"), r.alias("b")
     pairs = a.join(
         b,
@@ -2401,6 +2405,101 @@ def q_theil_sen_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import risk
 
     return risk.theil_sen_eval(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_ols_trend",
+    with_reference_ctes("""
+SELECT stock_ticker, n_obs, slope_micro
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
+  bx AS (
+    SELECT e, vc AS y,
+           CAST(date_diff('day', MIN(d) OVER (PARTITION BY e), d)
+                AS BIGINT) AS x
+    FROM base)
+  SELECT e AS stock_ticker, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(((CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * y)
+                - SUM(CAST(x AS HUGEINT)) * SUM(CAST(y AS HUGEINT)))
+               * 10000)
+              // (CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+                  - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)))
+              AS BIGINT) AS slope_micro
+  FROM bx GROUP BY e
+  HAVING COUNT(*) >= 2
+     AND CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+         - SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT)) > 0)
+"""),
+    doc="exact-moment OLS trend per ticker (operators/risk.ols_trend) "
+        "— the NON-robust baseline the robust-trend family is measured "
+        "against (ref_theil_sen_eval fits it on clean and contaminated "
+        "series; this is the standalone form). slope = "
+        "(nΣxy − ΣxΣy)/(nΣxx − (Σx)²) in exact integer micro-dollars/"
+        "day by integral division of DECIMAL(38,0) integer moments over "
+        "the cent-quantized projection — no doubles, no libm, engine-"
+        "identical truncation. Entities with <2 observations or "
+        "degenerate x-variance excluded, mirroring the theil_sen/"
+        "variance_ratio guards. Scale: linear — one scan, one map-side-"
+        "combined five-moment groupBy; no window in the moment pass, no "
+        "join beyond the tiny n_obs attach, never a pair space (the "
+        "O(n²/2) estimators cap; this one never needs to)",
+    tags=("reference", "risk", "statistics"),
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.ols_trend(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_seasonal_mann_kendall",
+    with_reference_ctes("""
+SELECT stock_ticker, n_obs, s_stat, tau_a_ppm
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(month(stock_date) AS INT) AS season,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
+  m AS (
+    SELECT a.e,
+           CAST(SUM(CASE WHEN b.vc > a.vc THEN 1
+                         WHEN b.vc < a.vc THEN -1 ELSE 0 END) AS BIGINT)
+             AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM base a JOIN base b
+      ON a.e = b.e AND a.season = b.season AND a.d < b.d
+    GROUP BY a.e),
+  cnt AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM base GROUP BY e)
+  SELECT m.e AS stock_ticker, cnt.n_obs, m.s_stat,
+         CAST((CAST(m.s_stat AS HUGEINT) * 1000000)
+              // CAST(m.n_pairs AS HUGEINT) AS BIGINT) AS tau_a_ppm
+  FROM m JOIN cnt ON m.e = cnt.e)
+"""),
+    doc="seasonal (Hirsch-Slack 1984) Mann-Kendall per ticker "
+        "(operators/risk.seasonal_mann_kendall) — the trend test for "
+        "series with a periodic cycle: pairs compare ONLY within the "
+        "same month-of-year season, so January never votes against July "
+        "and a pure seasonal swing contributes exactly zero to S. "
+        "S = Σ_m S_m over the twelve monthly sub-series, tau_a = "
+        "S / Σ_m C(n_m,2) in exact signed ppm. Same integer discipline "
+        "as ref_mann_kendall (cent-BIGINT sign compares, integral-"
+        "division tau, toward-zero both engines). The season key rides "
+        "INSIDE the equi-join — the pair space shrinks from C(n,2) to "
+        "Σ_m C(n_m,2) ≈ n²/24, and the MAX_THEIL_SEN_OBS cap guards "
+        "the largest (entity, season) sub-series, not the whole series",
+    tags=("reference", "risk", "statistics", "robust"),
+)
+def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.seasonal_mann_kendall(stock_prices(spark, sf_dir))
 
 
 @register(

@@ -997,18 +997,21 @@ _register_stream_heavy_hitters()
 def _drained_counts_monitor(spark: SparkSession, sf_dir: str, stat_fn,
                             prefix: str) -> DataFrame:
     """Shared drain for ALL streaming distributional monitors (KS /
-    EMD / PSI): the corpus arrives as a 3-file stream
+    EMD / PSI / CUSUM / Mann-Whitney): the corpus arrives as a 3-file
+    stream
     (maxFilesPerTrigger=1), each micro-batch reduces to its partial
     (source, n_chars) counts grid — the mergeable monitoring state,
     bounded by the VALUE DOMAIN, never the batch — written to a
     batch_id=N partition with OVERWRITE (the quarantine sink's
     idempotent replay protocol). Counts are ADDITIVE, so after the
     drain one groupBy-sum merges the partials and ``stat_fn`` (one of
-    skew.{ks,emd,psi}_drift_from_counts) re-derives the exact integer
+    skew.{ks,emd,psi,cusum}_drift_from_counts or
+    skew.mann_whitney_from_counts) re-derives the exact integer
     statistic — hash-equal to its batch oracle verbatim
     (stream==batch). ONE grid, every statistic: this helper is the
     production shape where a monitor keeps the merged grid, adds each
-    batch's partial, and reads KS, EMD, and PSI from the same state.
+    batch's partial, and reads every distributional verdict from the
+    same state.
     In-query guard asserts the 3-batch split actually happened."""
     import os
     import shutil
@@ -1218,6 +1221,45 @@ def _register_stream_cusum_drift() -> None:
 
 
 _register_stream_cusum_drift()
+
+
+def _register_stream_mann_whitney_drift() -> None:
+    """Same late-import discipline: oracle = the batch
+    ana_mann_whitney_drift SQL verbatim (stream==batch)."""
+    from .queries_analytics import _MW_DRIFT_ORACLE_SQL
+
+    @register(
+        "stream_mann_whitney_drift",
+        _MW_DRIFT_ORACLE_SQL,
+        doc="STREAMING Mann-Whitney U drift monitor — the fifth "
+            "distributional monitor on the stream_ks_drift protocol "
+            "and the last batch monitor to get its streaming twin: "
+            "per micro-batch partial (source, n_chars) counts grids "
+            "in idempotent batch_id=N overwrite partitions, one "
+            "post-drain groupBy-sum merge, then "
+            "skew.mann_whitney_from_counts re-derives the exact "
+            "tie-aware doubled-U integer statistic and signed "
+            "rank-biserial ppm — hash-equal to the batch "
+            "ana_mann_whitney_drift oracle verbatim. KS, EMD, PSI, "
+            "CUSUM, and Mann-Whitney now ALL read from the one shared "
+            "mergeable counts grid: a production feed pays one "
+            "partial-counts write per ingest batch and gets the "
+            "shape tests (KS/EMD/PSI), the change-point localizer "
+            "(CUSUM), and the stochastic-order test (MW) from the "
+            "same state",
+        tags=("streaming", "drift", "quality", "scale"),
+    )
+    def q_stream_mann_whitney_drift(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..operators.skew import mann_whitney_from_counts
+
+        return _drained_counts_monitor(
+            spark, sf_dir, mann_whitney_from_counts, "mwstream_"
+        )
+
+
+_register_stream_mann_whitney_drift()
 
 
 @register(
