@@ -149,6 +149,13 @@ def main() -> None:
              _sourced(docs_1x), "n_chars", "source"),
          lambda: skew.mann_whitney_drift(
              _sourced(docs_nx), "n_chars", "source"))
+    # Jonckheere (r15) is the 6th consumer of the same counts grid —
+    # the two nested grid windows are domain-bounded like the rest
+    pair("jonckheere",
+         lambda: skew.jonckheere_trend(
+             _sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.jonckheere_trend(
+             _sourced(docs_nx), "n_chars", "source"))
     # Zipf slope: the token-count shuffle scales, the vocabulary
     # relation (replicated text -> constant distinct terms) does not
     pair("zipf_slope",
@@ -182,6 +189,14 @@ def main() -> None:
     pair("minhash_pipeline_scrambled",
          lambda: dedup.minhash_candidates(sc_1x),
          lambda: dedup.minhash_candidates(sc_nx))
+    # LSH recall eval (r15) on the zero-collision corpus: measures the
+    # truth-side shared-shingle join + the candidate semi-join without
+    # the exact-copy pair-output explosion (same convention as the
+    # scrambled minhash pipeline; on a real corpus the truth relation
+    # scales with TRUE duplicate mass, a data property)
+    pair("lsh_recall_eval_scrambled",
+         lambda: dedup.lsh_recall_eval(sc_1x),
+         lambda: dedup.lsh_recall_eval(sc_nx))
     # r10 tail: novelty on SCRAMBLED replicas so the distinct-gram set
     # genuinely grows 100x (exact copies would reuse the 1x gram set
     # and understate the min-window shuffle)
@@ -308,6 +323,31 @@ def main() -> None:
         print(f"  {label}: {out[label]}", flush=True)
         edges.unpersist()
 
+    # HITS (staged r15→r16) on the same namespace replica: per round
+    # two pre-partitioned edge⋈vector joins + two integer sums + two
+    # 1-row max broadcasts — wall should scale with edges, like the
+    # other fixed-iteration graph ops
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        hits,
+    )
+
+    for label, fac in (("hits_1x", 1), (f"hits_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = hits(edges, iters=5).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
     # Gini (r13): bucket offsets ride the value domain, the rank
     # window partitions by bucket — wall should track the scan
     from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
@@ -427,6 +467,22 @@ def main() -> None:
     pair("theil_sen_eval",
          lambda: risk.theil_sen_eval(tr_1x),
          lambda: risk.theil_sen_eval(tr_nx))
+    # r15 trend family: OLS (one moment aggregate, no window since the
+    # epoch-anchor change — expect scan-bound), seasonal MK (the MK
+    # pair join with the season key inside, pair space n²/24), and the
+    # two randomness screens (one or two per-entity windows each)
+    pair("ols_trend",
+         lambda: risk.ols_trend(tr_1x),
+         lambda: risk.ols_trend(tr_nx))
+    pair("seasonal_mann_kendall",
+         lambda: risk.seasonal_mann_kendall(tr_1x),
+         lambda: risk.seasonal_mann_kendall(tr_nx))
+    pair("runs_test",
+         lambda: risk.runs_test(tr_1x),
+         lambda: risk.runs_test(tr_nx))
+    pair("turning_points",
+         lambda: risk.turning_points(tr_1x),
+         lambda: risk.turning_points(tr_nx))
     tr_1x.unpersist(), tr_nx.unpersist()
 
     # quarantine gate under MANY batches: fixed per-batch volume, 3 vs
