@@ -724,3 +724,72 @@ def test_round14_queries_plan_shapes(spark):
     plan = plan_of(CATALOG["ref_theil_sen_eval"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round15_queries_plan_shapes(spark):
+    # OLS trend: the epoch-anchor change means NO window anywhere —
+    # one map-side-combined moment aggregate + the tiny n_obs join
+    plan = plan_of(CATALOG["ref_ols_trend"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+    # Seasonal Mann-Kendall: the season key rides INSIDE the pair
+    # equi-join (never a cartesian), no window, same as mann_kendall
+    plan = plan_of(
+        CATALOG["ref_seasonal_mann_kendall"].build(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+    # Jonckheere: counts-grid discipline — grid joins broadcast,
+    # nothing sort-merges the corpus (the drift-family guard)
+    plan = plan_of(CATALOG["ana_jonckheere_trend"].build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # LSH recall eval: truth join + candidate semi-join are equi-joins
+    # on hash/pair keys — no cartesian, no nested-loop fallback
+    plan = plan_of(CATALOG["llm_lsh_recall_eval"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_staged_r16_plan_shapes(spark):
+    """Plan guards for the operators pre-built this round (registered
+    next round) — pinned now so a regression can't hide in the gap."""
+    import datetime as dt
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        graph,
+        risk,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.plans.reference_tables import (
+        stock_prices,
+    )
+
+    sp = stock_prices(spark, SF_SMOKE)
+    # runs test: two per-entity windows + one aggregate — no joins at
+    # all beyond the final projection, certainly no cartesian
+    plan = plan_of(risk.runs_test(sp))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+    # turning points: ONE window (lag+lead share it) + one aggregate
+    plan = plan_of(risk.turning_points(sp))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+
+    # HITS returns an eagerly localCheckpointed relation, so its
+    # post-checkpoint plan shows nothing — the recurrence's join shape
+    # is covered by the brute-force value test (test_r15_ops) and the
+    # namespace-replica scale evidence; here we just pin that the
+    # output schema is the integer-ppm contract
+    edges = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("x", "a")], "src string, dst string"
+    )
+    out = graph.hits(edges, iters=2)
+    assert [f.name for f in out.schema.fields] == [
+        "node", "hub_ppm", "auth_ppm",
+    ]
+    assert all(f.dataType.simpleString() == "bigint"
+               for f in out.schema.fields[1:])

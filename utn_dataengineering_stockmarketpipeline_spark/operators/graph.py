@@ -476,7 +476,7 @@ def label_propagation(edges: DataFrame, rounds: int,
 
 
 def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
-         iters: int = 5, checkpoint_every: int = 2,
+         iters: int = 5,
          loop_parts: int | None = None) -> DataFrame:
     """HITS (Kleinberg hubs & authorities) over a directed edge list →
     ``(node, hub_ppm, auth_ppm)`` — the DIRECTED-ROLE companion to
@@ -497,9 +497,12 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     Plan per round: two edge⋈vector equi-joins (edges pre-partitioned
     by join key once, vectors co-partitioned), two map-side-combined
-    sums, and a 1-row max broadcast back via crossJoin — the rounds
-    chain lazily into one DAG like pagerank, localCheckpoint every
-    ``checkpoint_every`` rounds bounds plan depth. No collect anywhere.
+    sums, and a 1-row max broadcast back via crossJoin. Unlike
+    pagerank (whose rounds chain lazily — each round reads its
+    predecessor ONCE), every rescale here reads its input twice (max +
+    division), so each half-round localCheckpoints its |nodes|-row
+    vector — the label_propagation per-round discipline; lazy chaining
+    would recompute the recurrence exponentially. No collect anywhere.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")
                      ).persist()
@@ -536,6 +539,18 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     ppm = F.lit(1_000_000).cast("bigint")
 
     def _rescale(vec: DataFrame, col: str) -> DataFrame:
+        # LAZY localCheckpoint on the raw vector before the max: the
+        # relation is referenced twice below (the max aggregate AND
+        # the division), so both the WORK and the LOGICAL PLAN TREE
+        # double per rescale without a cut — eager chaining measured
+        # 49.5 s for 5 iterations on a 16k-node graph, and a
+        # persist()-only variant still blew Catalyst's stack cloning
+        # the exponentially-sized logical tree. eager=False truncates
+        # the lineage immediately (the plan becomes a LogicalRDD) but
+        # defers materialization to the first action, so the
+        # recurrence never pays a per-half-round driver round-trip;
+        # the checkpointed relation is |nodes| rows of (node, int).
+        vec = vec.localCheckpoint(eager=False)
         mx = vec.agg(F.max(col).alias("__mx"))
         # decimal(38,0) for the ×1e6: raw sums reach max_degree·1e6,
         # so the BIGINT multiply would overflow past ~9e6 in-degree;
@@ -555,7 +570,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
 
     hub = nodes.select("node", ppm.alias("h"))
     auth = None
-    for it in range(iters):
+    for _ in range(iters):
         a_raw = (
             e_src.join(hub, e_src["src"] == hub["node"])
             .select("dst", "h")
@@ -580,9 +595,6 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("node", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")),
             "h",
         )
-        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            hub = hub.localCheckpoint()
-            auth = auth.localCheckpoint()
     out = (
         hub.join(auth, "node")
         .select(
