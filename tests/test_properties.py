@@ -1176,3 +1176,97 @@ def test_jonckheere_matches_bruteforce_property(spark, groups):
         assert got == [(len(gs), len(rows), j2, ej2, ppm)]
         # bounded effect: j2 in [0, 2*ej2] -> trend_ppm in [-1e6, 1e6]
         assert -1_000_000 <= got[0][4] <= 1_000_000
+
+
+@SLOW
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=6), min_size=2,
+                 max_size=40),
+        min_size=1, max_size=4,
+    )
+)
+def test_runs_test_matches_bruteforce_property(spark, seqs):
+    """Wald-Wolfowitz on random small-alphabet sequences (heavy ties
+    exercise the tie-drop rule) vs a pure-Python replay."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        runs_test,
+    )
+
+    rows = [
+        (f"T{i}", _D0 + dt.timedelta(days=j), float(v))
+        for i, seq in enumerate(seqs)
+        for j, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {
+        r["stock_ticker"]: (r["n_up"], r["n_down"], r["n_runs"],
+                            r["runs_excess_ppm"])
+        for r in runs_test(df).collect()
+    }
+    expected = {}
+    for i, seq in enumerate(seqs):
+        cents = [round(v * 100) for v in seq]
+        signs = [
+            1 if b > a else -1
+            for a, b in zip(cents, cents[1:]) if b != a
+        ]
+        u = sum(1 for s in signs if s > 0)
+        d = len(signs) - u
+        if u == 0 or d == 0:
+            continue
+        runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n = u + d
+        num = (runs * n - n - 2 * u * d) * 1_000_000
+        den = n + 2 * u * d
+        ppm = abs(num) // den * (1 if num >= 0 else -1)
+        expected[f"T{i}"] = (u, d, runs, ppm)
+    assert got == expected
+
+
+@SLOW
+@given(
+    seqs=st.lists(
+        st.lists(st.integers(min_value=1, max_value=6), min_size=1,
+                 max_size=40),
+        min_size=1, max_size=4,
+    )
+)
+def test_turning_points_matches_bruteforce_property(spark, seqs):
+    """Strict local extrema on random tied sequences vs pure Python."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators.risk import (
+        turning_points,
+    )
+
+    rows = [
+        (f"T{i}", _D0 + dt.timedelta(days=j), float(v))
+        for i, seq in enumerate(seqs)
+        for j, v in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    got = {
+        r["stock_ticker"]: (r["n_obs"], r["n_turning"],
+                            r["turning_excess_ppm"])
+        for r in turning_points(df).collect()
+    }
+    expected = {}
+    for i, seq in enumerate(seqs):
+        n = len(seq)
+        if n < 3:
+            continue
+        cents = [round(v * 100) for v in seq]
+        tp = sum(
+            1
+            for k in range(1, n - 1)
+            if (cents[k - 1] < cents[k] > cents[k + 1])
+            or (cents[k - 1] > cents[k] < cents[k + 1])
+        )
+        num = (3 * tp - 2 * (n - 2)) * 1_000_000
+        den = 2 * (n - 2)
+        ppm = abs(num) // den * (1 if num >= 0 else -1)
+        expected[f"T{i}"] = (n, tp, ppm)
+    assert got == expected
