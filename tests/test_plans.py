@@ -774,10 +774,14 @@ def test_staged_r16_plan_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
 
-    # turning points: ONE window (lag+lead share it) + one aggregate
+    # turning points: ONE window (lag+lead share it) + one aggregate.
+    # The formatted plan names each node twice (tree line + detail
+    # section), so count the numbered detail entries.
+    import re
+
     plan = plan_of(risk.turning_points(sp))
     assert "CartesianProduct" not in plan
-    assert plan.count("Window") == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
 
     # HITS returns an eagerly localCheckpointed relation, so its
     # post-checkpoint plan shows nothing — the recurrence's join shape
