@@ -385,13 +385,15 @@ def test_counts_grid_mergeability_under_any_batching(spark):
     ADDITIVE, so the statistic from the merged grid equals the batch
     statistic regardless of how the corpus was split into batches.
     Pinned here for every grid consumer (KS, PSI, EMD, CUSUM,
-    Mann-Whitney, Jonckheere) at 2-way and 5-way splits."""
+    Mann-Whitney, Jonckheere, Kruskal-Wallis) at 2-way and 5-way
+    splits."""
     from pyspark.sql import functions as F
 
     from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
         cusum_drift_from_counts,
         emd_drift_from_counts,
         jonckheere_from_counts,
+        kruskal_wallis_from_counts,
         ks_drift_from_counts,
         mann_whitney_from_counts,
         psi_drift_from_counts,
@@ -413,6 +415,7 @@ def test_counts_grid_mergeability_under_any_batching(spark):
         cusum_drift_from_counts,
         mann_whitney_from_counts,
         jonckheere_from_counts,
+        kruskal_wallis_from_counts,
     )
     want = [
         sorted(map(tuple, fn(full_counts, "n_chars", "source").collect()))

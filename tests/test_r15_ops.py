@@ -276,3 +276,92 @@ def test_ols_slope_epoch_shift_invariance(spark):
         q = abs(num * 10000) // den
         expect = q if num >= 0 else -q
         assert got[e] == expect, (e, got[e], expect)
+
+
+def _kw_brute(rows):
+    """Pure-Python replay of the exact quantized Kruskal-Wallis
+    recurrence (doubled ranks, per-group div, final integral div)."""
+    from collections import Counter, defaultdict
+
+    clean = [(g, v) for g, v in rows if g is not None and v is not None]
+    cv = Counter(v for _, v in clean)
+    values = sorted(cv)
+    r2, cum = {}, 0
+    for v in values:
+        r2[v] = 2 * cum + cv[v] + 1
+        cum += cv[v]
+    per = defaultdict(lambda: [0, 0])  # g -> [n_g, R2_g]
+    for g, v in clean:
+        per[g][0] += 1
+        per[g][1] += r2[v]
+    n = len(clean)
+    s = sum((R2 * R2) // ng for ng, R2 in per.values())
+    h_micro = (3 * s * 1_000_000) // (n * (n + 1)) - 3_000_000 * (n + 1)
+    n3 = n ** 3 - n
+    tsum = sum(c ** 3 - c for c in cv.values())
+    if n3 <= tsum:
+        return None
+    num = h_micro * n3
+    den = n3 - tsum
+    h_tie = abs(num) // den * (1 if num >= 0 else -1)
+    return (len(per), n, h_micro, h_tie)
+
+
+def test_kruskal_wallis_brute_force(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+
+    rows = (
+        [("A", v) for v in (1, 2, 2, 3, 5, 8, 9)]
+        + [("B", v) for v in (1, 6, 6, 7, 7, 8, 20)]
+        + [("C", v) for v in (2, 3, 4, 5, 6, 9)]
+        + [(None, 7), ("A", None)]
+    )
+    df = spark.createDataFrame(
+        [(g, v) for g, v in rows], "source string, n_chars long"
+    )
+    out = skew.kruskal_wallis_drift(df, "n_chars", "source").collect()
+    assert len(out) == 1
+    r = out[0]
+    got = (r["n_groups"], r["n_obs"], r["h_micro"], r["h_tie_micro"])
+    assert got == _kw_brute(rows)
+
+
+def test_kruskal_wallis_tracks_true_h(spark):
+    """The quantized h_tie_micro/1e6 matches the textbook tie-corrected
+    H (computed with exact fractions) within the documented per-group
+    truncation slack, and separates identical groups (H ~ 0) from a
+    shifted group (H large)."""
+    from fractions import Fraction
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+
+    def true_h(rows):
+        from collections import Counter, defaultdict
+
+        cv = Counter(v for _, v in rows)
+        values = sorted(cv)
+        rank, cum = {}, 0
+        for v in values:
+            rank[v] = Fraction(2 * cum + cv[v] + 1, 2)
+            cum += cv[v]
+        per = defaultdict(lambda: [0, Fraction(0)])
+        for g, v in rows:
+            per[g][0] += 1
+            per[g][1] += rank[v]
+        n = len(rows)
+        h = Fraction(12, n * (n + 1)) * sum(
+            R * R / ng for ng, R in per.values()
+        ) - 3 * (n + 1)
+        c = 1 - Fraction(sum(t**3 - t for t in cv.values()), n**3 - n)
+        return float(h / c)
+
+    same = [("A", v) for v in range(1, 21)] + [("B", v) for v in range(1, 21)]
+    shifted = [("A", v) for v in range(1, 21)] + [
+        ("B", v + 15) for v in range(1, 21)
+    ]
+    for rows, expect_large in ((same, False), (shifted, True)):
+        df = spark.createDataFrame(rows, "source string, n_chars long")
+        r = skew.kruskal_wallis_drift(df, "n_chars", "source").collect()[0]
+        h = r["h_tie_micro"] / 1e6
+        assert abs(h - true_h(rows)) < 1e-3
+        assert (h > 10) == expect_large

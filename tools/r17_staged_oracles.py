@@ -1,0 +1,123 @@
+"""Round-17 staged oracle SQL — validated, NOT registered.
+
+Early candidates pre-built in round 15 for the round-17 window (the
+round-16 slate of five is already staged in tools/r16_staged_oracles.py
+and fills r16's budget):
+
+- ``ana_kruskal_wallis`` (skew.kruskal_wallis_drift) — the K-GROUP
+  member of the drift family on the shared counts grid.
+- ``stream_kruskal_wallis`` — its streaming twin over
+  ``_drained_counts_monitor`` (oracle = the batch SQL verbatim).
+
+Run this module to re-verify the cross-engine match at sf0.001 and
+sf0.01 before lifting into @register entries.
+
+Usage: python tools/r17_staged_oracles.py
+"""
+
+import math
+import sys
+
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+KW_SQL = """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vals AS (
+  SELECT v, v_cnt,
+         2 * COALESCE(SUM(v_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + v_cnt + 1 AS r2
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+per_g AS (
+  SELECT c.source, CAST(SUM(c.c) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(c.c AS HUGEINT) * vals.r2) AS HUGEINT) AS r2g
+  FROM counts c JOIN vals ON vals.v = c.v
+  GROUP BY c.source),
+terms AS (SELECT n_g, (r2g * r2g) // n_g AS tg FROM per_g),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(tg) AS HUGEINT) AS s
+  FROM terms),
+ties AS (
+  SELECT CAST(SUM(CAST(v_cnt AS HUGEINT) * v_cnt * v_cnt - v_cnt)
+              AS HUGEINT) AS tsum
+  FROM vals)
+SELECT n_groups, n AS n_obs,
+       CAST((3 * s * 1000000) // (CAST(n AS HUGEINT) * (n + 1))
+            - 3000000 * (n + 1) AS BIGINT) AS h_micro,
+       CAST((CAST((3 * s * 1000000) // (CAST(n AS HUGEINT) * (n + 1))
+                  - 3000000 * (n + 1) AS HUGEINT)
+             * (CAST(n AS HUGEINT) * n * n - n))
+            // (CAST(n AS HUGEINT) * n * n - n - tsum) AS BIGINT)
+         AS h_tie_micro
+FROM stats CROSS JOIN ties
+WHERE CAST(n AS HUGEINT) * n * n - n > tsum
+"""
+
+
+def canon(v):
+    if v is None:
+        return "x"
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.12g}"
+    return str(v)
+
+
+def main() -> None:
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+    from utn_dataengineering_stockmarketpipeline_spark.plans.queries_streaming import (
+        _drained_counts_monitor,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    ok = True
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
+            )
+        cases = [
+            ("kruskal_wallis",
+             skew.kruskal_wallis_drift(
+                 load_table(spark, sf, "documents"), "n_chars", "source"),
+             KW_SQL),
+            ("stream_kruskal_wallis",
+             _drained_counts_monitor(
+                 spark, sf, skew.kruskal_wallis_from_counts, "kwstream_"),
+             KW_SQL),
+        ]
+        for name, df, sql in cases:
+            a = sorted(
+                tuple(canon(r[c]) for c in sorted(df.columns))
+                for r in df.collect()
+            )
+            cur = con.execute(sql)
+            desc = [d[0] for d in cur.description]
+            order = sorted(range(len(desc)), key=lambda i: desc[i])
+            b = sorted(
+                tuple(canon(row[i]) for i in order)
+                for row in cur.fetchall()
+            )
+            if a != b:
+                ok = False
+                print(name, sf, "MISMATCH", "spark:", a[:2], "duck:", b[:2])
+            else:
+                print(name, sf, "MATCH", len(a), "rows")
+    print("ALL MATCH" if ok else "FAILURES")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

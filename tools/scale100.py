@@ -156,6 +156,13 @@ def main() -> None:
              _sourced(docs_1x), "n_chars", "source"),
          lambda: skew.jonckheere_trend(
              _sourced(docs_nx), "n_chars", "source"))
+    # Kruskal-Wallis (staged r15→r17) is the 7th — no grid at all,
+    # just the domain rank relation broadcast onto the counts
+    pair("kruskal_wallis",
+         lambda: skew.kruskal_wallis_drift(
+             _sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.kruskal_wallis_drift(
+             _sourced(docs_nx), "n_chars", "source"))
     # Zipf slope: the token-count shuffle scales, the vocabulary
     # relation (replicated text -> constant distinct terms) does not
     pair("zipf_slope",
