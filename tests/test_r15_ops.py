@@ -365,3 +365,57 @@ def test_kruskal_wallis_tracks_true_h(spark):
         h = r["h_tie_micro"] / 1e6
         assert abs(h - true_h(rows)) < 1e-3
         assert (h > 10) == expect_large
+
+
+def test_kl_source_divergence_brute_force(spark):
+    """Exact replay of the quantized per-cell pipeline in pure Python
+    (identical IEEE double ops on identical integers), plus the
+    semantic sanity: a source sharing the corpus distribution scores
+    ~0, a disjoint-vocabulary source scores large."""
+    import math
+    from collections import Counter, defaultdict
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        text as text_ops,
+    )
+
+    rows = [
+        (1, "srcA", "the cat sat on the mat"),
+        (2, "srcA", "the dog sat on the rug"),
+        (3, "srcB", "the cat sat on the mat"),
+        (4, "srcC", "zork quux blorp zork frotz"),
+        (5, None, "ignored row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_tokens"], r["n_terms"], r["kl_micro"])
+        for r in text_ops.kl_source_divergence(df).collect()
+    }
+
+    cells: dict = defaultdict(Counter)
+    for _, src, text in rows:
+        if src is None:
+            continue
+        for t in text.split(" "):
+            if t:
+                cells[src][t] += 1
+    ct = Counter()
+    for src in cells:
+        ct.update(cells[src])
+    n = sum(ct.values())
+    expected = {}
+    for src, c in cells.items():
+        ns = sum(c.values())
+        kl = sum(
+            math.floor(
+                (o / ns) * math.log((o * n) / (ns * ct[t])) * 1000000.0
+                + 0.5
+            )
+            for t, o in c.items()
+        )
+        expected[src] = (ns, len(c), kl)
+    assert got == expected
+    # semantics: srcC's vocabulary is disjoint from the rest → large
+    # positive KL; srcA/srcB share the common register → small
+    assert got["srcC"][2] > got["srcA"][2]
+    assert got["srcC"][2] > 500_000  # > 0.5 nats in micro units

@@ -8,6 +8,9 @@ and fills r16's budget):
   member of the drift family on the shared counts grid.
 - ``stream_kruskal_wallis`` — its streaming twin over
   ``_drained_counts_monitor`` (oracle = the batch SQL verbatim).
+- ``llm_kl_source_divergence`` (text.kl_source_divergence) — per-source
+  token-distribution KL vs the corpus in exact micro-nats (the MI/ccnet
+  quantization discipline on the (source, term) cell relation).
 
 Run this module to re-verify the cross-engine match at sf0.001 and
 sf0.01 before lifting into @register entries.
@@ -62,6 +65,29 @@ WHERE CAST(n AS HUGEINT) * n * n - n > tsum
 """
 
 
+KL_SQL = """
+WITH tok AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE source IS NOT NULL),
+cells AS (
+  SELECT g, term, CAST(COUNT(*) AS BIGINT) AS o
+  FROM tok WHERE term != '' GROUP BY g, term),
+ns AS (SELECT g, CAST(SUM(o) AS BIGINT) AS ns FROM cells GROUP BY g),
+ct AS (SELECT term, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY term),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+q AS (
+  SELECT cells.g, ns.ns,
+         CAST(floor((CAST(o AS DOUBLE) / ns)
+              * ln((CAST(o AS DOUBLE) * n) / (CAST(ns AS DOUBLE) * ct))
+              * 1000000 + 0.5) AS BIGINT) AS kc
+  FROM cells JOIN ns USING (g) JOIN ct USING (term) CROSS JOIN tot)
+SELECT g AS source, ns AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(kc) AS BIGINT) AS kl_micro
+FROM q GROUP BY g, ns
+"""
+
+
 def canon(v):
     if v is None:
         return "x"
@@ -88,6 +114,10 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'"
             )
+        from utn_dataengineering_stockmarketpipeline_spark.operators import (
+            text as text_ops,
+        )
+
         cases = [
             ("kruskal_wallis",
              skew.kruskal_wallis_drift(
@@ -97,6 +127,10 @@ def main() -> None:
              _drained_counts_monitor(
                  spark, sf, skew.kruskal_wallis_from_counts, "kwstream_"),
              KW_SQL),
+            ("kl_source_divergence",
+             text_ops.kl_source_divergence(
+                 load_table(spark, sf, "documents")),
+             KL_SQL),
         ]
         for name, df, sql in cases:
             a = sorted(

@@ -168,6 +168,16 @@ def main() -> None:
     pair("zipf_slope",
          lambda: text_ops.zipf_slope(docs_1x),
          lambda: text_ops.zipf_slope(docs_nx))
+    # KL source divergence (staged r15→r17): the (source, term) cell
+    # relation is vocab-bounded like zipf's — the token explode scans
+    # scale, the cell windows don't
+    pair("kl_source_divergence",
+         lambda: text_ops.kl_source_divergence(
+             docs_1x.withColumn(
+                 "source", F.concat(F.lit("src"), F.col("doc_id") % 10))),
+         lambda: text_ops.kl_source_divergence(
+             docs_nx.withColumn(
+                 "source", F.concat(F.lit("src"), F.col("doc_id") % 10))))
 
     def _points(docs):
         return docs.select(

@@ -1380,3 +1380,71 @@ def zipf_slope(df: DataFrame, text_col: str = "text",
             " div (cast(n as decimal(19,0)) * sxx - sx * sx)"
         ).alias("zipf_alpha_micro"),
     )
+
+
+def kl_source_divergence(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         group_col: str = "source") -> DataFrame:
+    """Per-source KL divergence of the TOKEN distribution from the
+    corpus-wide distribution, in exact integer micro-nats →
+    ``(source, n_tokens, n_terms, kl_micro)`` — the curation signal
+    for source-level shift in TOKEN space (the drift family watches a
+    numeric column like length; this watches what the source actually
+    says: a source full of boilerplate, code, or another register
+    shows a large KL even when its length distribution is unremarkable
+    — which source do I downweight before it skews the LM).
+
+    ``KL(p_src ‖ p_corpus) = Σ_t (c_st/n_s)·ln((c_st·n)/(n_s·c_t))``
+    over the source's observed terms (unseen terms contribute 0 from
+    the source side; p_corpus(t) > 0 whenever c_st > 0, so no
+    smoothing is needed and every term is finite). The ccnet/MI
+    micro-unit discipline: each cell's term is computed from identical
+    integers through identical correctly-rounded double ops and
+    quantized ONCE (mode-stable ``floor(x·1e6 + 0.5)``, safe for the
+    slightly-negative cells a common term can contribute), then the
+    per-source reduction is an exact int64 SUM — no parallel float
+    accumulation anywhere.
+
+    Plan: one scan + explode to the (source, term) cell relation
+    (|sources| × |vocab|, Zipf-bounded — never the corpus), source
+    margins as a window partitioned BY SOURCE over the cells, term
+    margins partitioned BY TERM, and the grand total as a 1-row
+    broadcast (NOT a whole-relation window — the cell relation can be
+    vocab-sized, and a single-partition window over it would be the
+    plan defect the MI margin-as-join lesson warns about).
+    """
+    toks = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"),
+                F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    cells = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    enriched = (
+        cells.withColumn(
+            "ns", F.sum("o").over(Window.partitionBy("g"))
+        )
+        .withColumn("ct", F.sum("o").over(Window.partitionBy("term")))
+        .crossJoin(F.broadcast(tot))
+    )
+    od, nsd = F.col("o").cast("double"), F.col("ns").cast("double")
+    ctd, nd = F.col("ct").cast("double"), F.col("n").cast("double")
+    kl_cell = F.floor(
+        (od / nsd) * F.log((od * nd) / (nsd * ctd)) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        enriched.select("g", "ns", kl_cell.alias("kc"))
+        .groupBy("g", "ns")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("kc").alias("kl_micro"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            F.col("ns").alias("n_tokens"),
+            "n_terms",
+            "kl_micro",
+        )
+    )
