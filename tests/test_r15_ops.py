@@ -419,3 +419,82 @@ def test_kl_source_divergence_brute_force(spark):
     # positive KL; srcA/srcB share the common register → small
     assert got["srcC"][2] > got["srcA"][2]
     assert got["srcC"][2] > 500_000  # > 0.5 nats in micro units
+
+
+def test_acf_and_ljung_box_brute_force(spark):
+    """acf_ppm vs a pure-Python replay (lag-k pair Pearson over ppm
+    returns, identical IEEE ops, mode-stable ppm quantization) and
+    ljung_box vs the exact integer recurrence over those ppms."""
+    import datetime as dt
+    import math
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    closes = [100.0, 101.0, 99.5, 102.0, 103.0, 101.5, 104.0, 102.5,
+              105.0, 106.0, 104.5, 107.0]
+    rows = [
+        ("T", dt.date(2021, 1, 1 + i), c) for i, c in enumerate(closes)
+    ] + [
+        ("U", dt.date(2021, 1, 1 + i), 50.0 + (i % 2))  # alternating
+        for i in range(8)
+    ]
+    prices = spark.createDataFrame(
+        rows, "stock_ticker string, stock_date date, stock_close double"
+    )
+    rets = risk.returns_ppm(prices)
+    max_lag = 4
+    got_acf = {
+        (r["stock_ticker"], r["lag"]): (r["n_pairs"], r["rho_ppm"])
+        for r in risk.acf_ppm(rets, max_lag).collect()
+    }
+    # python replay over the SAME ppm returns
+    all_rets = sorted(
+        rets.collect(), key=lambda r: (r["stock_ticker"], r["stock_date"])
+    )
+    ppm = {
+        e: [r["ret_ppm"] for r in all_rets if r["stock_ticker"] == e]
+        for e in ("T", "U")
+    }
+    expected_acf = {}
+    for e, series in ppm.items():
+        for k in range(1, max_lag + 1):
+            xs, ys = series[:-k], series[k:]
+            n = len(xs)
+            if n < 2:
+                continue
+            sx, sy = sum(xs), sum(ys)
+            sxy = sum(a * b for a, b in zip(xs, ys))
+            sxx = sum(a * a for a in xs)
+            syy = sum(b * b for b in ys)
+            vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+            if vx <= 0 or vy <= 0:
+                continue
+            rho = (n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy))
+            expected_acf[(e, k)] = (
+                n, math.floor(rho * 1000000.0 + 0.5)
+            )
+    assert got_acf == expected_acf
+
+    got_lb = {
+        r["stock_ticker"]: (r["n_obs"], r["n_lags"], r["q_micro"])
+        for r in risk.ljung_box(rets, max_lag).collect()
+    }
+    expected_lb = {}
+    for e, series in ppm.items():
+        n = len(series)
+        qsum = 0
+        n_lags = 0
+        for k in range(1, max_lag + 1):
+            key = (e, k)
+            if key not in expected_acf:
+                continue
+            rho_ppm = expected_acf[key][1]
+            qsum += (rho_ppm * rho_ppm) // (n - k)
+            n_lags += 1
+        if n_lags:
+            expected_lb[e] = (n, n_lags, (n * (n + 2) * qsum) // 1_000_000)
+    assert got_lb == expected_lb
+    # semantics: the alternating series U has strong negative lag-1 /
+    # positive lag-2 autocorrelation → Q decisively non-white
+    assert got_acf[("U", 1)][1] < -500_000
+    assert got_lb["U"][2] > got_lb["T"][2]

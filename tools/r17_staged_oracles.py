@@ -1,8 +1,8 @@
 """Round-17 staged oracle SQL — validated, NOT registered.
 
-Early candidates pre-built in round 15 for the round-17 window (the
-round-16 slate of five is already staged in tools/r16_staged_oracles.py
-and fills r16's budget):
+The full round-17 slate of five, pre-built in round 15 (the round-16
+slate of five is already staged in tools/r16_staged_oracles.py and
+fills r16's budget):
 
 - ``ana_kruskal_wallis`` (skew.kruskal_wallis_drift) — the K-GROUP
   member of the drift family on the shared counts grid.
@@ -11,9 +11,15 @@ and fills r16's budget):
 - ``llm_kl_source_divergence`` (text.kl_source_divergence) — per-source
   token-distribution KL vs the corpus in exact micro-nats (the MI/ccnet
   quantization discipline on the (source, term) cell relation).
+- ``ref_acf`` (risk.acf_ppm) — the autocorrelation function at lags
+  1..10, autocorr_lag1's pair-Pearson estimator resolved per horizon,
+  quantized to signed ppm per (entity, lag).
+- ``ref_ljung_box`` (risk.ljung_box) — the portmanteau white-noise gate
+  over the quantized ACF, integer end to end.
 
 Run this module to re-verify the cross-engine match at sf0.001 and
-sf0.01 before lifting into @register entries.
+sf0.01 before lifting into @register entries. At round-17 start:
+apply that round's rotation, re-pin _WINDOW_PIN to 50 − 5, register.
 
 Usage: python tools/r17_staged_oracles.py
 """
@@ -88,6 +94,66 @@ FROM q GROUP BY g, ns
 """
 
 
+_ACF_CORE = """
+  WITH rets AS (
+    SELECT stock_ticker, stock_date,
+           CAST(ROUND((stock_close / LAG(stock_close) OVER (
+                         PARTITION BY stock_ticker ORDER BY stock_date)
+                       - 1) * 1e6) AS BIGINT) AS ret_ppm
+    FROM stock_prices),
+  r2 AS (
+    SELECT stock_ticker, ret_ppm,
+           ROW_NUMBER() OVER (PARTITION BY stock_ticker
+                              ORDER BY stock_date) AS rn
+    FROM rets WHERE ret_ppm IS NOT NULL),
+  lags AS (SELECT unnest(generate_series(1, 10)) AS lag),
+  p AS (
+    SELECT a.stock_ticker, k.lag, a.ret_ppm AS x, b.ret_ppm AS y
+    FROM r2 a CROSS JOIN lags k
+    JOIN r2 b ON b.stock_ticker = a.stock_ticker
+             AND b.rn = a.rn + k.lag),
+  m AS (
+    SELECT stock_ticker, lag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM p GROUP BY stock_ticker, lag),
+  acf AS (
+    SELECT stock_ticker, CAST(lag AS INT) AS lag, n AS n_pairs,
+           CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy))
+                 * 1000000 + 0.5) AS BIGINT) AS rho_ppm
+    FROM m
+    WHERE n >= 2
+      AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+      AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0)"""
+
+ACF_SQL = f"""
+SELECT stock_ticker, lag, n_pairs, rho_ppm
+FROM ({_ACF_CORE}
+  SELECT * FROM acf)
+"""
+
+LB_SQL = f"""
+SELECT stock_ticker, n_obs, n_lags, q_micro
+FROM ({_ACF_CORE},
+  cnt AS (SELECT stock_ticker, CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM r2 GROUP BY stock_ticker),
+  qc AS (
+    SELECT acf.stock_ticker, cnt.n_obs,
+           (CAST(rho_ppm AS HUGEINT) * rho_ppm) // (cnt.n_obs - acf.lag)
+             AS qc
+    FROM acf JOIN cnt ON acf.stock_ticker = cnt.stock_ticker)
+  SELECT stock_ticker, n_obs, CAST(COUNT(*) AS BIGINT) AS n_lags,
+         CAST((CAST(n_obs AS HUGEINT) * (n_obs + 2) * SUM(qc)) // 1000000
+              AS BIGINT) AS q_micro
+  FROM qc GROUP BY stock_ticker, n_obs)
+"""
+
+
 def canon(v):
     if v is None:
         return "x"
@@ -97,9 +163,16 @@ def canon(v):
 
 
 def main() -> None:
-    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        risk,
+        skew,
+    )
     from utn_dataengineering_stockmarketpipeline_spark.plans.queries_streaming import (
         _drained_counts_monitor,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.plans.reference_tables import (
+        stock_prices,
+        with_reference_ctes,
     )
     from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
         load_table,
@@ -131,6 +204,12 @@ def main() -> None:
              text_ops.kl_source_divergence(
                  load_table(spark, sf, "documents")),
              KL_SQL),
+            ("acf",
+             risk.acf_ppm(risk.returns_ppm(stock_prices(spark, sf))),
+             with_reference_ctes(ACF_SQL)),
+            ("ljung_box",
+             risk.ljung_box(risk.returns_ppm(stock_prices(spark, sf))),
+             with_reference_ctes(LB_SQL)),
         ]
         for name, df, sql in cases:
             a = sorted(

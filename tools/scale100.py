@@ -500,6 +500,14 @@ def main() -> None:
     pair("turning_points",
          lambda: risk.turning_points(tr_1x),
          lambda: risk.turning_points(tr_nx))
+    # ACF + Ljung-Box (staged r15→r17): one window pass emitting all
+    # ten leads, one moment aggregate — wall should track the sort
+    pair("acf",
+         lambda: risk.acf_ppm(risk.returns_ppm(tr_1x)),
+         lambda: risk.acf_ppm(risk.returns_ppm(tr_nx)))
+    pair("ljung_box",
+         lambda: risk.ljung_box(risk.returns_ppm(tr_1x)),
+         lambda: risk.ljung_box(risk.returns_ppm(tr_nx)))
     tr_1x.unpersist(), tr_nx.unpersist()
 
     # quarantine gate under MANY batches: fixed per-batch volume, 3 vs

@@ -1018,3 +1018,133 @@ def turning_points(
             ).alias("turning_excess_ppm"),
         )
     )
+
+
+def acf_ppm(
+    rets: DataFrame,
+    max_lag: int = 10,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+) -> DataFrame:
+    """Autocorrelation function at lags 1..``max_lag`` per entity →
+    ``(entity, lag, n_pairs, rho_ppm)`` — :func:`autocorr_lag1`'s
+    semantics (pair Pearson of (ret_t, ret_{t+k})) extended across the
+    horizon: lag-1 answers "is there serial dependence tomorrow", the
+    ACF answers "at WHICH horizon does it live" (weekly seasonality
+    shows at k=5, slow mean reversion as a long negative tail — the
+    shape the variance-ratio test integrates, here resolved per lag).
+
+    All ``max_lag`` lead columns come from ONE window pass over the
+    entity partitioning (one sort, not K), stacked to (entity, lag,
+    x, y) rows JVM-side and reduced by one map-side-combined moment
+    aggregate. Six exact integer ppm moments per (entity, lag); the
+    Pearson derives in the autocorr_lag1 pinned association and is
+    quantized ONCE to signed ppm (mode-stable ``floor(x·1e6 + 0.5)``
+    on a bit-identical double) so downstream reductions over lags
+    (:func:`ljung_box`) are exact integer sums — order-free.
+    Degenerate (entity, lag) cells (under 2 pairs or a zero-variance
+    side) drop, as in autocorr_lag1.
+    """
+    w = Window.partitionBy(entity_col).orderBy(date_col)
+    leads = rets.select(
+        entity_col,
+        F.col("ret_ppm").alias("x"),
+        *[
+            F.lead("ret_ppm", k).over(w).alias(f"y{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    stacked = leads.select(
+        entity_col,
+        "x",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(k).cast("int").alias("lag"),
+                    F.col(f"y{k}").alias("y"),
+                )
+                for k in range(1, max_lag + 1)
+            ])
+        ).alias("s"),
+    ).select(
+        entity_col, F.col("s.lag").alias("lag"), "x", F.col("s.y").alias("y")
+    ).filter(F.col("y").isNotNull())
+    m = stacked.groupBy(entity_col, "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    rho = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        m.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            entity_col,
+            "lag",
+            F.col("n").alias("n_pairs"),
+            F.floor(rho * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("rho_ppm"),
+        )
+    )
+
+
+def ljung_box(
+    rets: DataFrame,
+    max_lag: int = 10,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+) -> DataFrame:
+    """Ljung-Box portmanteau statistic per entity over the quantized
+    ACF → ``(entity, n_obs, n_lags, q_micro)``: Q = n(n+2)·Σ_k
+    ρ_k²/(n−k) — the single "is this series white noise AT ALL" gate
+    in front of the per-lag ACF (the kruskal_wallis-to-mann_whitney
+    relationship, applied to serial dependence). Large Q rejects
+    i.i.d., which is exactly the assumption the VaR/Sharpe estimators
+    lean on — this is their admission test.
+
+    Integer end to end FROM the quantized ACF: per lag
+    ``ρ_ppm² div (n−k)`` is an exact integral division, the lag
+    reduction is an exact int64 sum (order-free — the reason acf_ppm
+    quantizes), and ``q_micro = (n·(n+2)·Σ) div 1e6`` via one
+    DECIMAL(38,0) product (n²·Σ can cross the long boundary). ρ here
+    is the pair-Pearson ACF (autocorr_lag1's estimator), so this is
+    the Ljung-Box form OVER THAT ESTIMATOR — deterministic and
+    documented, matching the engine-wide rule that a statistic's exact
+    recurrence is pinned rather than "approximately the textbook".
+    Lags that dropped in acf_ppm (degenerate cells) are simply absent
+    from the sum; ``n_lags`` records how many contributed.
+    """
+    acf = acf_ppm(rets, max_lag, entity_col, date_col)
+    # no broadcast hint: the per-entity count relation scales with the
+    # ENTITY universe (can be 1e8 rows at corpus scale) — AQE converts
+    # to broadcast at runtime when it actually fits (the basket_pairs
+    # support-join rule)
+    n_obs = rets.groupBy(entity_col).agg(F.count(F.lit(1)).alias("n_obs"))
+    contrib = acf.join(n_obs, entity_col).select(
+        entity_col,
+        "n_obs",
+        F.expr("(rho_ppm * rho_ppm) div (n_obs - lag)").alias("qc"),
+    )
+    return (
+        contrib.groupBy(entity_col, "n_obs")
+        .agg(
+            F.count(F.lit(1)).alias("n_lags"),
+            F.sum("qc").alias("qsum"),
+        )
+        .select(
+            entity_col,
+            "n_obs",
+            "n_lags",
+            F.expr(
+                "(cast(n_obs as decimal(38,0)) * (n_obs + 2) * qsum)"
+                " div 1000000"
+            ).cast("bigint").alias("q_micro"),
+        )
+    )
