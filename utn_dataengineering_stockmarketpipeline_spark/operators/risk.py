@@ -569,10 +569,13 @@ def _theil_sen_from_base(base: DataFrame) -> DataFrame:
         "slope", F.expr("try_divide(cast(dvc as double), dd)")
     )
     # localCheckpoint: the bucket counts AND the rank probe both read
-    # the pair relation — without it the O(n²/2) pair join runs twice
+    # the pair relation — without it the O(n²/2) pair join runs twice.
+    # eager=False: lineage truncates immediately but materialization
+    # folds into the first consuming job instead of paying a separate
+    # eager round trip (the graph.hits rescale discipline)
     pb = pairs.withColumn(
         "bk", F.floor("slope").cast("bigint")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     bc = pb.groupBy("e", "bk").agg(F.count(F.lit(1)).alias("c"))
     # cumulative offsets ride the (entity, bucket) relation — bounded
     # by the slope DOMAIN in cents/day, never the pair count
