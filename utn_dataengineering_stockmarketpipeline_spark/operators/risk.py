@@ -544,11 +544,22 @@ def _check_pair_cap(worst, op_name: str) -> None:
         )
 
 
-def _theil_sen_from_base(base: DataFrame) -> DataFrame:
+def _theil_sen_from_base(base: DataFrame,
+                         checkpoint_pairs: bool = False) -> DataFrame:
     """The Theil-Sen median machinery over a prepared non-null
     ``(e, d, vc)`` relation → ``(e, n_pairs, slope_micro)`` — the
     bucket-offset rank decomposition shared by :func:`theil_sen_slope`
-    and :func:`theil_sen_eval`. Caller enforces the pair cap."""
+    and :func:`theil_sen_eval`. Caller enforces the pair cap.
+
+    ``checkpoint_pairs`` decides the double-read strategy for the pair
+    relation (bucket counts + rank probe both consume it): recompute
+    (False — right when ``base`` is a cheap projection) vs one lazy
+    localCheckpoint (True — right when ``base`` itself is expensive to
+    re-derive, e.g. theil_sen_eval's per-row md5 contamination).
+    Measured at sf0.1: slope 8.8 s checkpointed vs 6.5 s recomputed
+    (the pairs collapse map-side in both consumers, so materializing
+    ~700 MB to the block manager buys nothing); eval 9.5+ s recomputed
+    vs 7.3 s checkpointed (the md5 base doubles instead)."""
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -568,14 +579,9 @@ def _theil_sen_from_base(base: DataFrame) -> DataFrame:
         # surviving value
         "slope", F.expr("try_divide(cast(dvc as double), dd)")
     )
-    # localCheckpoint: the bucket counts AND the rank probe both read
-    # the pair relation — without it the O(n²/2) pair join runs twice.
-    # eager=False: lineage truncates immediately but materialization
-    # folds into the first consuming job instead of paying a separate
-    # eager round trip (the graph.hits rescale discipline)
-    pb = pairs.withColumn(
-        "bk", F.floor("slope").cast("bigint")
-    ).localCheckpoint(eager=False)
+    pb = pairs.withColumn("bk", F.floor("slope").cast("bigint"))
+    if checkpoint_pairs:
+        pb = pb.localCheckpoint(eager=False)
     bc = pb.groupBy("e", "bk").agg(F.count(F.lit(1)).alias("c"))
     # cumulative offsets ride the (entity, bucket) relation — bounded
     # by the slope DOMAIN in cents/day, never the pair count
@@ -874,7 +880,9 @@ def theil_sen_eval(
     _check_pair_cap(
         counts.agg(F.max("n_obs").alias("m")).collect(), "theil_sen_eval"
     )
-    ts = _theil_sen_from_base(cont.select("e", "d", "vc")).select(
+    ts = _theil_sen_from_base(
+        cont.select("e", "d", "vc"), checkpoint_pairs=True
+    ).select(
         "e", F.col("slope_micro").alias("slope_ts_micro")
     )
     ols_cont = _ols_slope_micro(
