@@ -56,69 +56,21 @@ def _load_all() -> None:
 # of the verification contract; every query keeps full local oracle
 # coverage via tests/test_catalog_oracle.py regardless of position.
 #
-# Round-15 rotation (freshness after r14, assuming the r14 window
-# greens: r10x8 / r11x49 / r12x49 / r13x50 / r14x50):
-#   1. the 8 remaining r10-green entries + the 37 oldest r11-green
-#      (burns the r10 backlog completely),
-#   2. (pin = 45 = 50 - 5 planned round-15 registrations, set at
-#      round START per the driver-window-budget rule; re-pin to
+# Round-16 rotation (freshness after r15, assuming the r15 window
+# greens: r11x12 / r12x49 / r13x50 / r14x50 / r15x50):
+#   1. the 12 remaining r11-green entries (burns the r11 backlog
+#      completely) + the 33 oldest r12-green,
+#   2. (pin = 45 = 50 - 5 planned round-16 registrations — the five
+#      staged operators in tools/r16_staged_oracles.py; re-pin to
 #      50 - planned if the plan changes),
-#   3. the remaining 12 r11-green head the tail (first into the
-#      r16 window), then r12-green, r13-green, and the 50 round-14
+#   3. the remaining 16 r12-green head the tail (first into the
+#      r17 window), then r13-green, r14-green, and the 50 round-15
 #      window entries (freshest evidence, safely outside).
-# NOTE: if CORRECTNESS_r14 has red rows, move them to the head
+# NOTE: if CORRECTNESS_r15 has red rows, move them to the head
 # before applying (the r11 lesson: never park a red row in the
 # green tail).
 _DRIVER_ORDER: tuple[str, ...] = (
-    # -- 8 r10-green + 37 oldest r11-green --
-    "ref_unpivot_ohlc",
-    "stream_static_enrich",
-    "ref_scd2_as_of",
-    "ana_event_transitions",
-    "llm_bpe_train",
-    "llm_random_projection",
-    "llm_embedding_kmeans",
-    "llm_phash_clusters",
-    "llm_resize_plan",
-    "llm_frame_sample_plan",
-    "ana_pivot_status",
-    "llm_quality_classifier",
-    "llm_cluster_balanced_sample",
-    "llm_prototype_pruning",
-    "llm_heavy_hitters_cms",
-    "llm_temperature_resample",
-    "ana_join_key_skew",
-    "stream_scd2_apply",
-    "stream_heavy_hitters",
-    "llm_shard_assignment",
-    "llm_ngram_novelty",
-    "ana_skyline_suppliers",
-    "llm_token_fertility",
-    "join_asof_next_price",
-    "join_asof_price_at_ship",
-    "join_ffill_calendar",
-    "join_interval_promo_overlap",
-    "join_range_price_bands",
-    "llm_ann_ivf_topk",
-    "llm_cosine_topk",
-    "llm_doc_chunks",
-    "llm_doc_profile",
-    "llm_embedding_near_dup",
-    "llm_lang_id",
-    "llm_pii_scrub",
-    "llm_repetition_ratio",
-    "llm_sample_k_per_stratum",
-    "llm_source_mix",
-    "llm_stratified_sample",
-    "llm_tfidf_top_terms",
-    "llm_winnowing_fingerprints",
-    "stream_dedup_events",
-    "stream_stateful_totals",
-    "ref_table_diff",
-    "llm_bm25_scores",
-    # -- (pin = 45: new round-15 registrations slot in HERE) --
-    # -- tail: remaining r11-green, then r12, r13, and the 50
-    #    round-14 window entries (freshest) --
+    # -- 12 r11-green + 33 oldest r12-green --
     "llm_embedding_near_dup_lsh",
     "llm_ann_lsh_topk",
     "llm_dup_clusters",
@@ -164,6 +116,9 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_pricing_summary",
     "ana_region_revenue",
     "ana_rollup_volume",
+    # -- (pin = 45: new round-16 registrations slot in HERE) --
+    # -- tail: remaining r12-green, then r13, r14, and the 50
+    #    round-15 window entries (freshest) --
     "ana_top_customers",
     "ana_user_sessions",
     "ana_window_rank",
@@ -280,11 +235,61 @@ _DRIVER_ORDER: tuple[str, ...] = (
     "ana_cusum_drift",
     "ana_mann_whitney_drift",
     "stream_cusum_drift",
+    "ref_unpivot_ohlc",
+    "stream_static_enrich",
+    "ref_scd2_as_of",
+    "ana_event_transitions",
+    "llm_bpe_train",
+    "llm_random_projection",
+    "llm_embedding_kmeans",
+    "llm_phash_clusters",
+    "llm_resize_plan",
+    "llm_frame_sample_plan",
+    "ana_pivot_status",
+    "llm_quality_classifier",
+    "llm_cluster_balanced_sample",
+    "llm_prototype_pruning",
+    "llm_heavy_hitters_cms",
+    "llm_temperature_resample",
+    "ana_join_key_skew",
+    "stream_scd2_apply",
+    "stream_heavy_hitters",
+    "llm_shard_assignment",
+    "llm_ngram_novelty",
+    "ana_skyline_suppliers",
+    "llm_token_fertility",
+    "join_asof_next_price",
+    "join_asof_price_at_ship",
+    "join_ffill_calendar",
+    "join_interval_promo_overlap",
+    "join_range_price_bands",
+    "llm_ann_ivf_topk",
+    "llm_cosine_topk",
+    "llm_doc_chunks",
+    "llm_doc_profile",
+    "llm_embedding_near_dup",
+    "llm_lang_id",
+    "llm_pii_scrub",
+    "llm_repetition_ratio",
+    "llm_sample_k_per_stratum",
+    "llm_source_mix",
+    "llm_stratified_sample",
+    "llm_tfidf_top_terms",
+    "llm_winnowing_fingerprints",
+    "stream_dedup_events",
+    "stream_stateful_totals",
+    "ref_table_diff",
+    "llm_bm25_scores",
+    "ref_ols_trend",
+    "ref_seasonal_mann_kendall",
+    "ana_jonckheere_trend",
+    "llm_lsh_recall_eval",
+    "stream_mann_whitney_drift",
 )
 
 
 # New (unlisted) queries slot in after the must-verify head.
-# 45 + 5 planned round-15 registrations = the full 50-query window.
+# 45 + 5 planned round-16 registrations = the full 50-query window.
 _WINDOW_PIN = 45
 
 
