@@ -1,8 +1,8 @@
 """Round-17 staged oracle SQL — validated, NOT registered.
 
 The full round-17 slate of five, pre-built in round 15 (the round-16
-slate of five is already staged in tools/r16_staged_oracles.py and
-fills r16's budget):
+slate of five was registered at round-16 start — its staged script was
+lifted into the catalog and removed):
 
 - ``ana_kruskal_wallis`` (skew.kruskal_wallis_drift) — the K-GROUP
   member of the drift family on the shared counts grid.

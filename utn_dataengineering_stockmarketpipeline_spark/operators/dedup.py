@@ -341,6 +341,72 @@ def lsh_recall_eval(df: DataFrame, text_col: str = "text",
     )
 
 
+def embedding_recall_eval(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    planes_per_table: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall of the banded sign-LSH near-dup candidate
+    generator against exact cosine truth, per 0.05 cosine band →
+    ``(cos_bin, n_truth, n_hit, recall_ppm)`` — the THIRD eval loop
+    (what :func:`lsh_recall_eval` is to MinHash-LSH and
+    llm_ann_recall_eval is to the ANN index, for the embedding dedup
+    path): sign-LSH collision probability falls with the plane count
+    and rises toward cosine→1, so a production pipeline checks the
+    (tables, planes) choice holds per similarity band before trusting
+    the semantic dedup pass.
+
+    Truth = exact capped-BLAS cosine pairs ≥ ``threshold``
+    (:func:`embedding_near_dup_pairs`), binned by 0.05 band — the
+    cosine is ROUND(...,6) in both engines, so the float floor is
+    cross-engine deterministic. Hits via one left-semi equi-join on
+    the pair key against :func:`embedding_near_dup_pairs_lsh` run at a
+    PINNED ``planes_per_table`` (auto-tuning would change the curve
+    being measured); recall as exact integral ppm per band. The
+    bucket-size cap's recall loss is deliberately included — that loss
+    is part of what the eval exists to see.
+
+    Scale: ground truth is the expensive leg by construction (the
+    exact pair space); production evals run this on a sampled corpus
+    slice like the ANN eval's query slice, and the exact leg's
+    MAX_BROADCAST_ROWS cap raises past driver-safe sizes. The
+    candidate side stays the banded equi-join, never all-pairs.
+    """
+    exact = embedding_near_dup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+    lsh = embedding_near_dup_pairs_lsh(
+        df, dim=dim, threshold=threshold, n_tables=n_tables,
+        planes_per_table=planes_per_table, id_col=id_col, vec_col=vec_col,
+    ).select("id_a", "id_b")
+    truth = exact.select(
+        "id_a",
+        "id_b",
+        F.least(
+            F.floor(F.col("cosine") * 20).cast("bigint"),
+            F.lit(19).cast("bigint"),
+        ).alias("cos_bin"),
+    )
+    truth_n = truth.groupBy("cos_bin").agg(F.count(F.lit(1)).alias("n_truth"))
+    hit_n = (
+        truth.join(lsh, ["id_a", "id_b"], "left_semi")
+        .groupBy("cos_bin")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return truth_n.join(hit_n, "cos_bin", "left").select(
+        "cos_bin",
+        "n_truth",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        F.expr("(coalesce(n_hit, 0) * 1000000) div n_truth").alias(
+            "recall_ppm"
+        ),
+    )
+
+
 def ngram_novelty(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Per-document n-gram novelty: ``(id, n_grams, novel_grams,

@@ -504,6 +504,12 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     vector — the label_propagation per-round discipline; lazy chaining
     would recompute the recurrence exponentially. No collect anywhere.
     """
+    if iters < 1:
+        raise ValueError(
+            f"hits requires iters >= 1 (got {iters}): the recurrence "
+            "is a fixed iteration like pagerank's — zero rounds has "
+            "no defined hub/authority vector"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")
                      ).persist()
     m = e.count()
@@ -515,12 +521,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     n = nodes_raw.count()
     if n == 0:
-        e.unpersist()
-        return nodes_raw.select(
+        out = nodes_raw.select(
             "node",
             F.lit(None).cast("bigint").alias("hub_ppm"),
             F.lit(None).cast("bigint").alias("auth_ppm"),
         )
+        e.unpersist()
+        nodes_raw.unpersist()  # symmetric with the non-empty path
+        return out
     spark = edges.sparkSession
     if loop_parts is None:
         session_parts = int(
@@ -568,6 +576,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             )
         )
 
+    # The recurrence carries SPARSE vectors: a node absent from hub/
+    # auth has score 0, contributes nothing to the next half-round's
+    # edge sums, and can never be the (always-positive) max — so the
+    # per-half-round nodes-left-join zero-fill is pure overhead (10
+    # joins + exchanges across 5 iterations, measured 58 s → 23 s at
+    # sf0.01 under a vanilla 200-partition session). Zeros are filled
+    # ONCE at the end, bit-identical to the dense recurrence (0
+    # rescales to 0).
     hub = nodes.select("node", ppm.alias("h"))
     auth = None
     for _ in range(iters):
@@ -576,31 +592,26 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select("dst", "h")
             .repartition(loop_parts, "dst")
             .groupBy("dst")
-            .agg(F.sum("h").alias("a"))
+            .agg(F.sum("h").cast("bigint").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
         )
-        auth = _rescale(
-            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
-            .select("node", F.coalesce("a", F.lit(0)).cast("bigint").alias("a")),
-            "a",
-        )
+        auth = _rescale(a_raw, "a")
         h_raw = (
             e_dst.join(auth, e_dst["dst"] == auth["node"])
             .select("src", "a")
             .repartition(loop_parts, "src")
             .groupBy("src")
-            .agg(F.sum("a").alias("h"))
+            .agg(F.sum("a").cast("bigint").alias("h"))
+            .select(F.col("src").alias("node"), "h")
         )
-        hub = _rescale(
-            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
-            .select("node", F.coalesce("h", F.lit(0)).cast("bigint").alias("h")),
-            "h",
-        )
+        hub = _rescale(h_raw, "h")
     out = (
-        hub.join(auth, "node")
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
         .select(
             "node",
-            F.col("h").alias("hub_ppm"),
-            F.col("a").alias("auth_ppm"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_ppm"),
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth_ppm"),
         )
         .localCheckpoint()
     )

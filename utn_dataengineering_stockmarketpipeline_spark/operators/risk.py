@@ -782,8 +782,13 @@ def seasonal_mann_kendall(
 def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
     """Exact-moment OLS trend per entity over ``(e, d, vc)`` →
     ``(e, <out_col>)`` in micro-dollars/day: slope = (nΣxy − ΣxΣy) /
-    (nΣxx − (Σx)²) emitted by integral division of DECIMAL(38,0)
-    integer moments — the variance_ratio moment discipline, no doubles.
+    (nΣxx − (Σx)²) emitted by integral division of integer moments —
+    the variance_ratio discipline, no doubles. Inputs are cast to
+    DECIMAL(19,0) and Spark's decimal arithmetic widens the product /
+    sum chain (x·y → DECIMAL(38,0), then the n·Σxy products stay at
+    the 38-digit cap under allowPrecisionLoss with scale 0 — lossless
+    for integers until true 38-digit overflow, far beyond the
+    magnitudes below).
 
     x is the day offset from the FIXED epoch, not the entity's first
     date: both numerator and denominator are exactly invariant under a

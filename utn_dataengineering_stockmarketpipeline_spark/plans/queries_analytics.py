@@ -1370,6 +1370,104 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select("node", F.round("rank", 9).alias("rank"))
 
 
+def _hits_oracle(iters: int) -> str:
+    """Unrolled integer-ppm HITS over the customer->supplier order
+    graph (the pagerank edge construction) — recursive CTEs cannot
+    aggregate, so the fixed iteration unrolls like _pagerank_oracle.
+    Pure integers: HUGEINT sums, MAX rescale, // truncation —
+    bit-exact by construction, no float normalization anywhere.
+
+    Every per-iteration CTE is MATERIALIZED: each a{k}/h{k} is
+    referenced twice downstream (the max-rescale cross join), so
+    DuckDB's default CTE inlining recomputes the recurrence
+    exponentially — the exact analogue of the Spark-side lazy-chaining
+    bug fixed pre-registration (fda51ea). Measured at sf0.01: 370 s
+    inlined → 0.1 s materialized. _pagerank_oracle doesn't need this
+    (each r{k} is referenced exactly once)."""
+    ctes = ["""edges AS MATERIALIZED (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'S' || l_suppkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS h FROM nodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""a{k}raw AS MATERIALIZED (
+  SELECT n2.node, COALESCE(s.a, CAST(0 AS HUGEINT)) AS a
+  FROM nodes n2
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(h.h) AS a
+    FROM edges e JOIN h{k - 1} h ON e.src = h.node
+    GROUP BY e.dst) s ON s.node = n2.node)""")
+        ctes.append(f"""a{k} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN mx.mx > 0 THEN (a * 1000000) // mx.mx
+              ELSE CAST(0 AS HUGEINT) END AS a
+  FROM a{k}raw CROSS JOIN (SELECT MAX(a) AS mx FROM a{k}raw) mx)""")
+        ctes.append(f"""h{k}raw AS MATERIALIZED (
+  SELECT n2.node, COALESCE(s.h, CAST(0 AS HUGEINT)) AS h
+  FROM nodes n2
+  LEFT JOIN (
+    SELECT e.src AS node, SUM(a.a) AS h
+    FROM edges e JOIN a{k} a ON e.dst = a.node
+    GROUP BY e.src) s ON s.node = n2.node)""")
+        ctes.append(f"""h{k} AS MATERIALIZED (
+  SELECT node,
+         CASE WHEN mx.mx > 0 THEN (h * 1000000) // mx.mx
+              ELSE CAST(0 AS HUGEINT) END AS h
+  FROM h{k}raw CROSS JOIN (SELECT MAX(h) AS mx FROM h{k}raw) mx)""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT h.node, CAST(h.h AS BIGINT) AS hub_ppm,
+       CAST(a.a AS BIGINT) AS auth_ppm
+FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
+    )
+
+
+@register(
+    "ana_hits_graph",
+    _hits_oracle(5),
+    doc="HITS (Kleinberg hubs & authorities) over the customer->"
+        "supplier order graph (operators/graph.hits) — the DIRECTED-"
+        "ROLE companion to ana_pagerank_suppliers: where PageRank "
+        "gives one prestige score, HITS separates buyers with broad "
+        "high-quality supplier coverage (hubs) from suppliers serving "
+        "the best-covered buyers (authorities). INTEGER recurrence "
+        "unlike pagerank's final-round rounding: both vectors live as "
+        "ppm BIGINTs, each half-round is an exact integer edge-sum "
+        "then a max-rescale x·1e6 div max(x) — order-independent, so "
+        "bit-identical cross-engine BY CONSTRUCTION, magnitudes "
+        "pinned ≤ 1e6 forever. Oracle unrolls the identical 5 "
+        "iterations as chained HUGEINT CTEs. Plan per round: two "
+        "pre-partitioned edge⋈vector equi-joins + map-side sums + a "
+        "1-row max broadcast; each half-round lazily localCheckpoints "
+        "its |nodes|-row vector (eager chaining recomputes the "
+        "recurrence exponentially — measured and fixed pre-"
+        "registration). 100× scale ratio 7.76 in SCALE_100X.json",
+    tags=("analytics", "graph", "iterative"),
+)
+def q_hits_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    return hits(edges, iters=5)
+
+
 @register(
     "ana_grouping_sets",
     """
@@ -1972,9 +2070,7 @@ def q_mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ana_jonckheere_trend",
-    """
+_JT_ORACLE_SQL = """
 WITH counts AS (
   SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
   FROM documents
@@ -2022,7 +2118,12 @@ SELECT e.n_groups, e.n_obs,
          AS trend_ppm
 FROM j CROSS JOIN e
 WHERE e.ej2_num > 0
-""",
+"""
+
+
+@register(
+    "ana_jonckheere_trend",
+    _JT_ORACLE_SQL,
     doc="Jonckheere-Terpstra ordered-alternative trend over document "
         "length across sources in their natural order "
         "(skew.jonckheere_trend) — the drift family's ordered-groups "

@@ -1153,6 +1153,64 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_embedding_recall_eval",
+    f"""
+WITH {_LSH_BUCKETS_CTES.strip()},
+sized AS (
+  SELECT tbl, bucket, COUNT(*) AS sz FROM buckets GROUP BY tbl, bucket),
+lsh AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a
+  JOIN sized s ON s.tbl = a.tbl AND s.bucket = a.bucket
+              AND s.sz <= {dedup.DEFAULT_MAX_BUCKET_SIZE}
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id),
+truth AS (
+  SELECT id_a, id_b,
+         LEAST(CAST(FLOOR(cosine * 20) AS BIGINT),
+               CAST(19 AS BIGINT)) AS cos_bin
+  FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql('a.embedding', 'b.embedding')} AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+  WHERE cosine >= 0.4)
+SELECT t.cos_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_truth,
+       CAST(COUNT(l.id_a) AS BIGINT) AS n_hit,
+       CAST((COUNT(l.id_a) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+FROM truth t
+LEFT JOIN lsh l ON l.id_a = t.id_a AND l.id_b = t.id_b
+GROUP BY t.cos_bin
+""",
+    doc="measured recall of the banded sign-LSH near-dup candidate "
+        "generator vs exact cosine ≥ 0.4 truth, per 0.05 cosine band "
+        "(operators/dedup.embedding_recall_eval) — the THIRD eval "
+        "loop, completing the pattern for the embedding dedup path: "
+        "llm_ann_recall_eval evaluates the ANN index, "
+        "llm_lsh_recall_eval the MinHash-LSH dedup, this the sign-LSH "
+        "embedding dedup. Truth = the llm_embedding_near_dup relation "
+        "(cosine ROUND(...,6) in BOTH engines, so the 0.05-band float "
+        "floor is cross-engine deterministic); candidates = the "
+        "llm_embedding_near_dup_lsh relation at PINNED "
+        "planes_per_table=4 (auto-tuning would change the curve being "
+        "measured); hits via one left-semi equi-join on the pair key; "
+        "recall as integral ppm — the bucket-size skew cap's recall "
+        "loss deliberately included. Scale: ground truth is the "
+        "expensive exact leg by construction (capped, raises past "
+        "driver-safe corpora); production evals run a sampled slice, "
+        "candidates stay the banded equi-join — never all-pairs",
+    tags=("llm", "dedup", "similarity", "lsh", "eval"),
+)
+def q_embedding_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_recall_eval(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=64,
+        threshold=0.4,
+        planes_per_table=4,
+    )
+
+
 def _random_projection_oracle_sql(dim_out: int = 16) -> str:
     """llm_random_projection oracle: identical literal ±1 JL matrix,
     integer micro-unit quantization, exact int64 folds."""

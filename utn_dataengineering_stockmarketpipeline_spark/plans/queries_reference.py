@@ -642,9 +642,11 @@ def _guard_ticker_pairs(r: DataFrame, entity_col: str = "stock_ticker") -> None:
         raise ValueError(
             f"ticker-pair self-join: {t} distinct entities "
             f"(> {MAX_PAIR_TICKERS}); the pair space is O(T²/2) per "
-            f"trading day. Restrict the universe (sector/index subset) "
-            f"or switch to a factor-model covariance instead of "
-            f"all-pairs correlation."
+            f"trading day. The count is over the raw price projection, "
+            f"so single-tick entities (which produce no return rows) "
+            f"are included — a deliberately conservative cap. Restrict "
+            f"the universe (sector/index subset) or switch to a "
+            f"factor-model covariance instead of all-pairs correlation."
         )
 
 
@@ -2500,6 +2502,107 @@ def q_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import risk
 
     return risk.seasonal_mann_kendall(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_runs_test",
+    with_reference_ctes("""
+SELECT stock_ticker, n_up, n_down, n_runs, runs_excess_ppm
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
+  dif AS (
+    SELECT e, d, vc - LAG(vc) OVER (PARTITION BY e ORDER BY d) AS dvc
+    FROM base),
+  sgn AS (
+    SELECT e, d, CASE WHEN dvc > 0 THEN 1 ELSE -1 END AS s
+    FROM dif WHERE dvc IS NOT NULL AND dvc <> 0),
+  chg AS (
+    SELECT e, s,
+           CASE WHEN LAG(s) OVER (PARTITION BY e ORDER BY d) IS NULL
+                  OR LAG(s) OVER (PARTITION BY e ORDER BY d) = s
+                THEN 0 ELSE 1 END AS c
+    FROM sgn),
+  agg AS (
+    SELECT e,
+           CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+           CAST(SUM(c) + 1 AS BIGINT) AS n_runs
+    FROM chg GROUP BY e)
+  SELECT e AS stock_ticker, n_up, n_down, n_runs,
+         CAST(((CAST(n_runs AS HUGEINT) * (n_up + n_down)
+                - (n_up + n_down)
+                - 2 * CAST(n_up AS HUGEINT) * n_down) * 1000000)
+              // ((n_up + n_down) + 2 * CAST(n_up AS HUGEINT) * n_down)
+              AS BIGINT) AS runs_excess_ppm
+  FROM agg WHERE n_up > 0 AND n_down > 0)
+"""),
+    doc="Wald-Wolfowitz up/down runs test per ticker "
+        "(operators/risk.runs_test) — the RANDOMNESS companion to the "
+        "trend family: mann_kendall asks 'is there a monotone trend', "
+        "this asks 'is the sign sequence random at all'. Ties dropped "
+        "per the classical test; runs = 1 + sign-changes over the "
+        "tie-free sequence; excess vs the exact null E[R] = "
+        "1 + 2·n_up·n_down/n emitted as pure integer ppm by integral "
+        "division (toward-zero both engines) — negative = momentum "
+        "(too few runs), positive = mean-reversion. Integer end to "
+        "end on the cent-quantized series. Scale: two per-entity "
+        "window sorts (diff lag + run-boundary lag), one map-side-"
+        "combined aggregate — no pair space, no collect, linear in "
+        "rows like ref_ols_trend",
+    tags=("reference", "risk", "statistics"),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.runs_test(stock_prices(spark, sf_dir))
+
+
+@register(
+    "ref_turning_points",
+    with_reference_ctes("""
+SELECT stock_ticker, n_obs, n_turning, turning_excess_ppm
+FROM (
+  WITH base AS (
+    SELECT stock_ticker AS e, stock_date AS d,
+           CAST(ROUND(stock_close * 100) AS BIGINT) AS vc
+    FROM stock_prices
+    WHERE stock_close IS NOT NULL AND stock_date IS NOT NULL),
+  mk AS (
+    SELECT e,
+           CASE WHEN (vc > LAG(vc) OVER w AND vc > LEAD(vc) OVER w)
+                  OR (vc < LAG(vc) OVER w AND vc < LEAD(vc) OVER w)
+                THEN 1 ELSE 0 END AS tp
+    FROM base WINDOW w AS (PARTITION BY e ORDER BY d)),
+  agg AS (
+    SELECT e, CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(tp) AS BIGINT) AS n_turning
+    FROM mk GROUP BY e)
+  SELECT e AS stock_ticker, n_obs, n_turning,
+         CAST(((3 * CAST(n_turning AS HUGEINT) - 2 * (n_obs - 2))
+               * 1000000)
+              // (2 * (n_obs - 2)) AS BIGINT) AS turning_excess_ppm
+  FROM agg WHERE n_obs >= 3)
+"""),
+    doc="turning-points randomness test per ticker "
+        "(operators/risk.turning_points) — the CHEAP screen next to "
+        "ref_runs_test: count strict local extrema in the date-ordered "
+        "cent series vs the exact i.i.d. null expectation 2(n−2)/3, "
+        "excess as pure integer ppm by integral division — negative = "
+        "smooth/trending, positive = oscillating. Ties break "
+        "strictness and don't count (classical treatment). Scale: ONE "
+        "per-entity window sort (lag+lead in the same frame, no "
+        "tie-free re-sequencing), one aggregate — the lightest member "
+        "of the randomness family",
+    tags=("reference", "risk", "statistics"),
+)
+def q_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import risk
+
+    return risk.turning_points(stock_prices(spark, sf_dir))
 
 
 @register(

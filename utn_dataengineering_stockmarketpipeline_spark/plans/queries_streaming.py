@@ -1262,6 +1262,46 @@ def _register_stream_mann_whitney_drift() -> None:
 _register_stream_mann_whitney_drift()
 
 
+def _register_stream_jonckheere_trend() -> None:
+    """Same late-import discipline: oracle = the batch
+    ana_jonckheere_trend SQL verbatim (stream==batch)."""
+    from .queries_analytics import _JT_ORACLE_SQL
+
+    @register(
+        "stream_jonckheere_trend",
+        _JT_ORACLE_SQL,
+        doc="STREAMING Jonckheere-Terpstra ordered-alternative trend "
+            "monitor — the sixth distributional monitor on the "
+            "stream_ks_drift protocol and the first ORDERED-GROUPS "
+            "member: per micro-batch partial (source, n_chars) counts "
+            "grids in idempotent batch_id=N overwrite partitions, one "
+            "post-drain groupBy-sum merge, then "
+            "skew.jonckheere_from_counts re-derives the exact "
+            "doubled-integer tie-exact J statistic and integral-"
+            "division trend_ppm — hash-equal to the batch "
+            "ana_jonckheere_trend oracle verbatim. KS, EMD, PSI, "
+            "CUSUM, Mann-Whitney, and now Jonckheere ALL read from "
+            "the one shared mergeable counts grid: a production feed "
+            "pays one partial-counts write per ingest batch and gets "
+            "the shape tests, the change-point localizer, the "
+            "stochastic-order test, AND the ordered-trend verdict "
+            "('are release batches drifting monotonically') from the "
+            "same state",
+        tags=("streaming", "drift", "quality", "scale", "statistics"),
+    )
+    def q_stream_jonckheere_trend(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..operators.skew import jonckheere_from_counts
+
+        return _drained_counts_monitor(
+            spark, sf_dir, jonckheere_from_counts, "jtstream_"
+        )
+
+
+_register_stream_jonckheere_trend()
+
+
 @register(
     "stream_quarantine_gate",
     """
