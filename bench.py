@@ -222,6 +222,34 @@ BENCH_QUERIES = (
     "ana_jonckheere_trend",
     "stream_mann_whitney_drift",
     "llm_lsh_recall_eval",
+    # round-16 additions: runs/turning-point randomness screens,
+    # integer-ppm HITS, the embedding-LSH recall eval loop, and the
+    # Jonckheere streaming twin
+    "ref_runs_test",
+    "ref_turning_points",
+    "ana_hits_graph",
+    "llm_embedding_recall_eval",
+    "stream_jonckheere_trend",
+)
+
+# Untimed warmup phase: run BEFORE the timed loop so one-off
+# process-level costs (JIT compilation depth, codegen cache, Python
+# worker pool spin-up, Arrow serializer init, shuffle machinery) are
+# paid outside every timed number. min-of-3 only absorbs PER-QUERY
+# first-run cost; the process-level warmup is global and lands on
+# whichever queries run early — r12-r15 showed the LSH/calibration
+# family (deep Python-worker + BLAS paths) drifting 1.3-2.9x between
+# captures purely from warmup depth (plans git-identical, interleaved
+# A/B always reconverging). The set below touches every runtime
+# family once: JVM codegen/scan (scalar agg), window+join (rolling
+# mean), Arrow mapInPandas + BLAS (embedding LSH), the banded MinHash
+# shuffle + calibration path itself, and a groupBy-heavy text plan.
+WARMUP_QUERIES = (
+    "ref_global_max_date",
+    "ref_rolling_30day_mean",
+    "llm_embedding_near_dup_lsh",
+    "llm_minhash_calibration",
+    "llm_token_stats",
 )
 
 
@@ -1079,8 +1107,16 @@ def main() -> None:
     spark = get_spark("utn-stockmarket-bench")
     timings: dict[str, float] = {}
 
-    # Warm the JVM/codegen once so timings measure the plans, not startup.
-    CATALOG["ref_global_max_date"].build(spark, sf_dir).collect()
+    # Untimed warmup phase (see WARMUP_QUERIES): amortize process-level
+    # JIT/codegen/Python-worker/Arrow/shuffle warmup for the whole
+    # roster, so min-of-3 measures steady-state plans, not warmup
+    # depth. The calibration/LSH members run TWICE — the r12/r14 A/B
+    # captures showed that family converging over several runs, and
+    # one min-of-3 pass on a cold path still reports an inflated min.
+    for wname in WARMUP_QUERIES:
+        CATALOG[wname].build(spark, sf_dir).count()
+    for wname in ("llm_embedding_near_dup_lsh", "llm_minhash_calibration"):
+        CATALOG[wname].build(spark, sf_dir).count()
 
     total = 0.0
     jvm_gc = spark.sparkContext._jvm.System.gc
@@ -1124,7 +1160,9 @@ def main() -> None:
         # Measured run-to-run variance of the common-set total at
         # sf0.1 under this scheme: ±7% (per-query deltas under
         # ~30% at sub-second scale are noise, not regressions).
-        "timing": "min-of-3, full-GC isolation per query",
+        "timing": "untimed warmup phase (WARMUP_QUERIES, LSH/calibration "
+                  "members twice), then min-of-3 with full-GC isolation "
+                  "per query",
         # r10->r11 reconciliation: the r10 capture's broad ~1.25x
         # per-query slowdown was HOST LOAD, not code — the r11 re-run
         # on an idle host matches r9 at median ratio 0.990 over the 48

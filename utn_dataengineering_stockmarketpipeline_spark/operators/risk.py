@@ -516,52 +516,107 @@ def theil_sen_slope(
         F.col(date_col).alias("d"),
         F.round(F.col(value_col) * 100).cast("bigint").alias("vc"),
     )
-    _enforce_pair_cap(base, "theil_sen_slope")
-    return _theil_sen_from_base(base).select(
+    max_obs = _enforce_pair_cap(base, "theil_sen_slope")
+    return _theil_sen_from_base(base, max_obs=max_obs).select(
         F.col("e").alias(entity_col), "n_pairs", "slope_micro"
     )
 
 
-def _enforce_pair_cap(base: DataFrame, op_name: str) -> None:
+def _enforce_pair_cap(base: DataFrame, op_name: str) -> int:
     """Raise when any entity's observation count makes the O(n²/2)
     pair space unreasonable (shared by theil_sen_slope and
-    mann_kendall — one tiny max aggregate, never a pair).
-    theil_sen_eval folds the same probe into its counts aggregate via
-    :func:`_check_pair_cap` instead of paying a separate scan."""
+    mann_kendall — one tiny max aggregate, never a pair); returns the
+    observed per-entity max so the caller can pick the physical
+    strategy from the same probe. theil_sen_eval folds the probe into
+    its counts aggregate via :func:`_check_pair_cap` instead of paying
+    a separate scan."""
     per = base.groupBy("e").agg(F.count(F.lit(1)).alias("n"))
-    _check_pair_cap(per.agg(F.max("n").alias("m")).collect(), op_name)
+    return _check_pair_cap(per.agg(F.max("n").alias("m")).collect(), op_name)
 
 
-def _check_pair_cap(worst, op_name: str) -> None:
+def _check_pair_cap(worst, op_name: str) -> int:
     """The raise half of :func:`_enforce_pair_cap`, over an already-
-    collected 1-row ``[Row(m=max_per_entity_count)]`` probe result."""
-    if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
+    collected 1-row ``[Row(m=max_per_entity_count)]`` probe result;
+    returns the observed max (0 on an empty relation)."""
+    m = worst[0]["m"] if worst and worst[0]["m"] is not None else 0
+    if m > MAX_THEIL_SEN_OBS:
         raise ValueError(
-            f"{op_name}: an entity has {worst[0]['m']} observations "
+            f"{op_name}: an entity has {m} observations "
             f"(> {MAX_THEIL_SEN_OBS}); the pair space is O(n²/2) by "
             f"definition. Downsample the series or fit a non-robust "
             f"trend instead."
         )
+    return m
+
+
+#: Per-entity observation count above which the Theil-Sen machinery
+#: switches physical strategy. Below it (every driver SF: ~2.4k obs
+#: per ticker) the naive entity-key self-join + single-level bucket
+#: probe wins — the interleaved A/B in AB_r16_theil.json measured the
+#: decomposed machinery's fixed overhead (block windows, explodes, two
+#: checkpoint job barriers, a third pair pass) at ~1.5x on small
+#: series. Above it the block-decomposed generation + two-level probe
+#: wins by construction: at 8192 obs a single task already holds 33M
+#: pairs, and at the 100k cap the naive plan is one ~5e9-pair
+#: straggler task plus one median-bucket sort holding up to half that
+#: mass — the decomposed plan bounds every task at ~B² pairs.
+TS_BLOCK_THRESHOLD = 8192
 
 
 def _theil_sen_from_base(base: DataFrame,
-                         checkpoint_pairs: bool = False) -> DataFrame:
+                         max_obs: int | None = None) -> DataFrame:
     """The Theil-Sen median machinery over a prepared non-null
-    ``(e, d, vc)`` relation → ``(e, n_pairs, slope_micro)`` — the
-    bucket-offset rank decomposition shared by :func:`theil_sen_slope`
-    and :func:`theil_sen_eval`. Caller enforces the pair cap.
+    ``(e, d, vc)`` relation → ``(e, n_pairs, slope_micro)`` — shared
+    by :func:`theil_sen_slope` and :func:`theil_sen_eval`. Caller
+    enforces the pair cap and passes the observed per-entity max
+    (``max_obs``) so the physical strategy is chosen from a statistic
+    the cap guard already collected:
 
-    ``checkpoint_pairs`` decides the double-read strategy for the pair
-    relation (bucket counts + rank probe both consume it): recompute
-    (False — right when ``base`` is a cheap projection) vs one lazy
-    localCheckpoint (True — right when ``base`` itself is expensive to
-    re-derive, e.g. theil_sen_eval's per-row md5 contamination).
-    Measured at sf0.1: slope 8.8 s checkpointed vs 6.5 s recomputed
-    (the pairs collapse map-side in both consumers, so materializing
-    ~700 MB to the block manager buys nothing); eval 9.5+ s recomputed
-    vs 7.3 s checkpointed (the md5 base doubles instead)."""
+    - ``max_obs <= TS_BLOCK_THRESHOLD`` (or unknown): naive entity-key
+      pair self-join + single-level whole-cent bucket probe. Catalyst
+      exchange reuse computes the pair stream effectively twice (the
+      bucket-count aggregate and the rank probe); per-entity tasks are
+      small, fixed overhead is minimal — the measured winner on short
+      series (AB_r16_theil.json).
+    - ``max_obs > TS_BLOCK_THRESHOLD``: block-decomposed pair
+      generation (the O(n²/2) pair space scattered over (e, blk_i,
+      blk_j) join keys instead of one task per entity) + a TWO-LEVEL
+      bucket probe (coarse cents to locate the median bucket, 1/1024-
+      cent refinement inside it) so no window task ever sorts more
+      than a sliver of the pair mass. Three pair passes, each behind
+      an eagerly-checkpointed bounded aggregate.
+
+    Both strategies emit the same pair multiset and compose ranks over
+    monotone bucket ids, so the selected pair — hence the result — is
+    bit-identical (pinned by tests/test_r15_ops.py's equivalence
+    test); the pair relation itself is never materialized (at the
+    100k-obs cap it is ~5·10⁹ rows ≈ 250 GB)."""
+    if max_obs is not None and max_obs > TS_BLOCK_THRESHOLD:
+        pb = _ts_pairs_blocked(base).withColumn(
+            "bk", F.floor("slope").cast("bigint")
+        )
+        return _ts_probe_two_level(pb)
+    pb = _ts_pairs_naive(base).withColumn(
+        "bk", F.floor("slope").cast("bigint")
+    )
+    return _ts_probe_single(pb)
+
+
+#: try_divide, not `/`, in both pair generators: dd >= 1 for every row
+#: the join condition emits, but ANSI-mode codegen may evaluate
+#: collapsed projection expressions speculatively (observed:
+#: DIVIDE_BY_ZERO thrown from the window sorter under the engine
+#: session) — the total function keeps the plan side-effect-free
+#: without changing any surviving value.
+_TS_SLOPE_EXPR = "try_divide(cast(dvc as double), dd)"
+
+
+def _ts_pairs_naive(base: DataFrame) -> DataFrame:
+    """Entity-key pair self-join: one shuffle key per entity — the
+    small-series strategy (parallelism = |entities|, one task holds an
+    entity's full pair space)."""
     a, b = base.alias("a"), base.alias("b")
-    pairs = a.join(
+    return a.join(
         b,
         (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d")),
     ).select(
@@ -570,21 +625,93 @@ def _theil_sen_from_base(base: DataFrame,
         F.col("b.d").alias("dj"),
         (F.col("b.vc") - F.col("a.vc")).alias("dvc"),
         F.datediff(F.col("b.d"), F.col("a.d")).cast("bigint").alias("dd"),
-    ).withColumn(
-        # try_divide, not `/`: dd >= 1 for every row the join condition
-        # emits, but ANSI-mode codegen may evaluate collapsed projection
-        # expressions speculatively (observed: DIVIDE_BY_ZERO thrown
-        # from the window sorter under the engine session) — the total
-        # function keeps the plan side-effect-free without changing any
-        # surviving value
-        "slope", F.expr("try_divide(cast(dvc as double), dd)")
+    ).withColumn("slope", F.expr(_TS_SLOPE_EXPR))
+
+
+def _ts_pairs_blocked(base: DataFrame) -> DataFrame:
+    """Block-decomposed pair generation — the large-series strategy.
+
+    Each entity's date-ordered rows are cut into blocks of B; the
+    earlier element of a pair (block i) replicates to join keys
+    (e, i, j≥i), the later (block j) to (e, i≤j, j), so the equi-join
+    on (e, bi, bj) scatters the O(n²/2) pair space over ~nb²/2 keys
+    per entity with only n·nb/2 replicated shuffle rows. Same pair
+    multiset as the naive join by construction: row_number respects
+    the d-order, so a.d < b.d ⇒ blk_a ≤ blk_b — cross-block pairs land
+    under exactly one key, same-block pairs under the diagonal key
+    (both orders emitted, the d-filter keeps one)."""
+    blk_sz = 512  # per-key join work ~B² ≈ 260k pairs, a right-sized task
+    w_rn = Window.partitionBy("e").orderBy("d")
+    bd = (
+        base.select("e", "d", "vc")
+        .withColumn("rn0", (F.row_number().over(w_rn) - 1).cast("bigint"))
+        .withColumn("blk", F.expr(f"rn0 div {blk_sz}"))
+        .drop("rn0")
     )
-    pb = pairs.withColumn("bk", F.floor("slope").cast("bigint"))
-    if checkpoint_pairs:
-        pb = pb.localCheckpoint(eager=False)
+    nb = bd.groupBy("e").agg(F.max("blk").alias("nbm"))
+    early = bd.join(F.broadcast(nb), "e").select(
+        "e",
+        F.col("d").alias("di"),
+        F.col("vc").alias("vci"),
+        F.col("blk").alias("bi"),
+        F.explode(F.expr("sequence(blk, nbm)")).alias("bj"),
+    )
+    late = bd.select(
+        "e",
+        F.col("d").alias("dj"),
+        F.col("vc").alias("vcj"),
+        F.col("blk").alias("bj"),
+        F.explode(F.expr("sequence(0, blk)")).alias("bi"),
+    )
+    # Explicit repartition on the join key, NOT left to AQE: the
+    # shuffled INPUT is tiny (replicated rows), so adaptive coalescing
+    # folds it to one partition and re-serializes the whole pair space
+    # into a single task — the exact skew the decomposition exists to
+    # break. The join's cost is its OUTPUT (B² pairs per key), which
+    # AQE's input-byte heuristic cannot see.
+    loop_parts = int(
+        base.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    early = early.repartition(loop_parts, "e", "bi", "bj")
+    late = late.repartition(loop_parts, "e", "bi", "bj")
+    return early.join(late, ["e", "bi", "bj"]).filter(
+        F.col("di") < F.col("dj")
+    ).select(
+        "e",
+        "di",
+        "dj",
+        (F.col("vcj") - F.col("vci")).alias("dvc"),
+        F.datediff(F.col("dj"), F.col("di")).cast("bigint").alias("dd"),
+    ).withColumn("slope", F.expr(_TS_SLOPE_EXPR))
+
+
+def _ts_median_select(ranked: DataFrame) -> DataFrame:
+    """Shared tail: pick the row whose composed rank equals the
+    lower-median target and emit the exact integral micro-slope."""
+    return (
+        ranked.filter(F.col("rn") == F.col("tgt"))
+        .select(
+            "e",
+            F.col("m").alias("n_pairs"),
+            # micro-dollars/day of the selected exact rational:
+            # dvc cents / dd days -> (dvc * 1e6) div (100 * dd)
+            F.expr("(dvc * 10000) div dd").alias("slope_micro"),
+        )
+    )
+
+
+def _ts_probe_single(pb: DataFrame) -> DataFrame:
+    """Single-level median-bucket probe (small-series strategy).
+
+    Cumulative offsets ride the (entity, bucket) relation — bounded by
+    the slope DOMAIN in cents/day, never the pair count. The
+    lower-median rank (m+1) div 2 lands in exactly ONE bucket per
+    entity (off < tgt <= off+c); resolving it on the small relation
+    FIRST means the broadcast join discards every other bucket's pairs
+    before the window, so the sort input is one bucket per entity
+    instead of all n²/2 rows. Catalyst exchange reuse shares the pair
+    stream's shuffles between the count and probe passes."""
     bc = pb.groupBy("e", "bk").agg(F.count(F.lit(1)).alias("c"))
-    # cumulative offsets ride the (entity, bucket) relation — bounded
-    # by the slope DOMAIN in cents/day, never the pair count
     w_off = Window.partitionBy("e").orderBy("bk").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -592,12 +719,6 @@ def _theil_sen_from_base(base: DataFrame,
         "e", "bk", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
     )
     m_per = bc.groupBy("e").agg(F.sum("c").alias("m"))
-    # median-bucket probe: the lower-median rank (m+1) div 2 lands in
-    # exactly ONE bucket per entity — the one with off < tgt <= off+c.
-    # Resolving it on the small (entity, bucket) relation FIRST means
-    # the broadcast join below discards every other bucket's pairs
-    # before the window, so the sort input is one bucket per entity
-    # instead of all n²/2 pairs.
     tgt = (
         bc.join(off, ["e", "bk"])
         .join(m_per, "e")
@@ -613,16 +734,72 @@ def _theil_sen_from_base(base: DataFrame,
         pb.join(F.broadcast(tgt), ["e", "bk"])
         .withColumn("rn", F.col("off") + F.row_number().over(w_in))
     )
-    return (
-        ranked.filter(F.col("rn") == F.col("tgt"))
-        .select(
-            "e",
-            F.col("m").alias("n_pairs"),
-            # micro-dollars/day of the selected exact rational:
-            # dvc cents / dd days -> (dvc * 1e6) div (100 * dd)
-            F.expr("(dvc * 10000) div dd").alias("slope_micro"),
-        )
+    return _ts_median_select(ranked)
+
+
+def _ts_probe_two_level(pb: DataFrame) -> DataFrame:
+    """Two-level median probe (large-series strategy): pair slopes
+    concentrate near zero, so the coarse median bucket can hold half
+    the pair mass — a single-level probe would sort billions of pairs
+    in ONE window task per entity at the cap. Level 1 locates the
+    median bucket on the whole-cent grid; level 2 counts a 1/1024-cent
+    refinement INSIDE that one bucket (exact binary scaling of the
+    double, id still monotone in slope); only the ONE fine sub-bucket
+    per entity reaches the rank window. Each level's counts relation
+    is eagerly checkpointed — it is bounded by the bucket grid, and
+    its consumers reference it four times (without the cut each
+    reference re-runs a full pair pass). The composed rank equals the
+    oracle's per-entity global ROW_NUMBER for any monotone bucketing,
+    so the bucket grids never appear in the oracle."""
+    pb = pb.withColumn("bk2", F.floor(F.col("slope") * 1024).cast("bigint"))
+    bc = (
+        pb.groupBy("e", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
+    w_off = Window.partitionBy("e").orderBy("bk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bc.select(
+        "e", "bk", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off")
+    )
+    m_per = bc.groupBy("e").agg(F.sum("c").alias("m"))
+    tgt = (
+        bc.join(off, ["e", "bk"])
+        .join(m_per, "e")
+        .withColumn("tgt", F.expr("(m + 1) div 2"))
+        .filter(
+            (F.col("off") < F.col("tgt"))
+            & (F.col("tgt") <= F.col("off") + F.col("c"))
+        )
+        .select("e", "bk", "off", "m", "tgt")
+    )
+    bc2 = (
+        pb.join(F.broadcast(tgt), ["e", "bk"])
+        .groupBy("e", "bk", "bk2", "off", "m", "tgt")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint()
+    )
+    w_off2 = Window.partitionBy("e").orderBy("bk2").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tgt2 = (
+        bc2.withColumn(
+            "aoff",
+            F.col("off") + F.coalesce(F.sum("c2").over(w_off2), F.lit(0)),
+        )
+        .filter(
+            (F.col("aoff") < F.col("tgt"))
+            & (F.col("tgt") <= F.col("aoff") + F.col("c2"))
+        )
+        .select("e", "bk", "bk2", "aoff", "m", "tgt")
+    )
+    w_in = Window.partitionBy("e", "bk2").orderBy("slope", "di", "dj")
+    ranked = (
+        pb.join(F.broadcast(tgt2), ["e", "bk", "bk2"])
+        .withColumn("rn", F.col("aoff") + F.row_number().over(w_in))
+    )
+    return _ts_median_select(ranked)
 
 
 def _trend_base(
@@ -799,26 +976,49 @@ def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
     combined aggregate, no sort, no second shuffle. Moment magnitudes
     stay far inside DECIMAL(38,0) (x ≤ ~2.5e4 days, y cents, n capped
     or corpus-bounded: n·Σxy ≲ 1e25·1e4 < 1e38)."""
+    return _ols_slopes_micro(base, (("vc", out_col),))
+
+
+def _ols_slopes_micro(
+    base: DataFrame, y_outs: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """:func:`_ols_slope_micro` generalized to SEVERAL y columns over
+    the same ``(e, d)`` grid in ONE map-side-combined aggregate →
+    ``(e, <out_col>...)``: the x-moments (n, Σx, Σxx) — and therefore
+    the degenerate-variance filter — are y-independent, so k slopes
+    cost one scan and 3 + 2k moments instead of k scans and 5k
+    (theil_sen_eval's contaminated + clean legs share this pass)."""
     x = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast(
         "bigint"
     )
     dec = "decimal(19,0)"
-    withx = base.select("e", x.alias("x"), F.col("vc").alias("y"))
-    m = withx.groupBy("e").agg(
+    withx = base.select(
+        "e", x.alias("x"), *[F.col(y) for y, _ in y_outs]
+    )
+    aggs = [
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
         F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
-    )
+    ]
+    for i, (y, _) in enumerate(y_outs):
+        aggs.append(F.sum(F.col(y).cast(dec)).alias(f"sy{i}"))
+        aggs.append(
+            F.sum(F.col("x").cast(dec) * F.col(y).cast(dec)).alias(f"sxy{i}")
+        )
+    m = withx.groupBy("e").agg(*aggs)
     return m.filter(
         F.expr("n >= 2 AND n * sxx - sx * sx > 0")
     ).select(
         "e",
         # cents/day = num/den; micro-$/day = num·1e4 div den (toward-
         # zero truncation in both engines, negative-safe)
-        F.expr("((n * sxy - sx * sy) * 10000) div (n * sxx - sx * sx)")
-        .alias(out_col),
+        *[
+            F.expr(
+                f"((n * sxy{i} - sx * sy{i}) * 10000)"
+                " div (n * sxx - sx * sx)"
+            ).alias(out)
+            for i, (_, out) in enumerate(y_outs)
+        ],
     )
 
 
@@ -848,9 +1048,11 @@ def theil_sen_eval(
     a pure-integer md5 band compare (the train/val/test split rule),
     and the verdict is an integer comparison — nothing floats.
 
-    Scale: one contaminated projection feeds the capped theil-sen pair
-    join and a map-side-combined OLS moment aggregate; the clean OLS
-    reads the base projection. No new shuffle shapes beyond the two
+    Scale: ONE eagerly-cached contaminated projection feeds everything
+    — the capped theil-sen pair join, the counts/cap probe, and a
+    single fused OLS moment pass that derives the clean series back
+    out of the cached values by exact integer division (no second
+    scan, no second md5 pass). No new shuffle shapes beyond the two
     estimators themselves.
     """
     base = _trend_base(prices, entity_col, date_col, value_col)
@@ -866,6 +1068,15 @@ def theil_sen_eval(
     # pure integer band compare (u·1000 < permille·2^32), the
     # split_assignment rule — no float boundary
     spiked = (u * 1000) < F.lit(contaminate_permille * (1 << 32))
+    # The contaminated base is EAGERLY localCheckpointed ONCE: five
+    # consumers read it (counts probe, both legs of the pair self-join,
+    # and the fused OLS moment pass), and every one would otherwise
+    # re-scan the parquet AND recompute the per-row md5 — the r15
+    # profile showed exactly that double-read as the residual cost.
+    # The relation is |rows| × 4 narrow columns, far cheaper to hold
+    # than the O(n²/2) pair relation (at the 100k-obs cap a pair
+    # checkpoint writes ~250 GB; this one stays proportional to the
+    # input scan).
     cont = base.select(
         "e",
         "d",
@@ -873,31 +1084,42 @@ def theil_sen_eval(
         .otherwise(F.col("vc"))
         .alias("vc"),
         spiked.cast("int").alias("__spiked"),
-    )
+    ).localCheckpoint()
     # The per-entity counts relation doubles as the pair-cap probe:
-    # localCheckpoint the (|entities|-row) aggregate once, read max()
-    # off it for the guard, and reuse it as the n_obs/n_spiked leg —
-    # one scan instead of a separate probe job (the r14 advice).
+    # read max() off it for the guard, reuse it as the n_obs/n_spiked
+    # leg — one aggregate instead of a separate probe job (the r14
+    # advice). No checkpoint needed: it re-derives from the cached
+    # cont in one cheap map-side agg.
     counts = cont.groupBy("e").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum("__spiked").cast("bigint").alias("n_spiked"),
-    ).localCheckpoint()
-    _check_pair_cap(
+    )
+    max_obs = _check_pair_cap(
         counts.agg(F.max("n_obs").alias("m")).collect(), "theil_sen_eval"
     )
+    # With cont cached, the pair passes re-derive from the block
+    # manager — regeneration is a cache scan, exactly the contract
+    # the strategy-selected machinery assumes in both branches.
     ts = _theil_sen_from_base(
-        cont.select("e", "d", "vc"), checkpoint_pairs=True
+        cont.select("e", "d", "vc"), max_obs=max_obs
     ).select(
         "e", F.col("slope_micro").alias("slope_ts_micro")
     )
-    ols_cont = _ols_slope_micro(
-        cont.select("e", "d", "vc"), "slope_ols_micro"
+    # Both OLS legs in ONE moment pass: the clean series is recovered
+    # from the cached contaminated one by exact integer division
+    # (spiked vc = clean_vc · spike_factor by construction, so `div`
+    # inverts it losslessly) — no re-scan of the raw base, no second
+    # md5 pass, and the x-moments/filter are shared.
+    clean_vc = F.when(
+        F.col("__spiked") == 1, F.expr(f"vc div {int(spike_factor)}")
+    ).otherwise(F.col("vc"))
+    ols_both = _ols_slopes_micro(
+        cont.select("e", "d", "vc", clean_vc.alias("vc_clean")),
+        (("vc", "slope_ols_micro"), ("vc_clean", "slope_clean_micro")),
     )
-    ols_clean = _ols_slope_micro(base, "slope_clean_micro")
     return (
         counts.join(ts, "e")
-        .join(ols_cont, "e")
-        .join(ols_clean, "e")
+        .join(ols_both, "e")
         .select(
             F.col("e").alias(entity_col),
             "n_obs",
