@@ -365,6 +365,35 @@ def main() -> None:
         print(f"  {label}: {out[label]}", flush=True)
         edges.unpersist()
 
+    # k-core peel (r16 verdict ask — the 10x bench ratio was 4.04 with
+    # no 100x row): per sweep one degree aggregation + two node-key
+    # semi-joins over an edge relation that only SHRINKS, eager
+    # localCheckpoint per sweep. rounds is FIXED (3), so the sweep
+    # count does not grow with the factor — the namespace replica
+    # preserves per-replica degree structure exactly, meaning the
+    # peel cascade depth is factor-invariant and wall should scale
+    # with edges like the other bounded-loop graph ops.
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        kcore_peel,
+    )
+
+    for label, fac in (("kcore_1x", 1), (f"kcore_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = kcore_peel(edges, k=4, rounds=3).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
     # Gini (r13): bucket offsets ride the value domain, the rank
     # window partitions by bucket — wall should track the scan
     from utn_dataengineering_stockmarketpipeline_spark.operators.skew import (
@@ -509,6 +538,44 @@ def main() -> None:
          lambda: risk.ljung_box(risk.returns_ppm(tr_1x)),
          lambda: risk.ljung_box(risk.returns_ppm(tr_nx)))
     tr_1x.unpersist(), tr_nx.unpersist()
+
+    # Theil-Sen LONG-SERIES strategy crossover (r16): one entity with
+    # 20k observations = 200M pairs. The naive entity-key plan puts
+    # the whole pair space in ONE task (the straggler
+    # TS_BLOCK_THRESHOLD exists for); the shipped adaptive path
+    # switches to the block-decomposed generator + two-level probe and
+    # spreads it over ~820 (e, blk_i, blk_j) keys. Both strategies are
+    # bit-identical (tests/test_r16_ops.py); this measures the wall
+    # ratio that justifies the switch — strategy forced via the
+    # max_obs parameter the cap probe normally supplies.
+    long_base = (
+        spark.range(20_000)
+        .select(
+            F.lit("L0").alias("e"),
+            F.expr(
+                "date_add(date'1960-01-01', cast(id as int))"
+            ).alias("d"),
+            (F.lit(50_000)
+             + F.pmod(F.xxhash64(F.col("id")), F.lit(2_001))
+             - F.lit(1_000)).cast("bigint").alias("vc"),
+        )
+        .persist()
+    )
+    long_base.count()
+    for label, mx in (("theil_long_naive", 0),
+                      ("theil_long_blocked", 20_001)):
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = risk._theil_sen_from_base(long_base, max_obs=mx).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+    out["theil_long_note"] = (
+        "20k-obs single series (200M pairs); naive = one straggler "
+        "task, blocked = (e,bi,bj)-scattered + two-level probe; the "
+        "adaptive switch at TS_BLOCK_THRESHOLD=8192 picks blocked here"
+    )
+    long_base.unpersist()
 
     # quarantine gate under MANY batches: fixed per-batch volume, 3 vs
     # 30 single-file micro-batches (fixed 10x regardless of the main
