@@ -135,6 +135,102 @@ def sharpe(
     )
 
 
+def sortino_ratio(
+    rets: DataFrame,
+    periods_per_year: float = 252.0,
+    entity_col: str = "stock_ticker",
+) -> DataFrame:
+    """Annualized Sortino per entity → ``(entity, n_days, mean_ppm,
+    downside_ppm, sortino_ann)`` (6dp) — :func:`sharpe`'s
+    asymmetric-risk companion (built r16, staged for r18): volatility
+    in the denominator is replaced by the DOWNSIDE semideviation
+    ``sqrt(Σ min(ret,0)² / n)`` (target 0, population form), so upside
+    variance stops being punished — the ranking metric a curation /
+    strategy-selection pass actually wants when return distributions
+    are skewed.
+
+    The sharpe float discipline verbatim: S = Σ ret and
+    Qd = Σ min(ret,0)² are exact integer sums (< 2^53, their doubles
+    exact); mean, downside deviation, and the ratio derive from
+    (S, Qd, n) in one pinned association, ROUND 6 at the end —
+    bit-identical cross-engine, no parallel-float ambiguity. Entities
+    with < 2 returns or zero downside (no negative return — the ratio
+    is undefined/infinite) drop.
+
+    Scale: one map-side-combined three-moment aggregate per entity —
+    no window, no join, linear in rows.
+    """
+    neg = F.when(F.col("ret_ppm") < 0, F.col("ret_ppm")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    agg = rets.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ret_ppm").cast("double").alias("s"),
+        F.sum(neg * neg).cast("double").alias("qd"),
+    )
+    base = (
+        agg.filter((F.col("n_days") >= 2) & (F.col("qd") > 0))
+        .select(
+            entity_col,
+            "n_days",
+            (F.col("s") / F.col("n_days")).alias("mean_raw"),
+            F.sqrt(F.col("qd") / F.col("n_days")).alias("dd_raw"),
+        )
+    )
+    return base.select(
+        entity_col,
+        "n_days",
+        F.round("mean_raw", 6).alias("mean_ppm"),
+        F.round("dd_raw", 6).alias("downside_ppm"),
+        F.round(
+            (F.col("mean_raw") / F.col("dd_raw"))
+            * F.sqrt(F.lit(periods_per_year)),
+            6,
+        ).alias("sortino_ann"),
+    )
+
+
+def omega_ratio(
+    rets: DataFrame,
+    entity_col: str = "stock_ticker",
+) -> DataFrame:
+    """Omega ratio at threshold 0 per entity → ``(entity, n_days,
+    gain_ppm_sum, loss_ppm_sum, omega_ppm)`` (built r16, staged for
+    r18): Ω = Σ gains / Σ |losses| over the daily ppm returns — the
+    whole-distribution gain/loss mass ratio (Keating & Shadwick), the
+    member of the risk-adjusted family that needs NO variance, NO
+    sqrt, and therefore emits as a PURE INTEGER: both sums are exact
+    BIGINTs and the ratio is ``gains·1e6 div losses`` (toward-zero
+    integral division, the theil-sen discipline) — bit-identical
+    cross-engine with no float anywhere.
+
+    Entities with no losing day drop (Ω undefined/infinite — the
+    degenerate-denominator rule shared with sharpe/sortino).
+
+    Scale: one map-side-combined aggregate, linear in rows.
+    """
+    gain = F.when(F.col("ret_ppm") > 0, F.col("ret_ppm")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    loss = F.when(F.col("ret_ppm") < 0, -F.col("ret_ppm")).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    agg = rets.groupBy(entity_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(gain).cast("bigint").alias("gain_ppm_sum"),
+        F.sum(loss).cast("bigint").alias("loss_ppm_sum"),
+    )
+    return agg.filter(F.col("loss_ppm_sum") > 0).select(
+        entity_col,
+        "n_days",
+        "gain_ppm_sum",
+        "loss_ppm_sum",
+        F.expr("(gain_ppm_sum * 1000000) div loss_ppm_sum").alias(
+            "omega_ppm"
+        ),
+    )
+
+
 def longest_positive_streak(
     rets: DataFrame,
     entity_col: str = "stock_ticker",

@@ -1065,3 +1065,124 @@ def kruskal_wallis_from_counts(counts: DataFrame, value_col: str,
             ).cast("bigint").alias("h_tie_micro"),
         )
     )
+
+
+def mood_median_drift(df: DataFrame, value_col: str,
+                      group_col: str) -> DataFrame:
+    """Mood's median test over ALL groups at once → ONE row
+    ``(n_groups, n_obs, grand_median, n_above, chi2_micro)`` — built
+    r16, staged for r18: the K-group location test that completes the
+    drift family's robustness ladder. Kruskal-Wallis reads the full
+    rank structure (powerful, but one far-tail source can carry it);
+    Mood's test dichotomizes every observation at the POOLED grand
+    median — "does each source put the expected share of its mass
+    above the corpus median?" — the maximally outlier-resistant gate
+    (a document of any absurd length counts exactly once, above).
+
+    Exact integer form on the shared counts grid: the grand median is
+    the pooled lower-median order statistic (cumulative value-domain
+    counts, the VaR/theil-sen discrete rule — never interpolated);
+    with ``a_g`` = group mass strictly above it, ``A = Σ a_g``,
+    ``B = N − A``, the 2×K chi-square collapses to
+
+        chi² = Σ_g (a_g·N − n_g·A)² / (n_g · A · B)
+
+    (both table cells of a group share the same integer deviation
+    ``d_g = a_g·N − n_g·A`` up to sign). Emitted as ``chi2_micro`` via
+    per-group integral division (``(d_g²·1e6) div n_g``, truncation ≤ 1
+    micro-unit per group) and one final division by A·B — the
+    kruskal_wallis emission discipline, DECIMAL(38,0) intermediates
+    (d_g² ≤ n_g²·N² — exact to ~1e10 pooled rows), no doubles, no libm.
+
+    Degenerate splits (A = 0 or B = 0 — everything on one side of the
+    median, chi² undefined) are excluded by the final guard.
+
+    Scale posture identical to kruskal_wallis_drift: one counts
+    shuffle, one value-domain cumulative pass (domain-bounded), one
+    group aggregate, 1-row broadcasts — never a pair join, never a
+    grid. Same mergeable (group, value) counts state as
+    KS/PSI/EMD/CUSUM/MW/JT/KW — an eventual streaming twin is one
+    `_drained_counts_monitor` call.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return mood_median_from_counts(counts, value_col, group_col)
+
+
+def mood_median_from_counts(counts: DataFrame, value_col: str,
+                            group_col: str) -> DataFrame:
+    """:func:`mood_median_drift` over a pre-aggregated non-null
+    ``(group, value, c)`` counts relation — the same shared mergeable
+    monitoring state as KS/PSI/EMD/CUSUM/MW/Jonckheere/KW."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    vals = counts.groupBy(value_col).agg(F.sum("c").alias("v_cnt"))
+    w_cum = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vals.withColumn("cum", F.sum("v_cnt").over(w_cum))
+    tot = cum.agg(
+        F.sum("v_cnt").alias("n"),
+    ).withColumn("tgt", F.expr("(n + 1) div 2"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.col("tgt"))
+        .agg(F.min(value_col).alias("grand_median"))
+    )
+    per_g = (
+        counts.crossJoin(F.broadcast(med))
+        .groupBy(group_col)
+        .agg(
+            F.sum("c").alias("n_g"),
+            F.sum(
+                F.when(F.col(value_col) > F.col("grand_median"),
+                       F.col("c")).otherwise(F.lit(0).cast("bigint"))
+            ).alias("a_g"),
+            F.first("grand_median").alias("grand_median"),
+        )
+    )
+    stats = per_g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n_g").alias("n_obs"),
+        F.sum("a_g").alias("n_above"),
+        F.first("grand_median").alias("grand_median"),
+    )
+    terms = (
+        per_g.crossJoin(
+            F.broadcast(stats.select(
+                F.col("n_obs").alias("nn"), F.col("n_above").alias("aa")
+            ))
+        )
+        .select(
+            F.lit(1).alias("__one"),
+            # d_g = a_g·N − n_g·A; per-group integral division by n_g
+            F.expr(
+                f"((cast(a_g as {dec}) * nn - cast(n_g as {dec}) * aa)"
+                f" * (cast(a_g as {dec}) * nn - cast(n_g as {dec}) * aa)"
+                f" * 1000000) div n_g"
+            ).alias("tg"),
+        )
+        .groupBy("__one")
+        .agg(F.sum(F.col("tg").cast(dec)).alias("s"))
+    )
+    return (
+        stats.withColumn("__one", F.lit(1))
+        .join(terms, "__one")
+        .filter(
+            (F.col("n_above") > 0) & (F.col("n_above") < F.col("n_obs"))
+        )
+        .select(
+            "n_groups",
+            "n_obs",
+            "grand_median",
+            "n_above",
+            F.expr(
+                f"s div (cast(n_above as {dec})"
+                f" * (n_obs - n_above))"
+            ).cast("bigint").alias("chi2_micro"),
+        )
+    )

@@ -1448,3 +1448,84 @@ def kl_source_divergence(df: DataFrame, id_col: str = "doc_id",
             "kl_micro",
         )
     )
+
+
+def heaps_law(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", n_buckets: int = 16) -> DataFrame:
+    """Vocabulary saturation curve (Heaps' law) → one row per ingest
+    bucket ``(bucket, n_docs_cum, n_tokens_cum, n_terms_cum)`` — built
+    r16, staged for r18: how fast the DISTINCT vocabulary grows as the
+    corpus accumulates. The curation planning signal behind "is more
+    of this source still adding new language?": a saturating curve
+    (vocab ~ tokens^β flattening) says additional documents are
+    re-hashes of known vocabulary — the corpus-level complement of
+    per-document ngram_novelty, and the empirical basis for
+    tokenizer-vocabulary sizing.
+
+    Ingest order: id order stands in for arrival order (the
+    ngram_novelty convention — deterministic and incremental). Buckets
+    are FIXED id-range slices (bucket k covers ids in
+    [min + k·span, ...), span = (max−min+1)/n_buckets rounded up) —
+    one 1-row min/max broadcast, NO global row sort (a row_number
+    ranking would single-task the corpus; uneven id density just makes
+    uneven buckets, which the emitted cumulative token counts expose
+    honestly).
+
+    The cumulative-distinct trick: a term contributes to the
+    vocabulary from its FIRST bucket onward, so n_terms_cum(k) =
+    #{terms: min_bucket(term) ≤ k} — one min-aggregate over the
+    exploded (term, bucket) pairs, one n_buckets-row cumulative
+    window. Never a per-bucket distinct-union rescan. Integer end to
+    end.
+
+    Scale: explode → two partial-aggregated shuffles (term-level min,
+    bucket-level counts) + an n_buckets-row window. Empty input →
+    empty relation.
+    """
+    bounds = df.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).withColumn(
+        "span",
+        F.expr(f"(hi - lo + {n_buckets}) div {n_buckets}"),
+    )
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(f"({id_col} - lo) div span").cast("int").alias("bucket"),
+            F.col(id_col).alias("__id"),
+            toks.alias("__toks"),
+        )
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("__toks")).cast("bigint").alias("n_tokens"),
+    )
+    first_bucket = (
+        bucketed.select("bucket", F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("bucket").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_bucket.join(
+            first_bucket.withColumnRenamed("fb", "bucket"), "bucket", "left"
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("new_terms", F.lit(0).cast("bigint")).alias("nt"),
+        )
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w_cum).cast("bigint").alias("n_docs_cum"),
+            F.sum("n_tokens").over(w_cum).cast("bigint")
+            .alias("n_tokens_cum"),
+            F.sum("nt").over(w_cum).cast("bigint").alias("n_terms_cum"),
+        )
+    )
