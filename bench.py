@@ -1195,6 +1195,15 @@ def main() -> None:
                             "warmup depth, not code: path git-identical "
                             "to r12; idle min-of-5 converges to 2.19s "
                             "(1.17x r12, 0.84x r13)",
+        # r16 root cause of ALL the capture drift above: the host shows
+        # load-average spikes of 10-20+ with no processes visible
+        # inside the container (ambient noisy neighbors), so absolute
+        # captures taken in different rounds swing 2-3x. The warmup
+        # phase removes the warmup-depth component; the load component
+        # is recorded here so a capture can be judged in context.
+        # Same-session interleaved A/Bs (AB_r16_theil.json,
+        # AB_r16_regressions.json) are the comparison instrument.
+        "loadavg_at_capture": [round(x, 2) for x in os.getloadavg()],
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         f"scale_ratios_{factor}x_over_1x": ratios,

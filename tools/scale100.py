@@ -163,6 +163,19 @@ def main() -> None:
              _sourced(docs_1x), "n_chars", "source"),
          lambda: skew.kruskal_wallis_drift(
              _sourced(docs_nx), "n_chars", "source"))
+    # Mood's median test (staged r16→r18) is the 8th counts-grid
+    # consumer — one value-domain cumulative pass + one group
+    # aggregate, same scan-bound expectation as KS/KW
+    pair("mood_median",
+         lambda: skew.mood_median_drift(
+             _sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.mood_median_drift(
+             _sourced(docs_nx), "n_chars", "source"))
+    # Heaps saturation (staged r16→r18): token explode scans scale,
+    # the first-bucket min-aggregate is vocab-bounded like zipf's
+    pair("heaps_law",
+         lambda: text_ops.heaps_law(docs_1x),
+         lambda: text_ops.heaps_law(docs_nx))
     # Zipf slope: the token-count shuffle scales, the vocabulary
     # relation (replicated text -> constant distinct terms) does not
     pair("zipf_slope",
@@ -311,6 +324,38 @@ def main() -> None:
         bench._full_gc(spark)
         t0 = time.perf_counter()
         rows = pagerank(edges, iters=10).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
+    # Personalized PageRank (staged r16→r18) on the same namespace
+    # replica: the pagerank loop with a teleport column on the node
+    # relation — seeds replicate WITH the namespace so per-replica
+    # teleport structure is factor-invariant; wall should track
+    # pagerank's
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    for label, fac in (("ppr_1x", 1), (f"ppr_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        seeds = (
+            spark.range(fac).select(F.col("id").alias("rep"))
+            .crossJoin(spark.range(100).select(F.col("id").alias("ck")))
+            .select(F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                             F.col("ck")).alias("node"))
+        )
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = personalized_pagerank(edges, seeds, iters=10).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3),
                       "rows": rows}
         print(f"  {label}: {out[label]}", flush=True)
@@ -489,6 +534,15 @@ def main() -> None:
     pair("var_historical",
          lambda: risk.var_cvar(risk.returns_ppm(var_1x)),
          lambda: risk.var_cvar(risk.returns_ppm(var_nx)))
+    # Sortino / Omega (staged r16→r18): one map-side-combined
+    # aggregate each over the same ticker replica — pure scan-bound,
+    # the lightest members of the risk family
+    pair("sortino",
+         lambda: risk.sortino_ratio(risk.returns_ppm(var_1x)),
+         lambda: risk.sortino_ratio(risk.returns_ppm(var_nx)))
+    pair("omega",
+         lambda: risk.omega_ratio(risk.returns_ppm(var_1x)),
+         lambda: risk.omega_ratio(risk.returns_ppm(var_nx)))
     var_1x.unpersist(), var_nx.unpersist()
 
     # Mann-Kendall + Theil-Sen eval (r14): the O(n²/2)-per-entity pair
