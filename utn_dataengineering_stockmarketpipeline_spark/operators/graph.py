@@ -24,6 +24,13 @@ from pyspark.sql import functions as F
 #: plenty for ranking/curation uses; raise for scientific use.
 DEFAULT_ITERS = 10
 
+#: kcore_peel broadcasts a sweep's newly-removed node set into the
+#: delta-degree join when it is at most this many rows (~30 MB of
+#: string keys — executor-memory safe); past it the sweep falls back
+#: to a shuffle semi-join. Typical peels remove a sliver per sweep;
+#: the big-delta case is a mass first-sweep peel on a sparse fringe.
+KCORE_BROADCAST_REMOVED = 1_000_000
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = DEFAULT_ITERS,
@@ -474,11 +481,25 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
     sub-k nodes of a sweep leave together) keeps every sweep a pure
     relational step: degree agg → keep-filter → two semi-joins.
 
-    Scale: the edge relation only SHRINKS; per sweep one degree
-    aggregation plus two hash semi-joins on node keys, eager
-    localCheckpoint per sweep because the next sweep references the
-    filtered edges three times (both semi-joins + the degree agg) —
-    lazy chaining would triple the plan subtree per round.
+    Scale (r16 rewrite — DIFFERENTIAL peeling): the survivor sets are
+    monotone (a node peeled at sweep r has no surviving edges, so
+    degree 0 at every later sweep), which makes the degree update
+    incremental: ``deg_{r+1}(a) = deg_r(a) − #edges(a → removed_r)``
+    for surviving ``a``. So after ONE full map-side-combined degree
+    count over the once-checkpointed undirected relation, each sweep
+    costs one scan of it joined against the (typically tiny,
+    broadcast) newly-removed set plus node-sized arithmetic — the
+    edge relation is never re-shuffled and never re-materialized.
+    Above :data:`KCORE_BROADCAST_REMOVED` newly-removed nodes the
+    sweep falls back to a shuffle semi-join (correctness identical;
+    a mass first-sweep peel is the one case the delta set is big).
+    The pre-r16 version checkpointed the full filtered edge relation
+    per sweep — on a 140M-edge graph that barely peels it re-wrote
+    the whole relation every round and measured 100×-scale ratio 89.6
+    where the other bounded-loop graph ops sit at 5-17; the
+    semi-join-rebuild intermediate still paid two 280M-row shuffles
+    per sweep. Sweeps that remove nothing end the cascade early
+    (bit-identical: a no-op sweep changes no degree).
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -494,18 +515,38 @@ def kcore_peel(edges: DataFrame, k: int, rounds: int,
         .distinct()
         .localCheckpoint()
     )
-    for _ in range(rounds):
-        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.filter(F.col("deg") >= k).select("a")
-        und = (
-            und.join(keep, "a", "left_semi")
-            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .localCheckpoint()
-        )
-    return (
+    deg = (
         und.groupBy("a")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .select(F.col("a").alias("node"), "deg")
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        removed = deg.filter(F.col("deg") < k).select(
+            F.col("a").alias("b")
+        )
+        n_removed = removed.count()
+        if n_removed == 0:
+            break  # cascade settled: the exact k-core is reached
+        if n_removed <= KCORE_BROADCAST_REMOVED:
+            removed = F.broadcast(removed.localCheckpoint())
+        delta = (
+            und.join(removed, "b", "left_semi")
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        deg = (
+            deg.filter(F.col("deg") >= k)
+            .join(delta, "a", "left")
+            .select(
+                "a",
+                (F.col("deg") - F.coalesce("d", F.lit(0))).alias("deg"),
+            )
+            .localCheckpoint()
+        )
+    # survivors that lost their last edge report no row (the degree
+    # aggregation over the filtered edge relation never emitted one)
+    return deg.filter(F.col("deg") > 0).select(
+        F.col("a").alias("node"), "deg"
     )
 
 
