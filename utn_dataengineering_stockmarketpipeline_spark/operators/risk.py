@@ -1164,15 +1164,18 @@ def theil_sen_eval(
     # pure integer band compare (u·1000 < permille·2^32), the
     # split_assignment rule — no float boundary
     spiked = (u * 1000) < F.lit(contaminate_permille * (1 << 32))
-    # The contaminated base is EAGERLY localCheckpointed ONCE: five
-    # consumers read it (counts probe, both legs of the pair self-join,
-    # and the fused OLS moment pass), and every one would otherwise
-    # re-scan the parquet AND recompute the per-row md5 — the r15
-    # profile showed exactly that double-read as the residual cost.
-    # The relation is |rows| × 4 narrow columns, far cheaper to hold
-    # than the O(n²/2) pair relation (at the 100k-obs cap a pair
-    # checkpoint writes ~250 GB; this one stays proportional to the
-    # input scan).
+    # The contaminated base is localCheckpointed ONCE (lazily — the
+    # counts/cap probe is the first action and materializes it, so the
+    # eager variant's separate materialization pass is folded into a
+    # job that had to run anyway; interleaved A/B had lazy ahead in
+    # 2 of 3 alternations): five consumers read it (counts probe, both
+    # legs of the pair self-join, and the fused OLS moment pass), and
+    # every one would otherwise re-scan the parquet AND recompute the
+    # per-row md5 — the r15 profile showed exactly that double-read as
+    # the residual cost. The relation is |rows| × 4 narrow columns,
+    # far cheaper to hold than the O(n²/2) pair relation (at the
+    # 100k-obs cap a pair checkpoint writes ~250 GB; this one stays
+    # proportional to the input scan).
     cont = base.select(
         "e",
         "d",
@@ -1180,7 +1183,7 @@ def theil_sen_eval(
         .otherwise(F.col("vc"))
         .alias("vc"),
         spiked.cast("int").alias("__spiked"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # The per-entity counts relation doubles as the pair-cap probe:
     # read max() off it for the guard, reuse it as the n_obs/n_spiked
     # leg — one aggregate instead of a separate probe job (the r14
