@@ -230,6 +230,14 @@ BENCH_QUERIES = (
     "ana_hits_graph",
     "llm_embedding_recall_eval",
     "stream_jonckheere_trend",
+    # round-17 additions: the ACF horizon family with its Ljung-Box
+    # white-noise gate, the Kruskal-Wallis K-group omnibus (batch +
+    # seventh streaming twin), and the token-space KL source monitor
+    "ref_acf",
+    "ref_ljung_box",
+    "ana_kruskal_wallis",
+    "stream_kruskal_wallis",
+    "llm_kl_source_divergence",
 )
 
 # Untimed warmup phase: run BEFORE the timed loop so one-off

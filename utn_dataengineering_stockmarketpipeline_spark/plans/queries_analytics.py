@@ -2150,6 +2150,82 @@ def q_jonckheere_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared with stream_kruskal_wallis (stream == batch on the same
+# mergeable counts grid, oracle verbatim — the jonckheere pattern).
+_KW_ORACLE_SQL = """
+WITH counts AS (
+  SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents
+  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+  GROUP BY source, n_chars),
+vals AS (
+  SELECT v, v_cnt,
+         2 * COALESCE(SUM(v_cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + v_cnt + 1 AS r2
+  FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS v_cnt FROM counts GROUP BY v)),
+per_g AS (
+  SELECT c.source, CAST(SUM(c.c) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(c.c AS HUGEINT) * vals.r2) AS HUGEINT) AS r2g
+  FROM counts c JOIN vals ON vals.v = c.v
+  GROUP BY c.source),
+terms AS (SELECT n_g, (r2g * r2g) // n_g AS tg FROM per_g),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(tg) AS HUGEINT) AS s
+  FROM terms),
+ties AS (
+  SELECT CAST(SUM(CAST(v_cnt AS HUGEINT) * v_cnt * v_cnt - v_cnt)
+              AS HUGEINT) AS tsum
+  FROM vals)
+SELECT n_groups, n AS n_obs,
+       CAST((3 * s * 1000000) // (CAST(n AS HUGEINT) * (n + 1))
+            - 3000000 * (n + 1) AS BIGINT) AS h_micro,
+       CAST((CAST((3 * s * 1000000) // (CAST(n AS HUGEINT) * (n + 1))
+                  - 3000000 * (n + 1) AS HUGEINT)
+             * (CAST(n AS HUGEINT) * n * n - n))
+            // (CAST(n AS HUGEINT) * n * n - n - tsum) AS BIGINT)
+         AS h_tie_micro
+FROM stats CROSS JOIN ties
+WHERE CAST(n AS HUGEINT) * n * n - n > tsum
+"""
+
+
+@register(
+    "ana_kruskal_wallis",
+    _KW_ORACLE_SQL,
+    doc="tie-corrected Kruskal-Wallis H over document length across "
+        "ALL sources at once (skew.kruskal_wallis_drift) — the K-GROUP "
+        "member of the drift family: Mann-Whitney asks 'does THIS "
+        "group differ from the rest' (one verdict per group), "
+        "Jonckheere 'do the groups trend in their given order'; "
+        "Kruskal-Wallis asks 'are the K groups drawn from the same "
+        "distribution AT ALL' — the single gate a pipeline checks "
+        "before drilling into per-group verdicts. Quantized-integer "
+        "emission (the ppm discipline applied to a rank statistic): "
+        "doubled average ranks r2(v) = 2*cum_before + c(v) + 1 are "
+        "exact integers (ties exact), doubled rank sums R2_g reduce "
+        "per group, H = 3*[SUM_g R2_g^2/n_g]/(n(n+1)) - 3(n+1) as "
+        "h_micro via per-group integral division, and the tie "
+        "correction C = 1 - SUM(c_v^3 - c_v)/(n^3 - n) multiplies "
+        "through as one more integral division — DECIMAL(38,0) "
+        "intermediates, no doubles, no libm, toward-zero both "
+        "engines. Never a pair join and never a grid: R2_g needs only "
+        "the per-VALUE rank relation (domain-bounded) broadcast onto "
+        "the counts — one counts shuffle, one domain window, one "
+        "group aggregate. The same mergeable (group, value) counts "
+        "grid as KS/PSI/EMD/CUSUM/MW/Jonckheere",
+    tags=("analytics", "drift", "quality", "scale", "statistics"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import skew
+
+    return skew.kruskal_wallis_drift(
+        load_table(spark, sf_dir, "documents"), "n_chars", "source"
+    )
+
+
 @register(
     "ana_gini_concentration",
     """

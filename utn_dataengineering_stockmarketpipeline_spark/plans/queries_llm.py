@@ -2460,6 +2460,57 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_kl_source_divergence",
+    """
+WITH tok AS (
+  SELECT source AS g, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE source IS NOT NULL),
+cells AS (
+  SELECT g, term, CAST(COUNT(*) AS BIGINT) AS o
+  FROM tok WHERE term != '' GROUP BY g, term),
+ns AS (SELECT g, CAST(SUM(o) AS BIGINT) AS ns FROM cells GROUP BY g),
+ct AS (SELECT term, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY term),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+q AS (
+  SELECT cells.g, ns.ns,
+         CAST(floor((CAST(o AS DOUBLE) / ns)
+              * ln((CAST(o AS DOUBLE) * n) / (CAST(ns AS DOUBLE) * ct))
+              * 1000000 + 0.5) AS BIGINT) AS kc
+  FROM cells JOIN ns USING (g) JOIN ct USING (term) CROSS JOIN tot)
+SELECT g AS source, ns AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST(SUM(kc) AS BIGINT) AS kl_micro
+FROM q GROUP BY g, ns
+""",
+    doc="per-source KL divergence of the TOKEN distribution from the "
+        "corpus distribution in exact integer micro-nats "
+        "(text.kl_source_divergence) — the curation signal for "
+        "source-level shift in TOKEN space: the drift family watches a "
+        "numeric column like length; this watches what the source "
+        "actually SAYS (a source full of boilerplate, code, or another "
+        "register shows a large KL even when its length distribution "
+        "is unremarkable — which source do I downweight before it "
+        "skews the LM). KL(p_src || p_corpus) = SUM_t (c_st/n_s) * "
+        "ln((c_st*n)/(n_s*c_t)) over the source's observed terms — "
+        "p_corpus(t) > 0 whenever c_st > 0, so no smoothing and every "
+        "term finite. The ccnet/MI micro-unit discipline: each cell "
+        "computed from identical integers through identical correctly-"
+        "rounded double ops, quantized ONCE (mode-stable "
+        "floor(x*1e6 + 0.5), safe for the slightly-negative cells a "
+        "common term contributes), then the per-source reduction is an "
+        "exact int64 SUM — no parallel float accumulation. Plan: one "
+        "scan + explode to the (source, term) cell relation "
+        "(|sources| x |vocab|, Zipf-bounded — never the corpus), "
+        "source margins as a window BY SOURCE, term margins BY TERM, "
+        "grand total as a 1-row broadcast (never a whole-relation "
+        "single-partition window — the MI margin-as-join lesson)",
+    tags=("llm", "text", "drift", "statistics", "scale"),
+)
+def q_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.kl_source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "llm_unigram_logprob",
     """
 WITH tok AS (

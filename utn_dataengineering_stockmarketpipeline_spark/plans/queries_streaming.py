@@ -1302,6 +1302,44 @@ def _register_stream_jonckheere_trend() -> None:
 _register_stream_jonckheere_trend()
 
 
+def _register_stream_kruskal_wallis() -> None:
+    """Same late-import discipline: oracle = the batch
+    ana_kruskal_wallis SQL verbatim (stream==batch)."""
+    from .queries_analytics import _KW_ORACLE_SQL
+
+    @register(
+        "stream_kruskal_wallis",
+        _KW_ORACLE_SQL,
+        doc="STREAMING tie-corrected Kruskal-Wallis H monitor — the "
+            "seventh distributional monitor on the stream_ks_drift "
+            "protocol and the K-GROUP omnibus member: per micro-batch "
+            "partial (source, n_chars) counts grids in idempotent "
+            "batch_id=N overwrite partitions, one post-drain "
+            "groupBy-sum merge, then skew.kruskal_wallis_from_counts "
+            "re-derives the exact doubled-rank integer h_micro and "
+            "tie-corrected h_tie_micro — hash-equal to the batch "
+            "ana_kruskal_wallis oracle verbatim. KS, EMD, PSI, CUSUM, "
+            "Mann-Whitney, Jonckheere, and now Kruskal-Wallis ALL read "
+            "from the one shared mergeable counts grid: a production "
+            "feed pays one partial-counts write per ingest batch and "
+            "gets the shape tests, the change-point localizer, the "
+            "per-group and ordered-trend verdicts, AND the K-group "
+            "omnibus gate ('did ANY source shift') from the same state",
+        tags=("streaming", "drift", "quality", "scale", "statistics"),
+    )
+    def q_stream_kruskal_wallis(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from ..operators.skew import kruskal_wallis_from_counts
+
+        return _drained_counts_monitor(
+            spark, sf_dir, kruskal_wallis_from_counts, "kwstream_"
+        )
+
+
+_register_stream_kruskal_wallis()
+
+
 @register(
     "stream_quarantine_gate",
     """
