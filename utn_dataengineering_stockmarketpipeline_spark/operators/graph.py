@@ -776,3 +776,64 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     e_src.unpersist()
     e_dst.unpersist()
     return out
+
+
+def degree_assortativity(edges: DataFrame, src: str = "src",
+                         dst: str = "dst") -> DataFrame:
+    """Directed degree assortativity (Newman) → ONE row ``(n_edges,
+    r_ppm)`` (built r17, staged for r19): the Pearson correlation,
+    ACROSS EDGES, of the source's out-degree with the target's
+    in-degree — the one-number answer to "do well-connected buyers
+    order from well-connected suppliers, or is the graph
+    hub-and-spoke?" Positive = assortative (hubs wire to hubs, dense
+    cores — LPA/k-core find real communities), negative =
+    disassortative (hubs wire to leaves, star topology — expect skewed
+    join keys and broadcast-delta peeling to shine). The structural
+    scalar a pipeline reads BEFORE paying for the iterative family
+    (pagerank/HITS/k-core): it predicts which of them will be
+    informative.
+
+    Exact integer moments: degrees are exact BIGINT counts, the five
+    Pearson moments over (x = outdeg(src), y = indeg(dst)) per edge
+    are exact DECIMAL(38,0) sums (x ≤ |E|, so Σx² ≤ |E|³ — exact to
+    ~1e12 edges), and r is derived in ONE pinned double association
+    (the acf_ppm/variance_ratio discipline: identical integers through
+    identical correctly-rounded ops in both engines) quantized ONCE to
+    signed ppm with the mode-stable ``floor(r·1e6 + 0.5)``. Degenerate
+    graphs (under 2 edges or zero variance on either side — every
+    source the same out-degree) drop, mirroring acf_ppm's guards.
+
+    Scale: two map-side-combined degree aggregates, two equi-joins
+    back onto the edge list (no hint — AQE broadcasts a degree
+    relation when it fits; at web scale both stay shuffle joins on
+    the SAME key the edge list already shuffles on), one five-moment
+    aggregate. Linear in |E|, no pair space, no iteration, no
+    collect.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    outd = e.groupBy("src").agg(F.count(F.lit(1)).alias("x"))
+    ind = e.groupBy("dst").agg(F.count(F.lit(1)).alias("y"))
+    dec = "decimal(38,0)"
+    xy = e.join(outd, "src").join(ind, "dst")
+    m = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    r = (n * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    return (
+        m.filter((F.col("n") >= 2) & (vx > 0) & (vy > 0))
+        .select(
+            F.col("n").cast("bigint").alias("n_edges"),
+            F.floor(r * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("r_ppm"),
+        )
+    )

@@ -231,6 +231,89 @@ def omega_ratio(
     )
 
 
+def calmar_ratio(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Calmar ratio per entity → ``(entity, n_obs, total_ret_ppm,
+    max_dd_ppm, calmar_ppm)`` (built r17, staged for r19) — the
+    drawdown-denominated member of the risk-adjusted family: sharpe
+    divides by volatility (punishes all variance), sortino by downside
+    semideviation (punishes downside variance), Calmar by the MAXIMUM
+    DRAWDOWN — the single worst peak-to-trough loss an allocator would
+    actually have lived through (ref_drawdown's depth number promoted
+    to a ranking denominator).
+
+    PURE INTEGER end to end on the cent-quantized series (the
+    omega/theil-sen discipline — no variance, no sqrt, no libm):
+    ``total_ret_ppm = (vc_last − vc_first)·1e6 div vc_first`` over the
+    date-ordered endpoints, per-row drawdown
+    ``(peak − vc)·1e6 div peak`` against the running cumulative max
+    (both operands nonnegative — truncation direction can't differ),
+    ``max_dd_ppm`` its per-entity max, and
+    ``calmar_ppm = total_ret_ppm·1e6 div max_dd_ppm`` (toward-zero
+    integral division both engines, negative-safe for losing
+    tickers). This is the period form (no annualization exponent —
+    a root would put libm on the result; callers annualize outside
+    the exact core if they must). Entities that never draw down
+    (monotone non-decreasing series: max_dd_ppm = 0, ratio
+    undefined/infinite) drop — the degenerate-denominator rule shared
+    with sharpe/sortino/omega.
+
+    Scale: one per-entity window sort computes the running peak AND
+    both endpoint structs in the same frame's partitioning, then one
+    map-side-combined aggregate — no join, no pair space, linear in
+    rows.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    w = Window.partitionBy("e").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = base.select(
+        "e",
+        "vc",
+        F.struct(F.col("d"), F.col("vc")).alias("dv"),
+        F.max("vc").over(w).alias("pk"),
+    )
+    agg = (
+        staged.select(
+            "e",
+            "dv",
+            F.expr(
+                "((cast(pk as decimal(19,0)) - vc) * 1000000) div pk"
+            ).cast("bigint").alias("dd_ppm"),
+        )
+        .groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.min("dv").alias("first_dv"),
+            F.max("dv").alias("last_dv"),
+            F.max("dd_ppm").alias("max_dd_ppm"),
+        )
+    )
+    return (
+        agg.filter(F.col("max_dd_ppm") > 0)
+        .select(
+            F.col("e").alias(entity_col),
+            "n_obs",
+            F.expr(
+                "((cast(last_dv.vc as decimal(19,0)) - first_dv.vc)"
+                " * 1000000) div first_dv.vc"
+            ).cast("bigint").alias("total_ret_ppm"),
+            "max_dd_ppm",
+        )
+        .withColumn(
+            "calmar_ppm",
+            F.expr(
+                "(cast(total_ret_ppm as decimal(19,0)) * 1000000)"
+                " div max_dd_ppm"
+            ).cast("bigint"),
+        )
+    )
+
+
 def longest_positive_streak(
     rets: DataFrame,
     entity_col: str = "stock_ticker",

@@ -1186,3 +1186,98 @@ def mood_median_from_counts(counts: DataFrame, value_col: str,
             ).cast("bigint").alias("chi2_micro"),
         )
     )
+
+
+def cvm_drift(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """Exact two-sample Cramér-von Mises drift per group vs the REST of
+    the corpus → ``(group, n_docs, t_micro, msq_gap_ppm)`` (built r17,
+    staged for r19) — the L2 member of the CDF-gap family: KS reads the
+    MAXIMUM pointwise CDF gap (one bad value decides), CvM integrates
+    the SQUARED gap over the whole pooled sample — sensitive to many
+    small deviations spread across the distribution that KS's single
+    max never sees (the classic KS blind spot: a source whose lengths
+    are shifted a little EVERYWHERE, never much anywhere).
+
+    Integer end to end on the counts grid: at each distinct value v the
+    scaled CDF gap ``d(v) = cum_g(v)·n_rest − cum_rest(v)·n_g`` is an
+    exact integer (the ks_drift quantity before the abs/max), and the
+    pooled-measure integral is ``S = Σ_v v_cnt·d(v)²``. Emitted as
+
+    - ``t_micro = S·1e6 div (N²·n_g·n_rest)`` — exactly 1e6× the
+      classical two-sample statistic T = Σ w·(F_g − F_rest)²·
+      (n_g·n_rest/N²) under the pooled empirical weight w = v_cnt/N,
+      and
+    - ``msq_gap_ppm = S·1e6 div (N·n_g²·n_rest²)`` — the mean squared
+      CDF gap in ppm (0 = identical, 1e6 = disjoint supports), the
+      bounded effect-size companion (what rank_biserial is to U).
+
+    DECIMAL(38,0) intermediates: S ≤ N·(n_g·n_rest)² — exact to ~1e7
+    rows per side before DEC38/HUGEINT saturate (both engines share
+    the bound; widen both past that). Integral division toward zero in
+    both engines; all operands nonnegative. Degenerate splits
+    (n_g = N: no rest) are excluded like ks_drift.
+
+    Scale posture identical to ks_drift: one map-side-combined counts
+    shuffle, then the |groups| × |distinct values| grid — never the
+    corpus, never a pair join. Same mergeable (group, value) counts
+    state as KS/PSI/EMD/CUSUM/MW/JT/KW/Mood — the streaming twin is
+    one `_drained_counts_monitor` call.
+    """
+    counts = (
+        df.filter(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(group_col, value_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cvm_from_counts(counts, value_col, group_col)
+
+
+def cvm_from_counts(counts: DataFrame, value_col: str,
+                    group_col: str) -> DataFrame:
+    """:func:`cvm_drift` over a pre-aggregated non-null ``(group,
+    value, c)`` counts relation — the same shared mergeable monitoring
+    state as KS/PSI/EMD/CUSUM/MW/Jonckheere/KW/Mood."""
+    from pyspark.sql import Window
+
+    w_all = Window.orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    vals = (
+        counts.groupBy(value_col)
+        .agg(F.sum("c").alias("v_cnt"))
+        .withColumn("cum_all", F.sum("v_cnt").over(w_all))
+    )
+    groups = counts.groupBy(group_col).agg(F.sum("c").alias("n_g"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    grid = (
+        groups.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vals))
+        .join(counts, [group_col, value_col], "left")
+        .withColumn("g_c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    w_g = Window.partitionBy(group_col).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dec = "decimal(38,0)"
+    cum_g = F.sum("g_c").over(w_g)
+    # the ks_drift deviation BEFORE abs/max: cum_g·n_rest − cum_rest·n_g
+    d = (
+        cum_g.cast(dec) * (F.col("n") - F.col("n_g")).cast(dec)
+        - (F.col("cum_all") - cum_g).cast(dec) * F.col("n_g").cast(dec)
+    )
+    term = F.col("v_cnt").cast(dec) * d * d
+    return (
+        grid.select(group_col, "n_g", "n", term.alias("tm"))
+        .groupBy(group_col, "n_g", "n")
+        .agg(F.sum("tm").alias("s"))
+        .filter(F.col("n_g") < F.col("n"))  # a lone group has no rest
+        .select(
+            group_col,
+            F.col("n_g").alias("n_docs"),
+            F.expr(
+                "(s * 1000000) div (cast(n as decimal(38,0)) * n"
+                " * n_g * (n - n_g))"
+            ).cast("bigint").alias("t_micro"),
+            F.expr(
+                "(s * 1000000) div (cast(n as decimal(38,0))"
+                " * n_g * n_g * (n - n_g) * (n - n_g))"
+            ).cast("bigint").alias("msq_gap_ppm"),
+        )
+    )

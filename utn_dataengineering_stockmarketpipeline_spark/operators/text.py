@@ -1529,3 +1529,77 @@ def heaps_law(df: DataFrame, text_col: str = "text",
             F.sum("nt").over(w_cum).cast("bigint").alias("n_terms_cum"),
         )
     )
+
+
+def source_vocab_overlap(df: DataFrame, text_col: str = "text",
+                         group_col: str = "source") -> DataFrame:
+    """Pairwise vocabulary overlap between sources → ``(source_a,
+    source_b, n_terms_a, n_terms_b, n_shared, jaccard_ppm)`` with
+    ``source_a < source_b`` (built r17, staged for r19) — the
+    source-level twin of the document-level dedup family: KL
+    (llm_kl_source_divergence) asks "how far is this source's token
+    DISTRIBUTION from the corpus"; this asks "which PAIRS of sources
+    speak the same vocabulary at all" — the mix-planning signal for
+    merging near-identical feeds (two scrapes of the same site) and
+    for spotting a source that is a vocabulary subset of another
+    before both pay the document-level dedup pass.
+
+    Pure counting, integer end to end: per-source DISTINCT term sets
+    (the shingle_pair_counts discipline applied at source granularity),
+    ``n_shared`` from one term equi-join with ``source_a < source_b``
+    riding inside it, margins attached from the per-source term
+    counts, ``jaccard_ppm = n_shared·1e6 div (n_a + n_b − n_shared)``
+    by integral division — no floats anywhere, the oracle matches
+    bit-for-bit. Pairs sharing zero terms are absent (the Jaccard-0
+    rows carry no signal and their explicit emission would force the
+    |sources|² grid).
+
+    Scale: the join relation is the VOCABULARY (Zipf-bounded), never
+    the corpus — per-term fan-out is C(k_t, 2) over the k_t ≤
+    |sources| sources containing term t, so the worst case is
+    |vocab|·|sources|²/2 with |sources| small by construction (feeds,
+    not documents). One distinct shuffle, one equi-join, one pair
+    aggregate; margins ride a broadcast-friendly |sources|-row
+    relation (unhinted — AQE converts when it fits).
+    """
+    sets = (
+        df.filter(F.col(group_col).isNotNull())
+        .select(F.col(group_col).alias("g"),
+                F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    sizes = sets.groupBy("g").agg(F.count(F.lit(1)).alias("n_terms"))
+    a = sets.alias("a")
+    b = sets.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("source_a"),
+            F.col("b.g").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("g").alias("source_a"),
+                      F.col("n_terms").alias("n_terms_a"))
+    sb = sizes.select(F.col("g").alias("source_b"),
+                      F.col("n_terms").alias("n_terms_b"))
+    return (
+        shared.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_terms_a",
+            "n_terms_b",
+            "n_shared",
+            F.expr(
+                "(n_shared * 1000000)"
+                " div (n_terms_a + n_terms_b - n_shared)"
+            ).alias("jaccard_ppm"),
+        )
+    )
