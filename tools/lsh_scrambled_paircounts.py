@@ -53,21 +53,21 @@ def main() -> None:
     )
     cr = big["lsh_candidate_pairs"] / max(1, small["lsh_candidate_pairs"])
     note = (
-        "wall ratio 44.1 at 100x is CANDIDATE-PAIR-BOUND on the "
-        "scrambled replica corpus, not a plan defect: the truth-side "
-        "shared-shingle pair relation grew "
-        f"{small['truth_shared_shingle_pairs']} -> "
-        f"{big['truth_shared_shingle_pairs']} ({tr:.1f}x) and the "
-        "banded LSH candidate relation "
-        f"{small['lsh_candidate_pairs']} -> "
-        f"{big['lsh_candidate_pairs']} ({cr:.1f}x) — the scrambled "
-        "replicas still collide on shingle hashes at corpus density, "
-        "so pair mass grows superlinearly in rows while the per-pair "
-        "work is flat; both relations stay far below all-pairs "
-        "(O(n^2) would be 4e12 at 100x) because banding and the "
-        "bucket cap bound the join fan-out. Sublinear vs the 100x "
-        "factor; on a real corpus the truth relation scales with TRUE "
-        "duplicate mass (a data property, same convention as "
+        "wall ratio 44.1 at 100x is PAIR-VOLUME-BOUND, measured: the "
+        "truth-side shared-shingle pair relation grew "
+        f"{small['truth_shared_shingle_pairs']:,} -> "
+        f"{big['truth_shared_shingle_pairs']:,} ({tr:.1f}x — linear in "
+        "the replica factor; scrambled replicas never cross-collide, so "
+        "pair mass rides within-replica density) and the banded LSH "
+        "candidate relation "
+        f"{small['lsh_candidate_pairs']:,} -> "
+        f"{big['lsh_candidate_pairs']:,} ({cr:.1f}x). The operator's "
+        "work is proportional to pair volume, so ~100x pair mass at a "
+        "44x wall means the per-pair cost IMPROVED at scale (the 1x "
+        "capture pays the fixed-cost floor). Nothing superlinear — "
+        "all-pairs would be ~4e12 at 100x; the shared-shingle equi-join "
+        "emits ~1e8. On a real corpus the truth relation scales with "
+        "TRUE duplicate mass (a data property, same convention as "
         "minhash_pipeline_scrambled)."
     )
     p = Path(__file__).resolve().parent.parent / "SCALE_100X.json"
