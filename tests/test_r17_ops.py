@@ -1,7 +1,9 @@
-"""Round-17 operator tests: the four r19-staged operators built this
-round — Calmar ratio, two-sample Cramér-von Mises drift (batch grid),
-degree assortativity, and source vocabulary overlap — each against a
-pure-Python brute-force replay of the pinned integer recurrence."""
+"""Round-17 operator tests: the r19-staged operators built this round
+(Calmar ratio, two-sample Cramér-von Mises drift, degree
+assortativity, source vocabulary overlap) and the r20-staged ones
+(Ulcer index, Theil inequality, local clustering coefficient, term
+burstiness) — each against a pure-Python brute-force replay of the
+pinned integer recurrence."""
 
 from __future__ import annotations
 
@@ -165,3 +167,102 @@ def test_source_vocab_overlap_brute_force(spark):
     r = out[("s1", "s2")]
     assert (r["n_terms_a"], r["n_terms_b"], r["n_shared"]) == (4, 2, 2)
     assert r["jaccard_ppm"] == (2 * 1_000_000) // 4
+
+
+# --- r20-staged operators (also built this round) ---
+
+
+def test_ulcer_brute_force(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import risk
+
+    series = {
+        "A": [100.0, 120.0, 90.0, 140.0, 130.0],
+        "C": [10.0, 11.0, 12.0, 13.0],  # monotone: ulcer 0, stays
+    }
+    rows = [
+        (t, _d(i), v) for t, vs in series.items() for i, v in enumerate(vs)
+    ]
+    out = {
+        r["stock_ticker"]: r
+        for r in risk.ulcer_index(_prices(spark, rows)).collect()
+    }
+    for t, vs in series.items():
+        vc = [round(v * 100) for v in vs]
+        peak, sq = vc[0], 0
+        for x in vc:
+            peak = max(peak, x)
+            dd = ((peak - x) * 1_000_000) // peak
+            sq += dd * dd
+        msdd = sq // len(vc)
+        ulcer = math.floor(math.sqrt(msdd) + 0.5)
+        r = out[t]
+        assert (r["n_obs"], r["msdd_ppm2"], r["ulcer_ppm"]) == (
+            len(vc), msdd, ulcer), t
+    assert out["C"]["ulcer_ppm"] == 0
+
+
+def test_theil_brute_force(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+
+    vals = [100, 100, 100, 700, 1, 0, -5]  # non-positive excluded
+    df = spark.createDataFrame([(v,) for v in vals], "rev_mu long")
+    pos = [v for v in vals if v > 0]
+    n, s = len(pos), sum(pos)
+    expect = sum(
+        math.floor((x / s) * math.log(x * n / s) * 1_000_000 + 0.5)
+        for x in pos
+    )
+    got = skew.theil_inequality(df, "rev_mu").collect()
+    assert len(got) == 1
+    assert (got[0]["n_units"], got[0]["total_value"],
+            got[0]["theil_micro"]) == (n, s, expect)
+
+
+def test_theil_equality_is_zero(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import skew
+
+    df = spark.createDataFrame([(50,)] * 6, "rev_mu long")
+    got = skew.theil_inequality(df, "rev_mu").collect()
+    assert got[0]["theil_micro"] == 0
+
+
+def test_local_clustering_brute_force(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import graph
+
+    # triangle 1-2-3 plus a pendant 4 off node 1 and an isolated edge 5-6
+    pairs = [(1, 2), (2, 3), (1, 3), (1, 4), (5, 6)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {r["node"]: r for r in graph.local_clustering(df).collect()}
+    # deg: 1->3, 2->2, 3->2, 4->1, 5->1, 6->1; only deg>=2 kept
+    assert set(out) == {1, 2, 3}
+    assert (out[1]["deg"], out[1]["n_tri"]) == (3, 1)
+    assert out[1]["local_cc_ppm"] == (2 * 1_000_000) // (3 * 2)
+    for n in (2, 3):
+        assert (out[n]["deg"], out[n]["n_tri"]) == (2, 1)
+        assert out[n]["local_cc_ppm"] == 1_000_000
+
+
+def test_term_burstiness_brute_force(spark):
+    from utn_dataengineering_stockmarketpipeline_spark.operators import text
+
+    rows = [
+        (1, "x x x x x"),        # bursty term x: 5 in one doc
+        (2, "y z"),
+        (3, "y z"),
+        (4, "y z"),
+        (5, "y z"),
+        (6, "y z junk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["term"]: r for r in text.term_burstiness(df).collect()
+    }
+    d = len(rows)
+    assert set(out) == {"x", "y", "z"}  # junk: total 1 < min_count 5
+    for term, counts in (("x", [5]), ("y", [1] * 5), ("z", [1] * 5)):
+        s, q, m = sum(counts), sum(c * c for c in counts), len(counts)
+        vmr = ((d * q - s * s) * 1_000_000) // (d * s)
+        r = out[term]
+        assert (r["n_docs_with"], r["total_count"], r["vmr_micro"]) == (
+            m, s, vmr), term
+    assert out["x"]["vmr_micro"] > out["y"]["vmr_micro"]

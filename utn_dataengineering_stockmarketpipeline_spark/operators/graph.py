@@ -837,3 +837,71 @@ def degree_assortativity(edges: DataFrame, src: str = "src",
             .alias("r_ppm"),
         )
     )
+
+
+def local_clustering(pairs: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b") -> DataFrame:
+    """Per-node local clustering coefficient of an undirected pair
+    graph → ``(node, deg, n_tri, local_cc_ppm)`` for every node with
+    ``deg ≥ 2`` (built r17, staged for r20) — :func:`triangle_stats`'
+    global census resolved PER NODE: the global coefficient says "do
+    the LSH candidate pairs agree with each other overall"; the local
+    one names WHICH documents sit in closed cliques (true duplicate
+    groups — safe to collapse) versus which are boilerplate hubs whose
+    neighbors never interconnect (the stitching nodes a dedup pass
+    should refuse to merge through). local_cc = triangles_at_node /
+    C(deg, 2), emitted as exact integral ppm
+    ``(2·n_tri·1e6) div (deg·(deg−1))``.
+
+    Triangle attribution: the same canonical a<b edge relation and
+    ordered 3-join as triangle_stats (each triangle a<b<c found
+    exactly once), then each found triangle credits ALL THREE corners
+    via one explode — so Σ n_tri = 3·n_triangles exactly, the
+    identity the staged validation asserts. Degree-0/1 nodes have no
+    wedge and drop (C(deg,2) = 0, the ks_drift degenerate-split
+    rule). Integer end to end.
+
+    Scale: the triangle join is the triangle_stats join verbatim
+    (degree-bounded by the upstream LSH bucket cap), the explode adds
+    3 rows per triangle (output-bounded), the final left join rides
+    the node relation. No new shuffle shapes beyond the census.
+    """
+    a, b = F.col(id_a), F.col(id_b)
+    e = (
+        pairs.filter(a != b)
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = e1.join(e2, "y").join(e3, ["x", "z"])
+    tri_n = (
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z")))
+            .alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_n, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("bigint"))
+            .alias("n_tri"),
+            F.expr(
+                "(coalesce(n_tri, 0) * 2000000)"
+                " div (cast(deg as bigint) * (deg - 1))"
+            ).alias("local_cc_ppm"),
+        )
+    )

@@ -314,6 +314,61 @@ def calmar_ratio(
     )
 
 
+def ulcer_index(
+    prices: DataFrame,
+    entity_col: str = "stock_ticker",
+    date_col: str = "stock_date",
+    value_col: str = "stock_close",
+) -> DataFrame:
+    """Ulcer index per entity → ``(entity, n_obs, msdd_ppm2,
+    ulcer_ppm)`` (built r17, staged for r20) — drawdown RISK as a
+    magnitude, not a worst case: calmar_ratio divides by the single
+    deepest drawdown; the Ulcer index is the root-mean-SQUARE of the
+    per-day drawdown, so it charges for how DEEP and how LONG the
+    account sat under water (a 2-week 30% crash and a 2-year 30%
+    grind read identically in max-drawdown; the Ulcer index tells
+    them apart — Martin & McCann's retracement risk measure).
+
+    Exactness: per-row drawdown ppm is the calmar_ratio integer
+    ``(peak − vc)·1e6 div peak`` (both operands nonnegative), the
+    mean of squares ``msdd_ppm2 = Σ dd_ppm² div n`` is one integral
+    division over an exact BIGINT sum (dd_ppm ≤ 1e6 so each square
+    ≤ 1e12 — exact past 9e6 rows per entity), and the index itself is
+    ``ulcer_ppm = floor(sqrt(msdd_ppm2) + 0.5)`` — ONE libm call on a
+    bit-identical integer-derived double, mode-stable rounding (the
+    acf_ppm quantization discipline; sqrt is correctly rounded in
+    both engines, so the result is deterministic cross-engine).
+
+    Scale: one per-entity window sort (the running peak), one
+    map-side-combined aggregate — no join, no pair space, linear.
+    """
+    base = _trend_base(prices, entity_col, date_col, value_col)
+    w = Window.partitionBy("e").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dd = base.withColumn("pk", F.max("vc").over(w)).select(
+        "e",
+        F.expr(
+            "((cast(pk as decimal(19,0)) - vc) * 1000000) div pk"
+        ).cast("bigint").alias("dd_ppm"),
+    )
+    return (
+        dd.groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(F.col("dd_ppm") * F.col("dd_ppm")).alias("sq"),
+        )
+        .select(
+            F.col("e").alias(entity_col),
+            "n_obs",
+            F.expr("sq div n_obs").cast("bigint").alias("msdd_ppm2"),
+            F.floor(
+                F.sqrt(F.expr("sq div n_obs").cast("double")) + F.lit(0.5)
+            ).cast("bigint").alias("ulcer_ppm"),
+        )
+    )
+
+
 def longest_positive_streak(
     rets: DataFrame,
     entity_col: str = "stock_ticker",

@@ -1281,3 +1281,53 @@ def cvm_from_counts(counts: DataFrame, value_col: str,
             ).cast("bigint").alias("msq_gap_ppm"),
         )
     )
+
+
+def theil_inequality(values: DataFrame, value_col: str) -> DataFrame:
+    """Theil T inequality index over a positive value relation → ONE
+    row ``(n_units, total_value, theil_micro)`` in exact integer
+    micro-nats (built r17, staged for r20) — the DECOMPOSABLE
+    inequality scalar next to gini_concentration: Gini reads rank
+    geometry (and cannot be split by subgroup without a residual);
+    Theil T = (1/n)·Σ (x_i/μ)·ln(x_i/μ) is additively decomposable
+    across any partition (between-group + within-group), which is why
+    monitoring pipelines that later drill into per-region or
+    per-source inequality start from it. Range 0 (perfect equality)
+    to ln(n) (one unit holds everything).
+
+    The kl_source_divergence micro-unit discipline verbatim: with
+    S = Σx and n as exact BIGINTs on a 1-row broadcast, each unit's
+    term ``(x/S)·ln(x·n/S)`` is computed from identical integers
+    through identical correctly-rounded double ops and quantized ONCE
+    (mode-stable ``floor(t·1e6 + 0.5)``, negative-safe — below-mean
+    units contribute negative cells), then the reduction is an exact
+    int64 SUM — no parallel float accumulation. Non-positive units
+    are excluded up front (ln undefined; pinned in the oracle
+    identically).
+
+    Scale: one scan + one map-side-combined 2-moment aggregate for
+    the broadcast, one projection + final sum — linear, no window,
+    no join beyond the 1-row broadcast (the scalar-subquery pattern).
+    """
+    x = values.filter(F.col(value_col) > 0).select(
+        F.col(value_col).cast("bigint").alias("x")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+    )
+    xd, nd, sd = (F.col(c).cast("double") for c in ("x", "n", "s"))
+    cell = F.floor(
+        (xd / sd) * F.log((xd * nd) / sd) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    return (
+        x.crossJoin(F.broadcast(tot))
+        .select("n", "s", cell.alias("tc"))
+        .groupBy("n", "s")
+        .agg(F.sum("tc").alias("theil_micro"))
+        .select(
+            F.col("n").alias("n_units"),
+            F.col("s").cast("bigint").alias("total_value"),
+            "theil_micro",
+        )
+    )

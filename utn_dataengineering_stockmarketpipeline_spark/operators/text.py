@@ -1603,3 +1603,62 @@ def source_vocab_overlap(df: DataFrame, text_col: str = "text",
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def term_burstiness(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    min_count: int = 5) -> DataFrame:
+    """Per-term burstiness (variance-to-mean ratio of the per-document
+    count, zeros included) → ``(term, n_docs_with, total_count,
+    vmr_micro)`` for terms with ``total_count ≥ min_count`` (built
+    r17, staged for r20) — the dispersion diagnostic on the
+    vocabulary: a Poisson-scattered term has VMR ≈ 1; topical/bursty
+    terms (VMR ≫ 1) concentrate in few documents, boilerplate (VMR
+    ≈ 1 at high frequency) spreads evenly — Church & Gale's
+    burstiness, the signal separating "frequent because templated"
+    from "frequent because a topic dominates", which TF-IDF and the
+    Zipf slope both blur.
+
+    PURE INTEGER: over D documents (the non-null-text count, one
+    1-row broadcast) with per-term S = Σc and Q = Σc² exact BIGINTs
+    (zero-count docs contribute nothing to either),
+    ``VMR = var/mean = (D·Q − S²) / (D·S)`` exactly, emitted as
+    ``vmr_micro = ((D·Q − S²)·1e6) div (D·S)`` in DECIMAL(38,0) —
+    D·Q reaches ~1e9·1e12 at corpus scale, past int64 — with
+    toward-zero integral division (S² > D·Q is possible only when a
+    term appears in every doc more evenly than Poisson; the numerator
+    is then a small negative, negative-safe both engines).
+
+    Scale: one scan + explode, one (doc, term) count aggregate, one
+    per-term 2-moment aggregate (vocab-bounded output), one 1-row
+    broadcast. No window, no join beyond the broadcast, no pair
+    space.
+    """
+    base = df.filter(F.col(text_col).isNotNull())
+    tot = base.agg(F.count(F.lit(1)).alias("d"))
+    cells = (
+        base.select(F.col(id_col).alias("i"),
+                    F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("i", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = "decimal(38,0)"
+    per_term = cells.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs_with"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("q"),
+    )
+    return (
+        per_term.filter(F.col("s") >= min_count)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "n_docs_with",
+            F.col("s").cast("bigint").alias("total_count"),
+            F.expr(
+                f"((cast(d as {dec}) * q - cast(s as {dec}) * s)"
+                f" * 1000000) div (cast(d as {dec}) * s)"
+            ).cast("bigint").alias("vmr_micro"),
+        )
+    )
