@@ -797,3 +797,100 @@ def test_staged_r16_plan_shapes(spark):
     ]
     assert all(f.dataType.simpleString() == "bigint"
                for f in out.schema.fields[1:])
+
+
+def test_round17_queries_plan_shapes(spark):
+    """Plan guards for the five r17 registrations."""
+    import re
+
+    # ACF: exactly TWO Window nodes — returns_ppm's LAG and the ONE
+    # lead-stack pass that emits all ten horizons (not one per lag);
+    # both ride the same (entity, date) partitioning so they share a
+    # single sort. The stack + moment aggregate add no join at all
+    plan = plan_of(CATALOG["ref_acf"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+    assert "Join" not in plan
+
+    # Ljung-Box: the ACF plan + the per-entity n_obs attach — an
+    # equi-join on the entity key, never a cartesian/BNLJ
+    plan = plan_of(CATALOG["ref_ljung_box"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Kruskal-Wallis: counts-grid discipline — the per-value rank
+    # relation broadcasts onto the counts; nothing sort-merges the
+    # corpus (the jonckheere guard)
+    plan = plan_of(CATALOG["ana_kruskal_wallis"].build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # token-KL: margins are source-/term-partitioned windows over the
+    # CELL relation and the grand total is a 1-row broadcast — no
+    # whole-relation single-partition window (the MI margin lesson:
+    # every Window node must carry a partition key)
+    plan = plan_of(
+        CATALOG["llm_kl_source_divergence"].build(spark, SF_SMOKE)
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_staged_r19_r20_plan_shapes(spark):
+    """Plan guards for the operators pre-built this round (registered
+    r19/r20) — pinned now so a regression can't hide in the gap."""
+    import re
+
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        graph,
+        risk,
+        skew,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.operators import (
+        text as text_ops,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.plans.reference_tables import (
+        stock_prices,
+    )
+    from utn_dataengineering_stockmarketpipeline_spark.sources.parquet import (
+        load_table,
+    )
+
+    sp = stock_prices(spark, SF_SMOKE)
+    docs = load_table(spark, SF_SMOKE, "documents")
+
+    # calmar + ulcer: ONE per-entity window (the running peak) + one
+    # aggregate, no join beyond the final projection
+    for df in (risk.calmar_ratio(sp), risk.ulcer_index(sp)):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+
+    # CvM: the ks_drift grid shape — broadcast grid joins, no
+    # corpus-side sort-merge
+    plan = plan_of(skew.cvm_drift(docs, "n_chars", "source"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    # assortativity: degree attaches are equi-joins; no window, no
+    # cartesian, no nested-loop fallback
+    plan = plan_of(
+        graph.degree_assortativity(
+            docs.selectExpr("source as src", "lang as dst")
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+    # burstiness: one 1-row broadcast (the scalar-subquery pattern is
+    # the ONLY nested-loop join allowed), vocab-bounded aggregate, no
+    # window
+    plan = plan_of(text_ops.term_burstiness(docs))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+    # vocab overlap: the term equi-join never degenerates to a
+    # cartesian; margins attach on the source key
+    plan = plan_of(text_ops.source_vocab_overlap(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
