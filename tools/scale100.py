@@ -163,6 +163,14 @@ def main() -> None:
              _sourced(docs_1x), "n_chars", "source"),
          lambda: skew.kruskal_wallis_drift(
              _sourced(docs_nx), "n_chars", "source"))
+    # Cramér-von Mises (staged r17→r19) is the 9th counts-grid
+    # consumer — the ks_drift grid with a squared-deviation reduce in
+    # place of the max; identical scan-bound expectation
+    pair("cvm_drift",
+         lambda: skew.cvm_drift(
+             _sourced(docs_1x), "n_chars", "source"),
+         lambda: skew.cvm_drift(
+             _sourced(docs_nx), "n_chars", "source"))
     # Mood's median test (staged r16→r18) is the 8th counts-grid
     # consumer — one value-domain cumulative pass + one group
     # aggregate, same scan-bound expectation as KS/KW
@@ -189,6 +197,30 @@ def main() -> None:
              docs_1x.withColumn(
                  "source", F.concat(F.lit("src"), F.col("doc_id") % 10))),
          lambda: text_ops.kl_source_divergence(
+             docs_nx.withColumn(
+                 "source", F.concat(F.lit("src"), F.col("doc_id") % 10))))
+    # Theil T inequality (staged r17→r19): one scan + 1-row broadcast
+    # over the per-row value — pure scan-bound, the KL cell discipline
+    # without even the cell relation
+    pair("theil_index",
+         lambda: skew.theil_inequality(
+             _sourced(docs_1x).filter(F.col("n_chars") > 0), "n_chars"),
+         lambda: skew.theil_inequality(
+             _sourced(docs_nx).filter(F.col("n_chars") > 0), "n_chars"))
+    # term burstiness (staged r17→r20): the (doc, term) cell shuffle
+    # scales with the corpus, the per-term output relation (replicated
+    # text → constant vocabulary) does not — zipf's posture
+    pair("term_burstiness",
+         lambda: text_ops.term_burstiness(docs_1x),
+         lambda: text_ops.term_burstiness(docs_nx))
+    # source vocab overlap (staged r17→r19): per-source DISTINCT term
+    # sets are vocabulary-bounded (constant under replication); only
+    # the distinct shuffle scans scale
+    pair("source_vocab_overlap",
+         lambda: text_ops.source_vocab_overlap(
+             docs_1x.withColumn(
+                 "source", F.concat(F.lit("src"), F.col("doc_id") % 10))),
+         lambda: text_ops.source_vocab_overlap(
              docs_nx.withColumn(
                  "source", F.concat(F.lit("src"), F.col("doc_id") % 10))))
 
@@ -239,6 +271,17 @@ def main() -> None:
             docs.withColumn("n_chars", F.length("text"))
         ).filter(F.col("modality") == "image")
 
+    # local clustering coefficient (staged r17→r20) over the scrambled
+    # LSH candidate graph: the triangle_stats ordered 3-join resolved
+    # per node — candidate-edge-bounded like the census, the explode
+    # adds 3 rows per found triangle (output-bounded)
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        local_clustering,
+    )
+
+    pair("local_clustering",
+         lambda: local_clustering(dedup.minhash_candidates(sc_1x)),
+         lambda: local_clustering(dedup.minhash_candidates(sc_nx)))
     pair("phash_pairs",
          lambda: multimodal.phash_near_pairs(_assets(sc_1x)),
          lambda: multimodal.phash_near_pairs(_assets(sc_nx)))
@@ -324,6 +367,31 @@ def main() -> None:
         bench._full_gc(spark)
         t0 = time.perf_counter()
         rows = pagerank(edges, iters=10).count()
+        out[label] = {"sec": round(time.perf_counter() - t0, 3),
+                      "rows": rows}
+        print(f"  {label}: {out[label]}", flush=True)
+        edges.unpersist()
+
+    # degree assortativity (staged r17→r19) on the same namespace
+    # replica: two degree aggregates + two equi-joins + one moment
+    # pass, no iteration — should be the cheapest graph entry by far
+    from utn_dataengineering_stockmarketpipeline_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    for label, fac in (("assortativity_1x", 1),
+                       (f"assortativity_{factor}x", factor)):
+        rep = spark.range(fac).select(F.col("id").alias("rep"))
+        edges = base.crossJoin(rep).select(
+            F.concat(F.lit("C"), F.col("rep"), F.lit("_"),
+                     F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("S"), F.col("rep"), F.lit("_"),
+                     F.col("l_suppkey")).alias("dst"),
+        ).distinct().persist()
+        edges.count()
+        bench._full_gc(spark)
+        t0 = time.perf_counter()
+        rows = degree_assortativity(edges).count()
         out[label] = {"sec": round(time.perf_counter() - t0, 3),
                       "rows": rows}
         print(f"  {label}: {out[label]}", flush=True)
@@ -543,6 +611,16 @@ def main() -> None:
     pair("omega",
          lambda: risk.omega_ratio(risk.returns_ppm(var_1x)),
          lambda: risk.omega_ratio(risk.returns_ppm(var_nx)))
+    # Calmar + Ulcer (staged r17→r19/r20): one running-peak window per
+    # entity + one aggregate over the same ticker namespace replica —
+    # partition size constant, only partition count grows; expect the
+    # var_historical rank-window posture
+    pair("calmar",
+         lambda: risk.calmar_ratio(var_1x),
+         lambda: risk.calmar_ratio(var_nx))
+    pair("ulcer",
+         lambda: risk.ulcer_index(var_1x),
+         lambda: risk.ulcer_index(var_nx))
     var_1x.unpersist(), var_nx.unpersist()
 
     # Mann-Kendall + Theil-Sen eval (r14): the O(n²/2)-per-entity pair
@@ -725,9 +803,21 @@ def main() -> None:
         f"ratios_{factor}x_over_1x": ratios,
         "evidence": out,
     }
-    (_REPO / f"SCALE_{factor}X.json").write_text(
-        json.dumps(artifact, indent=2)
-    )
+    # Preserve curated annotations from the prior capture (root-cause
+    # notes and measured pair counts added between captures, e.g.
+    # kcore_note / lsh_recall_eval_note) unless this run re-emitted
+    # the key itself.
+    target = _REPO / f"SCALE_{factor}X.json"
+    if target.exists():
+        try:
+            prior = json.loads(target.read_text()).get("evidence", {})
+            for k, v in prior.items():
+                if (k.endswith("_note") or k.endswith("_paircounts")) \
+                        and k not in out:
+                    artifact["evidence"][k] = v
+        except (ValueError, OSError):
+            pass
+    target.write_text(json.dumps(artifact, indent=2))
     print(json.dumps({"ratios": ratios}, separators=(",", ":")))
     spark.stop()
 
