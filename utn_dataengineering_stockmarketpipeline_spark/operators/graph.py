@@ -31,6 +31,20 @@ DEFAULT_ITERS = 10
 #: the big-delta case is a mass first-sweep peel on a sparse fringe.
 KCORE_BROADCAST_REMOVED = 1_000_000
 
+#: The iterative operators below (LPA, HITS, BFS, weighted shortest
+#: path, PageRank) broadcast their per-round NODE-SIZED vector (labels
+#: / ranks / distances) into the edge join when it holds at most this
+#: many rows (r18). The per-round join's shuffle alternative is not
+#: free even with the edge relation pre-partitioned: a sort-merge join
+#: re-SORTS the cached edge partitions every round (measured at sf0.1
+#: as the dominant round cost — 3 LPA rounds dropped 8.8 s → 1.9 s
+#: with the vector broadcast), while the broadcast-hash join reads the
+#: edges exactly as cached. ~1M (node, value) rows is ≲40 MB framed —
+#: far under the broadcast hard caps; past it the co-partitioned
+#: shuffle plan stands (at that scale the per-round exchange is real
+#: work the broadcast could not absorb anyway).
+GRAPH_BROADCAST_NODES = 1_000_000
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = DEFAULT_ITERS,
@@ -92,26 +106,40 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         loop_parts = max(4, min(session_parts, -(-m // 75_000)))
-    nodes = nodes_raw.repartition(loop_parts, "node").persist()
+    # SMALL-VECTOR regime (r18, the HITS/LPA treatment): under
+    # GRAPH_BROADCAST_NODES the per-round rank join broadcasts the
+    # rank vector (the cached weighted-edge relation is read as-is —
+    # the shuffle alternative re-sorted it every round) and the
+    # inflow left-join broadcasts the aggregated contributions; past
+    # the cap the co-partitioned layout stands.
+    small_vec = n <= GRAPH_BROADCAST_NODES
+    if small_vec:
+        nodes = nodes_raw
+    else:
+        nodes = nodes_raw.repartition(loop_parts, "node").persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # weighted edges: contribution fraction per edge is rank-independent.
     # Partitioned by src ONCE — every round's rank join is then
-    # co-partitioned against the rank vector with no edge re-shuffle.
+    # co-partitioned against the rank vector with no edge re-shuffle
+    # (and read as cached on the broadcast path).
     we = e.join(outdeg, "src").repartition(loop_parts, "src").persist()
     we.count()
 
     teleport = (1.0 - damping) / n
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(iters):
+        r_side = F.broadcast(ranks) if small_vec else ranks
         contrib = (
-            we.join(ranks, we["src"] == ranks["node"])
+            we.join(r_side, we["src"] == r_side["node"])
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .repartition(loop_parts, "dst")
-            .groupBy("dst")
-            .agg(F.sum("c").alias("inflow"))
         )
-        # nodes (hash node @ loop_parts) ⋈ contrib (hash dst @
-        # loop_parts): co-partitioned, no exchange; the new rank
+        if not small_vec:
+            contrib = contrib.repartition(loop_parts, "dst")
+        contrib = contrib.groupBy("dst").agg(F.sum("c").alias("inflow"))
+        if small_vec:
+            contrib = F.broadcast(contrib)
+        # shuffle path: nodes (hash node @ loop_parts) ⋈ contrib (hash
+        # dst @ loop_parts) co-partitioned, no exchange; the new rank
         # vector stays partitioned by node for the next round's join
         ranks = nodes.join(
             contrib, nodes["node"] == contrib["dst"], "left"
@@ -129,7 +157,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ranks = ranks.localCheckpoint()
     e.unpersist()
     nodes_raw.unpersist()
-    nodes.unpersist()
+    if not small_vec:
+        nodes.unpersist()
     we.unpersist()
     return ranks
 
@@ -281,18 +310,27 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # Hash-partitioned by the join key ONCE (pagerank's weighted-edge
     # discipline): every round's expansion join then re-exchanges only
-    # the small (node, hops) relation, never the edge list.
+    # the small (node, hops) relation, never the edge list. ONE
+    # upstream pass (r18): the directed projection persists across the
+    # count and the undirected build (the caller's upstream — often a
+    # join + distinct — previously ran twice), and the repartition sits
+    # BEFORE the distinct so hash(a) satisfies the dedup's clustering
+    # and no second exchange appears.
     spark = edges.sparkSession
-    m = e.count()  # directed count; undirected is ≤ 2m after distinct
+    e_p = e.persist()
+    m = e_p.count()  # directed count; undirected is ≤ 2m after distinct
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
     und = (
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+        e_p.unionAll(
+            e_p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .repartition(loop_parts, "a")
+        .distinct()
         .persist()
     )
     und.count()
+    e_p.unpersist()
     reached = seeds.select(
         F.col(node_col).alias("node"), F.lit(0).cast("int").alias("hops")
     ).distinct()
@@ -302,10 +340,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     # sf0.1 vs ~5 s checkpointed). An eager localCheckpoint per round
     # keeps the plan flat; the materialized state is only (node, hops)
     # int pairs. The oracle mirrors this with MATERIALIZED CTEs.
+    # The expansion join BROADCASTS the reached vector while it is
+    # small (one cheap count per round over the fresh checkpoint —
+    # GRAPH_BROADCAST_NODES): the shuffle alternative sort-merge
+    # re-sorts the cached edge partitions every round, which dominated
+    # the round cost at sf0.1.
     reached = reached.localCheckpoint()
     for _ in range(max_hops):
+        rhs = (
+            F.broadcast(reached)
+            if reached.count() <= GRAPH_BROADCAST_NODES else reached
+        )
         expanded = (
-            und.join(reached, und["a"] == reached["node"])
+            und.join(rhs, und["a"] == rhs["node"])
             .select(
                 F.col("b").alias("node"),
                 (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
@@ -355,27 +402,42 @@ def shortest_path_weighted(edges: DataFrame, seeds: DataFrame,
         F.col(src).alias("a"), F.col(dst).alias("b"),
         F.col(weight).cast("bigint").alias("w"),
     )
+    # ONE upstream pass + ONE exchange (r18): persist the directed
+    # projection across the count and the undirected build (the
+    # caller's upstream previously ran twice), and repartition by the
+    # join key BEFORE the min-collapse — hash(a) satisfies the
+    # (a, b) grouping's clustering, so the aggregate adds no second
+    # exchange and its output keeps the loop layout.
     spark = edges.sparkSession
-    m = e.count()
+    e_p = e.persist()
+    m = e_p.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
     und = (
-        e.unionAll(
-            e.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+        e_p.unionAll(
+            e_p.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
         )
+        .repartition(loop_parts, "a")
         .groupBy("a", "b")
         .agg(F.min("w").alias("w"))
-        .repartition(loop_parts, "a")
         .persist()
     )
     und.count()
+    e_p.unpersist()
     reached = seeds.select(
         F.col(node_col).alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).distinct().localCheckpoint()
     for _ in range(max_rounds):
+        # bfs_hops' gated broadcast: while the distance vector is small
+        # the relaxation join ships it instead of sort-merging against
+        # the cached (and per-round re-sorted) edge relation
+        rhs = (
+            F.broadcast(reached)
+            if reached.count() <= GRAPH_BROADCAST_NODES else reached
+        )
         expanded = (
-            und.join(reached, und["a"] == reached["node"])
+            und.join(rhs, und["a"] == rhs["node"])
             .select(
                 F.col("b").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
@@ -571,15 +633,20 @@ def label_propagation(edges: DataFrame, rounds: int,
 
     Scale: per round ONE hash join (edge relation ⋈ labels on the
     neighbor key), a map-side-combinable (node, label) count, and an
-    argmax window partitioned BY NODE (rows per partition = the node's
-    distinct neighbor labels ≤ degree — never a global window). Eager
-    ``localCheckpoint`` per round: the next round's join re-reads the
-    label relation, and lazy chaining would stack R join+window
-    subtrees into one exponential plan (the graph-family lesson).
+    argmax as a ``min(struct(-c, label))`` AGGREGATE (r18 — was a
+    row_number window: the aggregate computes the same (max count,
+    ties to smallest label) winner through a hash aggregate with
+    map-side partial combine instead of a per-node sort, one less
+    operator on the per-round critical path and no sort buffer at
+    all). Per-round ``localCheckpoint`` is LAZY (each label relation
+    is referenced exactly once — by the next round's join — so the
+    plan still truncates to a LogicalRDD per round but the rounds
+    materialize inside one final job instead of paying a driver
+    barrier each); the LAST round checkpoints eagerly so the edge
+    cache can release before return (the pagerank discipline).
     """
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    from pyspark.sql import Window
 
     # filter BEFORE building both directions — reversing the unfiltered
     # relation would smuggle self-loops back in through the second
@@ -587,40 +654,69 @@ def label_propagation(edges: DataFrame, rounds: int,
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    # pagerank's edge-scaled loop width, and PERSIST rather than an
-    # unpartitioned localCheckpoint: the undirected relation is 2|E|
-    # rows read every round, and checkpointing it into a handful of
-    # input-shaped partitions OOMed the 100x scale capture (140M rows
-    # in ~4 partitions). Partitioned by the per-round join key ("b" —
-    # labels attach to the neighbor), so each round's join reuses the
-    # layout and only re-exchanges the small label relation.
+    # ONE upstream pass (r18): the directed projection is persisted and
+    # counted once, so the undirected build reads the cache instead of
+    # re-running the caller's upstream (typically a join + distinct —
+    # measured as a full second scan at sf0.1). PERSIST rather than an
+    # unpartitioned localCheckpoint for the loop relation: the
+    # undirected relation is 2|E| rows read every round, and
+    # checkpointing it into a handful of input-shaped partitions OOMed
+    # the 100x scale capture (140M rows in ~4 partitions). Partitioned
+    # by the per-round join key ("b" — labels attach to the neighbor)
+    # BEFORE the distinct: hash(b) satisfies the distinct's (a, b)
+    # clustering, so the dedup adds no second exchange and the loop
+    # join reuses the layout, re-exchanging only the label relation.
     spark = edges.sparkSession
-    m = e.count()
+    e_p = e.persist()
+    m = e_p.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
     und = (
-        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
+        e_p.unionAll(
+            e_p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
         .repartition(loop_parts, "b")
+        .distinct()
         .persist()
     )
     und.count()
-    labels = und.select(F.col("a").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
+    e_p.unpersist()
+    # the initial label vector is checkpointed eagerly (tiny — one row
+    # per node) so its count can gate the per-round broadcast and the
+    # first round reads a materialization instead of re-running the
+    # node distinct
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint()
     )
-    w = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("label").asc()
-    )
-    for _ in range(rounds):
-        nbr = und.join(
-            labels.select(F.col("node").alias("b"), "label"), "b"
-        ).select(F.col("a").alias("node"), "label")
+    # node count is fixed across rounds, so the broadcast gate is
+    # decided once: under GRAPH_BROADCAST_NODES the per-round join
+    # broadcasts the label vector (edge partitions read as cached, no
+    # per-round sort-merge re-sort); over it the co-partitioned
+    # shuffle join stands
+    small_vec = labels.count() <= GRAPH_BROADCAST_NODES
+    for r in range(rounds):
+        lbl = labels.select(F.col("node").alias("b"), "label")
+        nbr = (
+            und.join(F.broadcast(lbl) if small_vec else lbl, "b")
+            .select(F.col("a").alias("node"), "label")
+            # ONE exchange per round: hash(node) satisfies the
+            # clustering of BOTH aggregates below, so neither adds its
+            # own shuffle
+            .repartition(loop_parts, "node")
+        )
         cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        # argmax: lexicographic struct min = largest count, ties to the
+        # smallest label (binary string order — identical to the window
+        # sort's (c DESC, label ASC) it replaces)
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint()
+            cnt.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"),
+                                F.col("label"))).alias("s"))
+            .select("node", F.col("s.label").alias("label"))
+            .localCheckpoint(eager=(r == rounds - 1))
         )
     if rounds == 0:
         # no round checkpointed the labels; materialize before the
@@ -665,8 +761,16 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             "is a fixed iteration like pagerank's — zero rounds has "
             "no defined hub/authority vector"
         )
+    # the cached edge relation is the map side of every half-round's
+    # join; a caller's distinct/join output arrives AQE-coalesced to a
+    # partition or two, which ran each half-round's |E|-row probe side
+    # nearly serially on the broadcast path (r18) — spread it once at
+    # persist time (keyed, so no round-robin pre-sort)
+    _sess_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")
-                     ).persist()
+                     ).repartition(_sess_parts, "src").persist()
     m = e.count()
     nodes_raw = (
         e.select(F.col("src").alias("node"))
@@ -690,14 +794,29 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             spark.conf.get("spark.sql.shuffle.partitions")
         )
         loop_parts = max(4, min(session_parts, -(-m // 75_000)))
-    nodes = nodes_raw.repartition(loop_parts, "node").persist()
-    # both directions get a pre-partitioned edge copy: the hub→auth
-    # pass joins on src, the auth→hub pass on dst — partitioned ONCE
-    # each, so neither per-round join re-shuffles the edge list
-    e_src = e.repartition(loop_parts, "src").persist()
-    e_dst = e.repartition(loop_parts, "dst").persist()
-    e_src.count()
-    e_dst.count()
+    # SMALL-VECTOR regime (r18): while the node count is under
+    # GRAPH_BROADCAST_NODES, every half-round joins the edge relation
+    # against a BROADCAST of the ppm vector — the cached edge relation
+    # is read as-is (the shuffle alternative sort-merge re-sorted it
+    # every half-round), no directional edge copies are materialized,
+    # and the half-round aggregate partial-combines map-side before
+    # its exchange. Past the cap the pre-partitioned co-partitioned
+    # layout below stands (a node vector that big is real shuffle work
+    # a broadcast could not absorb).
+    small_vec = n <= GRAPH_BROADCAST_NODES
+    if small_vec:
+        nodes = nodes_raw
+        e_src = e_dst = e
+    else:
+        nodes = nodes_raw.repartition(loop_parts, "node").persist()
+        # both directions get a pre-partitioned edge copy: the hub→auth
+        # pass joins on src, the auth→hub pass on dst — partitioned
+        # ONCE each, so neither per-round join re-shuffles the edge
+        # list
+        e_src = e.repartition(loop_parts, "src").persist()
+        e_dst = e.repartition(loop_parts, "dst").persist()
+        e_src.count()
+        e_dst.count()
 
     ppm = F.lit(1_000_000).cast("bigint")
 
@@ -713,7 +832,17 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         # defers materialization to the first action, so the
         # recurrence never pays a per-half-round driver round-trip;
         # the checkpointed relation is |nodes| rows of (node, int).
-        vec = vec.localCheckpoint(eager=False)
+        # EXCEPT on the small-vector broadcast path (r18): there the
+        # next half-round SHIPS this vector as a BroadcastExchange,
+        # and a broadcast materializes its subtree on the driver —
+        # against a lazily-checkpointed RDD that subtree is the whole
+        # unmaterialized recurrence, which the cascade of per-round
+        # broadcasts then re-executes (measured 8 s → 30 s when the
+        # broadcast rewrite first landed on lazy checkpoints). An
+        # eager checkpoint per half-round pins each |nodes|-row vector
+        # before anything broadcasts it; the driver round-trip it
+        # re-introduces is paid by a broadcast collect anyway.
+        vec = vec.localCheckpoint(eager=small_vec)
         mx = vec.agg(F.max(col).alias("__mx"))
         # decimal(38,0) for the ×1e6: raw sums reach max_degree·1e6,
         # so the BIGINT multiply would overflow past ~9e6 in-degree;
@@ -739,30 +868,32 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # sf0.01 under a vanilla 200-partition session). Zeros are filled
     # ONCE at the end, bit-identical to the dense recurrence (0
     # rescales to 0).
+    def _half(edges_dir: DataFrame, vec: DataFrame, join_key: str,
+              out_key: str, in_col: str, out_col: str) -> DataFrame:
+        v = F.broadcast(vec) if small_vec else vec
+        j = edges_dir.join(v, edges_dir[join_key] == v["node"]).select(
+            out_key, in_col
+        )
+        if not small_vec:
+            # pin the aggregate's exchange at the loop width so the
+            # next half-round's join stays co-partitioned
+            j = j.repartition(loop_parts, out_key)
+        return (
+            j.groupBy(out_key)
+            .agg(F.sum(in_col).cast("bigint").alias(out_col))
+            .select(F.col(out_key).alias("node"), out_col)
+        )
+
     hub = nodes.select("node", ppm.alias("h"))
     auth = None
     for _ in range(iters):
-        a_raw = (
-            e_src.join(hub, e_src["src"] == hub["node"])
-            .select("dst", "h")
-            .repartition(loop_parts, "dst")
-            .groupBy("dst")
-            .agg(F.sum("h").cast("bigint").alias("a"))
-            .select(F.col("dst").alias("node"), "a")
-        )
-        auth = _rescale(a_raw, "a")
-        h_raw = (
-            e_dst.join(auth, e_dst["dst"] == auth["node"])
-            .select("src", "a")
-            .repartition(loop_parts, "src")
-            .groupBy("src")
-            .agg(F.sum("a").cast("bigint").alias("h"))
-            .select(F.col("src").alias("node"), "h")
-        )
-        hub = _rescale(h_raw, "h")
+        auth = _rescale(_half(e_src, hub, "src", "dst", "h", "a"), "a")
+        hub = _rescale(_half(e_dst, auth, "dst", "src", "a", "h"), "h")
+    fin_h = F.broadcast(hub) if small_vec else hub
+    fin_a = F.broadcast(auth) if small_vec else auth
     out = (
-        nodes.join(hub, "node", "left")
-        .join(auth, "node", "left")
+        nodes.join(fin_h, "node", "left")
+        .join(fin_a, "node", "left")
         .select(
             "node",
             F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_ppm"),
@@ -772,9 +903,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     )
     e.unpersist()
     nodes_raw.unpersist()
-    nodes.unpersist()
-    e_src.unpersist()
-    e_dst.unpersist()
+    if not small_vec:
+        nodes.unpersist()
+        e_src.unpersist()
+        e_dst.unpersist()
     return out
 
 

@@ -20,7 +20,7 @@ differs across engines by final ulps.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -727,7 +727,8 @@ def theil_sen_slope(
     — guarded by :data:`MAX_THEIL_SEN_OBS` (raises, never silently
     quadratic). The median rank does NOT ride a per-entity window (one
     task would sort all n²/2 pairs of an entity): ranks derive from
-    SLOPE BUCKETS — ``floor(slope)`` cumulative counts over the small
+    SLOPE BUCKETS — signed log-scale bucket ids
+    (:func:`_ts_log_bucket`) whose cumulative counts over the small
     (entity, bucket) relation broadcast back as offsets; only the ONE
     bucket per entity whose offset interval contains the median rank
     is ever windowed (the others are filtered out by the broadcast
@@ -750,22 +751,28 @@ def theil_sen_slope(
         F.col(date_col).alias("d"),
         F.round(F.col(value_col) * 100).cast("bigint").alias("vc"),
     )
-    max_obs = _enforce_pair_cap(base, "theil_sen_slope")
-    return _theil_sen_from_base(base, max_obs=max_obs).select(
+    max_obs, total_obs = _enforce_pair_cap(base, "theil_sen_slope")
+    return _theil_sen_from_base(
+        base, max_obs=max_obs, total_obs=total_obs
+    ).select(
         F.col("e").alias(entity_col), "n_pairs", "slope_micro"
     )
 
 
-def _enforce_pair_cap(base: DataFrame, op_name: str) -> int:
+def _enforce_pair_cap(base: DataFrame, op_name: str) -> tuple[int, int]:
     """Raise when any entity's observation count makes the O(n²/2)
     pair space unreasonable (shared by theil_sen_slope and
-    mann_kendall — one tiny max aggregate, never a pair); returns the
-    observed per-entity max so the caller can pick the physical
-    strategy from the same probe. theil_sen_eval folds the probe into
-    its counts aggregate via :func:`_check_pair_cap` instead of paying
-    a separate scan."""
+    mann_kendall — one tiny max aggregate, never a pair); returns
+    ``(max_per_entity, total_rows)`` so the caller can pick BOTH
+    physical strategies (probe level and pair-generation layout) from
+    the same probe. theil_sen_eval folds the probe into its counts
+    aggregate via :func:`_check_pair_cap` instead of paying a
+    separate scan."""
     per = base.groupBy("e").agg(F.count(F.lit(1)).alias("n"))
-    return _check_pair_cap(per.agg(F.max("n").alias("m")).collect(), op_name)
+    probe = per.agg(F.max("n").alias("m"), F.sum("n").alias("t")).collect()
+    max_obs = _check_pair_cap(probe, op_name)
+    total = probe[0]["t"] if probe and probe[0]["t"] is not None else 0
+    return max_obs, int(total)
 
 
 def _check_pair_cap(worst, op_name: str) -> int:
@@ -796,9 +803,23 @@ def _check_pair_cap(worst, op_name: str) -> int:
 #: mass — the decomposed plan bounds every task at ~B² pairs.
 TS_BLOCK_THRESHOLD = 8192
 
+#: Total base rows under which the naive pair join broadcasts its
+#: build side and round-robins the stream side to the session's
+#: shuffle width (r18). The entity-key equi-join's parallelism is
+#: |entities| — a 5-ticker reference warehouse runs its O(n²/2) pair
+#: production in FIVE tasks (and the cached base is often AQE-coalesced
+#: to one partition, making it effectively serial) while the rest of
+#: the machine idles. Below this cap the base relation is ≤ ~10 MB
+#: framed (far under the broadcast hard caps), so broadcasting it and
+#: spreading the probe side decouples pair-production parallelism from
+#: the entity count. Above it, entity count is the natural parallelism
+#: and the shuffle join is the right plan.
+TS_SMALL_RELATION_OBS = 250_000
+
 
 def _theil_sen_from_base(base: DataFrame,
-                         max_obs: int | None = None) -> DataFrame:
+                         max_obs: int | None = None,
+                         total_obs: int | None = None) -> DataFrame:
     """The Theil-Sen median machinery over a prepared non-null
     ``(e, d, vc)`` relation → ``(e, n_pairs, slope_micro)`` — shared
     by :func:`theil_sen_slope` and :func:`theil_sen_eval`. Caller
@@ -830,10 +851,43 @@ def _theil_sen_from_base(base: DataFrame,
             "bk", F.floor("slope").cast("bigint")
         )
         return _ts_probe_two_level(pb)
-    pb = _ts_pairs_naive(base).withColumn(
-        "bk", F.floor("slope").cast("bigint")
+    pb = _ts_pairs_naive(base, total_obs=total_obs).withColumn(
+        "bk", _ts_log_bucket()
     )
     return _ts_probe_single(pb)
+
+
+#: log-bucket resolution: 64 buckets per octave (≈1% relative slope
+#: width per bucket — see _ts_log_bucket).
+_TS_LOG_C = 64.0 / 0.6931471805599453
+
+
+def _ts_log_bucket() -> Column:
+    """Signed log-scale bucket id of the ``slope`` column — the r18
+    replacement for whole-cent ``floor(slope)`` buckets in the naive
+    probe. Whole-cent buckets are bounded by the slope DOMAIN, which on
+    real price series is enormous (measured at sf0.1: 14.5M pairs spread
+    over 1.05M distinct cent buckets — the offsets relation was nearly
+    as large as a per-entity pair sort, and its cumulative window
+    re-created the exact straggler the probe exists to avoid). The
+    signed log transform ``sign(s) · floor(log1p(|s|)·64/ln 2)`` is
+    bounded by MAGNITUDE instead: ≤ ~2·64·log2(max|slope|) ≈ a few
+    thousand buckets per entity for any data whatsoever, and bucket
+    width is ~1% RELATIVE to the slope — matching the near-zero
+    concentration of pair slopes, so the median bucket stays thin
+    (measured: 15k buckets total, max bucket 5.1k pairs, vs 1.05M/349
+    under cents). Monotone non-strict in ``slope`` (subtraction-free
+    composition of IEEE-monotone log1p, positive scaling, floor; the
+    negative branch mirrors with the -1 offset so every negative bucket
+    sorts below bucket 0) and deterministic per row — the only two
+    properties the composed-rank argument needs; the bucket grid never
+    appears in the oracle."""
+    s = F.col("slope")
+    return (
+        F.when(s >= 0, F.floor(F.log1p(s) * F.lit(_TS_LOG_C)))
+        .otherwise(F.lit(-1) - F.floor(F.log1p(-s) * F.lit(_TS_LOG_C)))
+        .cast("bigint")
+    )
 
 
 #: try_divide, not `/`, in both pair generators: dd >= 1 for every row
@@ -845,11 +899,28 @@ def _theil_sen_from_base(base: DataFrame,
 _TS_SLOPE_EXPR = "try_divide(cast(dvc as double), dd)"
 
 
-def _ts_pairs_naive(base: DataFrame) -> DataFrame:
-    """Entity-key pair self-join: one shuffle key per entity — the
-    small-series strategy (parallelism = |entities|, one task holds an
-    entity's full pair space)."""
+def _ts_pairs_naive(base: DataFrame,
+                    total_obs: int | None = None) -> DataFrame:
+    """Entity-key pair self-join — the small-series strategy.
+
+    When the caller's probe shows the whole base relation is small
+    (``total_obs`` ≤ :data:`TS_SMALL_RELATION_OBS`), the build side is
+    broadcast explicitly and the stream side round-robins to the
+    session's shuffle width: the pair JOIN's cost is its O(n²/2)
+    OUTPUT, which an entity-key shuffle join serializes into
+    |entities| tasks (and the cached base often arrives AQE-coalesced
+    to ~1 partition — near-serial pair production measured on the
+    5-ticker reference warehouse). The spread changes row placement
+    only, never the pair multiset. Without the probe (or above the
+    cap) the plain equi-join stands: at that scale entity count IS
+    the parallelism, and broadcasting is off the table anyway."""
     a, b = base.alias("a"), base.alias("b")
+    if total_obs is not None and 0 < total_obs <= TS_SMALL_RELATION_OBS:
+        parts = int(
+            base.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        a = a.repartition(parts)
+        b = F.broadcast(b)
     return a.join(
         b,
         (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d")),
@@ -938,14 +1009,24 @@ def _ts_probe_single(pb: DataFrame) -> DataFrame:
     """Single-level median-bucket probe (small-series strategy).
 
     Cumulative offsets ride the (entity, bucket) relation — bounded by
-    the slope DOMAIN in cents/day, never the pair count. The
-    lower-median rank (m+1) div 2 lands in exactly ONE bucket per
-    entity (off < tgt <= off+c); resolving it on the small relation
-    FIRST means the broadcast join discards every other bucket's pairs
-    before the window, so the sort input is one bucket per entity
-    instead of all n²/2 rows. Catalyst exchange reuse shares the pair
-    stream's shuffles between the count and probe passes."""
-    bc = pb.groupBy("e", "bk").agg(F.count(F.lit(1)).alias("c"))
+    the log-bucket grid (a few thousand buckets per entity for ANY
+    slope magnitude, see :func:`_ts_log_bucket`), never the pair
+    count. The lower-median rank (m+1) div 2 lands in exactly ONE
+    bucket per entity (off < tgt <= off+c); resolving it on the small
+    relation FIRST means the broadcast join discards every other
+    bucket's pairs before the window, so the sort input is one bucket
+    per entity instead of all n²/2 rows. The bucket-count relation is
+    eagerly checkpointed (r18): its three consumers (offsets window,
+    per-entity totals, the target join) each re-ran the whole pair
+    pass when left to exchange reuse — measured as a third full pair
+    generation at sf0.1 — while the checkpoint pins the probe at
+    exactly TWO pair passes (counts, rank) over a few-thousand-row
+    materialization."""
+    bc = (
+        pb.groupBy("e", "bk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     w_off = Window.partitionBy("e").orderBy("bk").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -1082,20 +1163,32 @@ def mann_kendall(
     no window, no sort, no collect beyond the cap probe.
     """
     base = _trend_base(prices, entity_col, date_col, value_col)
-    _enforce_pair_cap(base, "mann_kendall")
-    return _mk_stat(base, entity_col)
+    _, total_obs = _enforce_pair_cap(base, "mann_kendall")
+    return _mk_stat(base, entity_col, total_obs=total_obs)
 
 
 def _mk_stat(base: DataFrame, entity_col: str,
-             extra_keys: tuple[str, ...] = ()) -> DataFrame:
+             extra_keys: tuple[str, ...] = (),
+             total_obs: int | None = None) -> DataFrame:
     """Shared Mann-Kendall reduction over a prepared ``(e, d, vc[,
     keys])`` relation: the equi-self-join on (e, *extra_keys) with
     a.d < b.d, the cent-BIGINT sign aggregate, and tau_a = S / n_pairs
     in exact signed ppm — :func:`mann_kendall` (no extra keys) and
     :func:`seasonal_mann_kendall` (season key) are thin wrappers.
     Callers run their own pair-cap probe BEFORE calling (the cap's
-    grouping differs: whole series vs per-season sub-series)."""
+    grouping differs: whole series vs per-season sub-series); a caller
+    that also knows the total row count passes it so the small-relation
+    broadcast spread of :func:`_ts_pairs_naive` applies here too (the
+    entity-key join's parallelism is |entities| — five tasks on the
+    reference warehouse — while the sign-sum's cost is the O(n²/2)
+    pair OUTPUT; the spread never changes the pair multiset)."""
     a, b = base.alias("a"), base.alias("b")
+    if total_obs is not None and 0 < total_obs <= TS_SMALL_RELATION_OBS:
+        parts = int(
+            base.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        a = a.repartition(parts)
+        b = F.broadcast(b)
     cond = (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d"))
     for kcol in extra_keys:
         cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
@@ -1179,7 +1272,7 @@ def seasonal_mann_kendall(
         "season", F.month("d")
     )
     per = base.groupBy("e", "season").agg(F.count(F.lit(1)).alias("n"))
-    worst = per.agg(F.max("n").alias("m")).collect()
+    worst = per.agg(F.max("n").alias("m"), F.sum("n").alias("t")).collect()
     if worst and worst[0]["m"] is not None and worst[0]["m"] > MAX_THEIL_SEN_OBS:
         raise ValueError(
             f"seasonal_mann_kendall: an (entity, season) sub-series has "
@@ -1187,7 +1280,9 @@ def seasonal_mann_kendall(
             f"pair space is O(n²/2) by definition. Downsample the series "
             f"or fit a non-robust trend instead."
         )
-    return _mk_stat(base, entity_col, extra_keys=("season",))
+    total = worst[0]["t"] if worst and worst[0]["t"] is not None else 0
+    return _mk_stat(base, entity_col, extra_keys=("season",),
+                    total_obs=int(total))
 
 
 def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
@@ -1331,14 +1426,17 @@ def theil_sen_eval(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum("__spiked").cast("bigint").alias("n_spiked"),
     )
-    max_obs = _check_pair_cap(
-        counts.agg(F.max("n_obs").alias("m")).collect(), "theil_sen_eval"
-    )
+    probe = counts.agg(
+        F.max("n_obs").alias("m"), F.sum("n_obs").alias("t")
+    ).collect()
+    max_obs = _check_pair_cap(probe, "theil_sen_eval")
+    total_obs = int(probe[0]["t"]) if probe and probe[0]["t"] is not None \
+        else 0
     # With cont cached, the pair passes re-derive from the block
     # manager — regeneration is a cache scan, exactly the contract
     # the strategy-selected machinery assumes in both branches.
     ts = _theil_sen_from_base(
-        cont.select("e", "d", "vc"), max_obs=max_obs
+        cont.select("e", "d", "vc"), max_obs=max_obs, total_obs=total_obs
     ).select(
         "e", F.col("slope_micro").alias("slope_ts_micro")
     )

@@ -22,6 +22,33 @@ from .catalog import register
 from .confscope import scoped_sql_conf
 
 
+def _order_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customer→supplier edges of the order graph — the shared
+    input of the iterative-graph queries (pagerank / HITS / BFS / LPA /
+    k-core). Dedup runs on the INTEGER key pair BEFORE the node-id
+    concat (r18): the distinct's exchange then moves two BIGINTs
+    instead of two strings and the concat evaluates once per surviving
+    edge instead of once per lineitem row — identical output relation
+    (the concat is injective, so distinct∘concat ≡ concat∘distinct)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+    )
+
+
 def _dsum(col, scale: int = 2):
     """Order-independent exact sum of a double column, as double."""
     return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double")
@@ -1344,22 +1371,7 @@ r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""]
 def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _order_graph_edges(spark, sf_dir)
     # 30 chained stages over a small rank vector: a vanilla session's
     # 200 shuffle partitions turn that into thousands of near-empty
     # tasks (~4 s/iteration measured). pagerank() scopes its own loop
@@ -1449,22 +1461,7 @@ FROM h{iters} h JOIN a{iters} a ON h.node = a.node"""
 def q_hits_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import hits
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _order_graph_edges(spark, sf_dir)
     return hits(edges, iters=5)
 
 
@@ -2511,22 +2508,7 @@ d0 AS (
 def q_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _order_graph_edges(spark, sf_dir)
     seeds = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
@@ -2673,22 +2655,7 @@ l{k} AS MATERIALIZED (
 def q_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _order_graph_edges(spark, sf_dir)
     return label_propagation(edges, rounds=3)
 
 
@@ -2735,22 +2702,7 @@ e{r} AS MATERIALIZED (
 def q_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    )
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    edges = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .select(
-            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
-        )
-        .distinct()
-    )
+    edges = _order_graph_edges(spark, sf_dir)
     return kcore_peel(edges, k=4, rounds=3)
 
 

@@ -905,18 +905,23 @@ def _register_stream_heavy_hitters() -> None:
         _CMS_ORACLE_SQL,
         doc="STREAMING count-min heavy hitters: the corpus arrives as "
             "a 3-file stream (maxFilesPerTrigger=1), each micro-batch "
-            "builds its partial d*w sketch DIRECTLY off its bigram "
-            "stream (no per-term counting — the true streaming-CMS "
-            "update) and the driver merges partials by plain addition: "
-            "CMS is LINEAR, so the merged sketch is bit-equal to the "
-            "batch sketch and the drained report hash-matches the "
-            "batch llm_heavy_hitters_cms oracle verbatim. The exact-"
-            "companion columns come from one batch read after the "
-            "drain (the audit anchor, exactly what a nightly "
-            "reconciliation job does); the 1024-int sketch state is "
-            "the only thing that crosses micro-batches — the "
-            "mergeable-sketch property that makes CMS the streaming "
-            "frequency primitive",
+            "pre-aggregates its bigram stream to partial term counts "
+            "(one map-side-combined shuffle) and derives its partial "
+            "d*w sketch from them — CMS[i][b] = Σ_{h_i(t)=b} count(t), "
+            "identical to hashing the raw stream because each hash row "
+            "is a pure key function (the batch operator's own "
+            "derivation; r18 — hashing per OCCURRENCE paid 4 md5 "
+            "evaluations per bigram instance where the ~930-key bigram "
+            "space needs 4 per DISTINCT term). The driver merges "
+            "partials by plain addition: CMS is LINEAR, so the merged "
+            "sketch is bit-equal to the batch sketch and the drained "
+            "report hash-matches the batch llm_heavy_hitters_cms "
+            "oracle verbatim. The exact-companion columns come from "
+            "one batch read after the drain (the audit anchor, exactly "
+            "what a nightly reconciliation job does); the 1024-int "
+            "sketch state is the only thing that crosses micro-batches "
+            "— the mergeable-sketch property that makes CMS the "
+            "streaming frequency primitive",
         tags=("streaming", "sketch", "frequency", "incremental"),
     )
     def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -950,13 +955,23 @@ def _register_stream_heavy_hitters() -> None:
 
             def handle(batch_df: DataFrame, batch_id: int) -> None:
                 n_batches[0] += 1
+                # partial term counts FIRST (map-side-combined), then
+                # the d bucket hashes per DISTINCT term: the summed
+                # buckets equal the per-occurrence hash by CMS
+                # linearity, at |vocab| instead of |occurrences| md5
+                # evaluations
                 part_sk = (
                     tx.bigram_terms(batch_df, "text")
+                    .groupBy("term")
+                    .agg(F.count(F.lit(1)).alias("tc"))
                     .select(
-                        F.posexplode(tx.cms_bucket_array(d, w)).alias("i", "b")
+                        "tc",
+                        F.posexplode(tx.cms_bucket_array(d, w)).alias(
+                            "i", "b"
+                        ),
                     )
                     .groupBy("i", "b")
-                    .agg(F.count(F.lit(1)).alias("c"))
+                    .agg(F.sum("tc").alias("c"))
                 )
                 for r in part_sk.collect():  # <= d*w = 1024 rows per batch
                     key = (r["i"], r["b"])
