@@ -1120,9 +1120,12 @@ def _write_artifact(artifact: dict, target: Path) -> None:
     if target.exists():
         try:
             prior = json.loads(target.read_text())
-            for k, v in prior.items():
-                if k.endswith("_note") and k not in artifact:
-                    artifact[k] = v
+            # non-dict JSON (a list/scalar prior) has no notes to carry
+            # and .items() on it would raise OUTSIDE the except types
+            if isinstance(prior, dict):
+                for k, v in prior.items():
+                    if k.endswith("_note") and k not in artifact:
+                        artifact[k] = v
         except (ValueError, OSError):
             pass
     target.write_text(json.dumps(artifact, indent=2))

@@ -45,6 +45,81 @@ KCORE_BROADCAST_REMOVED = 1_000_000
 #: work the broadcast could not absorb anyway).
 GRAPH_BROADCAST_NODES = 1_000_000
 
+#: Audit hook (tools/profile_r19.py ``--round-plan``): when set to a
+#: list, every iterative operator appends ``(op, explain_text)`` for its
+#: FIRST round's PRE-CHECKPOINT DataFrame. The final plan of an
+#: iterative query truncates to ``Scan ExistingRDD`` at the last
+#: checkpoint, so the per-round join strategy / exchange count is only
+#: auditable through this capture. ``None`` (the default) costs nothing.
+ROUND_PLAN_SINK: list | None = None
+
+
+def _capture_round_plan(op: str, df: DataFrame) -> None:
+    if ROUND_PLAN_SINK is None:
+        return
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    ROUND_PLAN_SINK.append((op, buf.getvalue()))
+
+
+def _node_mapping(nodes: DataFrame, parts: int) -> DataFrame:
+    """ORDER-PRESERVING injective BIGINT id per distinct node →
+    ``(node, nid)``, eagerly materialized (r19).
+
+    The iterative loops below run on BIGINT ids: every per-round
+    exchange, checkpoint and broadcast then carries 8-byte longs
+    instead of arbitrary-width node strings (§2.3 narrower types), and
+    the per-round joins hash/compare longs. The mapping is built once
+    at the boundary and decoded once on the way out.
+
+    Order preservation matters: label_propagation breaks argmax ties
+    by the SMALLEST label, so an encoded loop reproduces the string
+    tie-break only if nid order equals node order. A range repartition
+    (ascending) + within-partition sort puts rows in global node
+    order, and ``monotonically_increasing_id`` —
+    ``partition_index·2³³ + row_index`` — is strictly increasing in
+    (partition, row) order, hence in node order. No single-partition
+    window anywhere, so the build scales like any range sort. The
+    eager checkpoint pins the (recompute-non-deterministic) assignment
+    exactly once.
+    """
+    return (
+        nodes.repartitionByRange(parts, "node")
+        .sortWithinPartitions("node")
+        .select("node", F.monotonically_increasing_id().alias("nid"))
+        .localCheckpoint()
+    )
+
+
+def _encode_edges(e: DataFrame, mapping: DataFrame, broadcast_map: bool,
+                  a: str, b: str) -> DataFrame:
+    """Replace the endpoint columns of ``e`` with their BIGINT ids via
+    two equi-joins against ``mapping`` (broadcast under the node-count
+    gate — the edge side then never shuffles for the encode; past it,
+    two boundary shuffle joins buy ``rounds`` narrower exchanges inside
+    the loop). Null-safe equality so a null endpoint — legal in the
+    pagerank/bfs inputs — maps like any other node instead of being
+    dropped. Lossless: the mapping covers every node that appears in
+    the edge relation by construction."""
+    ma = mapping.select(
+        F.col("node").alias("__na"), F.col("nid").alias("__ia")
+    )
+    mb = mapping.select(
+        F.col("node").alias("__nb"), F.col("nid").alias("__ib")
+    )
+    if broadcast_map:
+        ma, mb = F.broadcast(ma), F.broadcast(mb)
+    other = [c for c in e.columns if c not in (a, b)]
+    return (
+        e.join(ma, e[a].eqNullSafe(ma["__na"]))
+        .join(mb, e[b].eqNullSafe(mb["__nb"]))
+        .select(F.col("__ia").alias(a), F.col("__ib").alias(b), *other)
+    )
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = DEFAULT_ITERS,
@@ -122,6 +197,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     # Partitioned by src ONCE — every round's rank join is then
     # co-partitioned against the rank vector with no edge re-shuffle
     # (and read as cached on the broadcast path).
+    # (BIGINT loop encoding was built and interleaved-A/B'd here in r19:
+    # pagerank measured 4.84 vs 7.5-8.3 s WITH the encode at sf0.1 —
+    # the mapping build + boundary joins + exit decode cost more than
+    # the narrower lazy-chained rounds save; hits, whose rounds are
+    # eager and job-bound, keeps the encode. See OPTIMIZATION_r19.md.)
     we = e.join(outdeg, "src").repartition(loop_parts, "src").persist()
     we.count()
 
@@ -150,6 +230,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
             ).alias("rank"),
         )
+        if it == 0:
+            _capture_round_plan("pagerank round (lazy-chained)", ranks)
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint()
     # eager final checkpoint so the persisted inputs can release NOW —
@@ -321,6 +403,10 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     m = e_p.count()  # directed count; undirected is ≤ 2m after distinct
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
+    # (BIGINT loop encoding was built and interleaved-A/B'd here in
+    # r19: bfs measured 3.08 vs 4.1-4.5 s WITH the encode at sf0.1 —
+    # the node-inventory distinct + mapping + boundary joins cost more
+    # than 4 narrower rounds save. Reverted; hits keeps the encode.)
     und = (
         e_p.unionAll(
             e_p.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -346,7 +432,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     # re-sorts the cached edge partitions every round, which dominated
     # the round cost at sf0.1.
     reached = reached.localCheckpoint()
-    for _ in range(max_hops):
+    for r in range(max_hops):
         rhs = (
             F.broadcast(reached)
             if reached.count() <= GRAPH_BROADCAST_NODES else reached
@@ -358,12 +444,14 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
                 (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
             )
         )
-        reached = (
+        new_reached = (
             reached.unionAll(expanded)
             .groupBy("node")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint()
         )
+        if r == 0:
+            _capture_round_plan("bfs_hops round (pre-ckpt)", new_reached)
+        reached = new_reached.localCheckpoint()
     und.unpersist()
     return reached
 
@@ -413,6 +501,8 @@ def shortest_path_weighted(edges: DataFrame, seeds: DataFrame,
     m = e_p.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
+    # (BIGINT loop encoding A/B'd and reverted in r19 — see bfs_hops;
+    # shortest_path measured 3.24 vs 4.4-4.6 s WITH the encode.)
     und = (
         e_p.unionAll(
             e_p.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
@@ -428,7 +518,7 @@ def shortest_path_weighted(edges: DataFrame, seeds: DataFrame,
         F.col(node_col).alias("node"),
         F.lit(0).cast("bigint").alias("dist"),
     ).distinct().localCheckpoint()
-    for _ in range(max_rounds):
+    for r in range(max_rounds):
         # bfs_hops' gated broadcast: while the distance vector is small
         # the relaxation join ships it instead of sort-merging against
         # the cached (and per-round re-sorted) edge relation
@@ -443,12 +533,15 @@ def shortest_path_weighted(edges: DataFrame, seeds: DataFrame,
                 (F.col("dist") + F.col("w")).alias("dist"),
             )
         )
-        reached = (
+        new_reached = (
             reached.unionAll(expanded)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
         )
+        if r == 0:
+            _capture_round_plan("shortest_path_weighted round (pre-ckpt)",
+                                new_reached)
+        reached = new_reached.localCheckpoint()
     und.unpersist()
     return reached
 
@@ -671,6 +764,10 @@ def label_propagation(edges: DataFrame, rounds: int,
     m = e_p.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(4, min(session_parts, -(-2 * m // 75_000)))
+    # (BIGINT label/node encoding A/B'd in r19: flat at sf0.1 — the
+    # order-preserving mapping build + decode joins offset the
+    # narrower per-round count exchange. Reverted with bfs/sp/pagerank;
+    # hits keeps the encode where it measured a real win.)
     und = (
         e_p.unionAll(
             e_p.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -711,13 +808,16 @@ def label_propagation(edges: DataFrame, rounds: int,
         # argmax: lexicographic struct min = largest count, ties to the
         # smallest label (binary string order — identical to the window
         # sort's (c DESC, label ASC) it replaces)
-        labels = (
+        new_labels = (
             cnt.groupBy("node")
             .agg(F.min(F.struct((-F.col("c")).alias("nc"),
                                 F.col("label"))).alias("s"))
             .select("node", F.col("s.label").alias("label"))
-            .localCheckpoint(eager=(r == rounds - 1))
         )
+        if r == 0:
+            _capture_round_plan("label_propagation round (pre-ckpt)",
+                                new_labels)
+        labels = new_labels.localCheckpoint(eager=(r == rounds - 1))
     if rounds == 0:
         # no round checkpointed the labels; materialize before the
         # edge relation releases (pagerank's eager-final discipline)
@@ -747,13 +847,17 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     exact fixed iteration, not an approximation to tolerate.
 
     Plan per round: two edge⋈vector equi-joins (edges pre-partitioned
-    by join key once, vectors co-partitioned), two map-side-combined
-    sums, and a 1-row max broadcast back via crossJoin. Unlike
-    pagerank (whose rounds chain lazily — each round reads its
-    predecessor ONCE), every rescale here reads its input twice (max +
-    division), so each half-round localCheckpoints its |nodes|-row
-    vector — the label_propagation per-round discipline; lazy chaining
-    would recompute the recurrence exponentially. No collect anywhere.
+    by join key once, vectors co-partitioned; BIGINT node ids inside
+    the loop since r19 — see :func:`_node_mapping`), two map-side-
+    combined sums, and a 1-row exact-integer max collected and inlined
+    into the rescale division. Unlike pagerank (whose rounds chain
+    lazily — each round reads its predecessor ONCE), every rescale
+    here reads its input twice (max + division), so each half-round
+    localCheckpoints its |nodes|-row vector — lazily, with the max
+    collect as the materializing action; lazy chaining without the cut
+    would recompute the recurrence exponentially. The only collects
+    are the per-rescale 1-row maxima (driver work a broadcast of the
+    max would pay anyway).
     """
     if iters < 1:
         raise ValueError(
@@ -769,12 +873,12 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     _sess_parts = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")
-                     ).repartition(_sess_parts, "src").persist()
-    m = e.count()
+    e0 = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")
+                      ).persist()
+    m = e0.count()
     nodes_raw = (
-        e.select(F.col("src").alias("node"))
-        .unionAll(e.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .unionAll(e0.select(F.col("dst").alias("node")))
         .distinct()
         .persist()
     )
@@ -785,7 +889,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             F.lit(None).cast("bigint").alias("hub_ppm"),
             F.lit(None).cast("bigint").alias("auth_ppm"),
         )
-        e.unpersist()
+        e0.unpersist()
         nodes_raw.unpersist()  # symmetric with the non-empty path
         return out
     spark = edges.sparkSession
@@ -804,11 +908,25 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # layout below stands (a node vector that big is real shuffle work
     # a broadcast could not absorb).
     small_vec = n <= GRAPH_BROADCAST_NODES
+    # BIGINT loop ids (r19): the recurrence carries and exchanges
+    # (node, bigint) pairs instead of (string, bigint) — every
+    # half-round's cached-edge probe hashes longs, every aggregate
+    # exchange and checkpoint is two fixed-width columns. One
+    # mapping build + edge encode at the boundary, one decode at exit.
+    mapping = _node_mapping(nodes_raw, loop_parts)
+    nodes_raw.unpersist()
+    e = (
+        _encode_edges(e0, mapping, small_vec, "src", "dst")
+        .repartition(_sess_parts, "src")
+        .persist()
+    )
+    e.count()
+    e0.unpersist()
+    nodes = mapping.select(F.col("nid").alias("node"))
     if small_vec:
-        nodes = nodes_raw
         e_src = e_dst = e
     else:
-        nodes = nodes_raw.repartition(loop_parts, "node").persist()
+        nodes = nodes.repartition(loop_parts, "node").persist()
         # both directions get a pre-partitioned edge copy: the hub→auth
         # pass joins on src, the auth→hub pass on dst — partitioned
         # ONCE each, so neither per-round join re-shuffles the edge
@@ -821,43 +939,37 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     ppm = F.lit(1_000_000).cast("bigint")
 
     def _rescale(vec: DataFrame, col: str) -> DataFrame:
-        # LAZY localCheckpoint on the raw vector before the max: the
-        # relation is referenced twice below (the max aggregate AND
-        # the division), so both the WORK and the LOGICAL PLAN TREE
-        # double per rescale without a cut — eager chaining measured
-        # 49.5 s for 5 iterations on a 16k-node graph, and a
-        # persist()-only variant still blew Catalyst's stack cloning
-        # the exponentially-sized logical tree. eager=False truncates
-        # the lineage immediately (the plan becomes a LogicalRDD) but
-        # defers materialization to the first action, so the
-        # recurrence never pays a per-half-round driver round-trip;
-        # the checkpointed relation is |nodes| rows of (node, int).
-        # EXCEPT on the small-vector broadcast path (r18): there the
-        # next half-round SHIPS this vector as a BroadcastExchange,
-        # and a broadcast materializes its subtree on the driver —
-        # against a lazily-checkpointed RDD that subtree is the whole
-        # unmaterialized recurrence, which the cascade of per-round
-        # broadcasts then re-executes (measured 8 s → 30 s when the
-        # broadcast rewrite first landed on lazy checkpoints). An
-        # eager checkpoint per half-round pins each |nodes|-row vector
-        # before anything broadcasts it; the driver round-trip it
-        # re-introduces is paid by a broadcast collect anyway.
-        vec = vec.localCheckpoint(eager=small_vec)
-        mx = vec.agg(F.max(col).alias("__mx"))
+        # LAZY localCheckpoint, then the 1-row max COLLECTED and
+        # inlined as a literal (r19). The vector is referenced by the
+        # max aggregate and the division, so without a cut both the
+        # WORK and the LOGICAL PLAN TREE double per rescale — eager
+        # chaining measured 49.5 s for 5 iterations on a 16k-node
+        # graph, and a persist()-only variant blew Catalyst's stack
+        # cloning the exponentially-sized tree. The max collect is the
+        # action that materializes the lazy checkpoint (one job), so
+        # the division — and anything that later BROADCASTS it — reads
+        # a pinned LogicalRDD, never re-executing the recurrence (the
+        # r18 lazy-checkpoint-under-BroadcastExchange failure). vs the
+        # r18 shape this removes one job (the separate eager
+        # checkpoint) and the per-half-round crossJoin(broadcast(max))
+        # machinery: the max is exact BIGINT, so inlining it is
+        # value-identical.
+        vec = vec.localCheckpoint(eager=False)
+        row = vec.agg(F.max(col).alias("__mx")).collect()
+        mx = row[0]["__mx"] if row else None
+        if mx is None or mx <= 0:
+            return vec.select("node", F.lit(0).cast("bigint").alias(col))
         # decimal(38,0) for the ×1e6: raw sums reach max_degree·1e6,
         # so the BIGINT multiply would overflow past ~9e6 in-degree;
         # the quotient is ≤ 1e6 and lands back in BIGINT
-        return (
-            vec.crossJoin(F.broadcast(mx))
-            .select(
-                "node",
-                F.when(F.col("__mx") > 0,
-                       F.expr(f"(cast({col} as decimal(38,0)) * 1000000)"
-                              " div __mx"))
-                .otherwise(F.lit(0))
-                .cast("bigint")
-                .alias(col),
+        return vec.select(
+            "node",
+            F.expr(
+                f"(cast({col} as decimal(38,0)) * 1000000)"
+                f" div cast({int(mx)} as bigint)"
             )
+            .cast("bigint")
+            .alias(col),
         )
 
     # The recurrence carries SPARSE vectors: a node absent from hub/
@@ -884,16 +996,84 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             .select(F.col(out_key).alias("node"), out_col)
         )
 
-    hub = nodes.select("node", ppm.alias("h"))
-    auth = None
-    for _ in range(iters):
-        auth = _rescale(_half(e_src, hub, "src", "dst", "h", "a"), "a")
-        hub = _rescale(_half(e_dst, auth, "dst", "src", "a", "h"), "h")
-    fin_h = F.broadcast(hub) if small_vec else hub
-    fin_a = F.broadcast(auth) if small_vec else auth
+    if small_vec:
+        # Driver-side rescale loop (r19). In the broadcast regime every
+        # half-round ALREADY ships the whole ≤GRAPH_BROADCAST_NODES-row
+        # vector through the driver (a BroadcastExchange collects its
+        # input), so collecting the half-round aggregate explicitly
+        # moves no extra bytes — and the max + rescale run as exact
+        # integer arithmetic on the driver while the next half-round
+        # re-enters as a LocalRelation, whose broadcast is a ZERO-TASK
+        # driver-side collect. ONE Spark job per half-round (the
+        # edge-sum aggregate's collect) instead of checkpoint + max +
+        # broadcast-build jobs. The r18 driver-rescale prototype that
+        # measured WORSE (9.3 s) round-tripped through parallelized
+        # createDataFrame — a LogicalRDD scan plus distributed
+        # broadcast build per half-round — which is exactly what the
+        # Arrow LocalRelation path avoids. Exact by construction:
+        # Python/NumPy int64, (x·1e6)//max on positive ints ≡ the
+        # decimal `div` rescale of the distributed path.
+        import pandas as pd
+
+        _i64_safe = (2**63 - 1) // 1_000_000
+
+        def _half_pd(join_key: str, out_key: str, vec_pdf,
+                     in_col: str, out_col: str, capture: bool = False):
+            v = spark.createDataFrame(
+                vec_pdf, schema=f"node bigint, {in_col} bigint"
+            )
+            agg = (
+                e.join(F.broadcast(v), e[join_key] == v["node"])
+                .select(out_key, in_col)
+                .groupBy(out_key)
+                .agg(F.sum(in_col).cast("bigint").alias(out_col))
+                .select(F.col(out_key).alias("node"), out_col)
+            )
+            if capture:
+                _capture_round_plan("hits half-round (pre-rescale)", agg)
+            pdf = agg.toPandas()
+            mx = int(pdf[out_col].max()) if len(pdf) else 0
+            if mx <= 0:
+                pdf[out_col] = 0
+            elif mx <= _i64_safe:  # vectorized int64 cannot overflow
+                pdf[out_col] = (pdf[out_col] * 1_000_000) // mx
+            else:  # exact arbitrary-precision fallback
+                pdf[out_col] = [
+                    (int(x) * 1_000_000) // mx for x in pdf[out_col]
+                ]
+            return pdf
+
+        hub_pdf = nodes.toPandas()
+        hub_pdf["h"] = 1_000_000
+        auth_pdf = None
+        for it in range(iters):
+            auth_pdf = _half_pd("src", "dst", hub_pdf, "h", "a",
+                                capture=(it == 0))
+            hub_pdf = _half_pd("dst", "src", auth_pdf, "a", "h")
+        h_v = F.broadcast(spark.createDataFrame(
+            hub_pdf.rename(columns={"node": "__hn"}),
+            schema="__hn bigint, h bigint",
+        ))
+        a_v = F.broadcast(spark.createDataFrame(
+            auth_pdf.rename(columns={"node": "__an"}),
+            schema="__an bigint, a bigint",
+        ))
+    else:
+        hub = nodes.select("node", ppm.alias("h"))
+        auth = None
+        for it in range(iters):
+            a_raw = _half(e_src, hub, "src", "dst", "h", "a")
+            if it == 0:
+                _capture_round_plan("hits half-round (pre-rescale)", a_raw)
+            auth = _rescale(a_raw, "a")
+            hub = _rescale(_half(e_dst, auth, "dst", "src", "a", "h"), "h")
+        h_v = hub.select(F.col("node").alias("__hn"), "h")
+        a_v = auth.select(F.col("node").alias("__an"), "a")
+    # decode: the mapping IS the node inventory, so the final zero-fill
+    # join doubles as the nid→string decode — no extra join vs r18
     out = (
-        nodes.join(fin_h, "node", "left")
-        .join(fin_a, "node", "left")
+        mapping.join(h_v, mapping["nid"] == F.col("__hn"), "left")
+        .join(a_v, mapping["nid"] == F.col("__an"), "left")
         .select(
             "node",
             F.coalesce("h", F.lit(0)).cast("bigint").alias("hub_ppm"),
@@ -902,7 +1082,6 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         .localCheckpoint()
     )
     e.unpersist()
-    nodes_raw.unpersist()
     if not small_vec:
         nodes.unpersist()
         e_src.unpersist()

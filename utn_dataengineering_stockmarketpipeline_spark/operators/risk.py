@@ -817,6 +817,28 @@ TS_BLOCK_THRESHOLD = 8192
 TS_SMALL_RELATION_OBS = 250_000
 
 
+def _spread_pair_join(a: DataFrame, b: DataFrame,
+                      total_obs: int | None) -> tuple:
+    """Small-relation broadcast spread for the O(n²/2) pair self-joins
+    — shared by :func:`_ts_pairs_naive` and :func:`_mk_stat` (r19,
+    de-duplicating the verbatim block ADVICE r18 flagged): when the
+    caller's probe shows the whole base relation is ≤
+    :data:`TS_SMALL_RELATION_OBS` rows (≲10 MB framed, far under the
+    broadcast caps), broadcast the build side and round-robin the
+    stream side to the session's shuffle width — the entity-key
+    join's parallelism is |entities| (often AQE-coalesced to ~1
+    cached partition) while the join's cost is its pair OUTPUT. The
+    spread changes row placement only, never the pair multiset.
+    Above the cap (or without a probe) both sides return unchanged:
+    entity count IS the parallelism there."""
+    if total_obs is not None and 0 < total_obs <= TS_SMALL_RELATION_OBS:
+        parts = int(
+            a.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        return a.repartition(parts), F.broadcast(b)
+    return a, b
+
+
 def _theil_sen_from_base(base: DataFrame,
                          max_obs: int | None = None,
                          total_obs: int | None = None) -> DataFrame:
@@ -914,13 +936,7 @@ def _ts_pairs_naive(base: DataFrame,
     only, never the pair multiset. Without the probe (or above the
     cap) the plain equi-join stands: at that scale entity count IS
     the parallelism, and broadcasting is off the table anyway."""
-    a, b = base.alias("a"), base.alias("b")
-    if total_obs is not None and 0 < total_obs <= TS_SMALL_RELATION_OBS:
-        parts = int(
-            base.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        a = a.repartition(parts)
-        b = F.broadcast(b)
+    a, b = _spread_pair_join(base.alias("a"), base.alias("b"), total_obs)
     return a.join(
         b,
         (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d")),
@@ -1182,13 +1198,7 @@ def _mk_stat(base: DataFrame, entity_col: str,
     entity-key join's parallelism is |entities| — five tasks on the
     reference warehouse — while the sign-sum's cost is the O(n²/2)
     pair OUTPUT; the spread never changes the pair multiset)."""
-    a, b = base.alias("a"), base.alias("b")
-    if total_obs is not None and 0 < total_obs <= TS_SMALL_RELATION_OBS:
-        parts = int(
-            base.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
-        a = a.repartition(parts)
-        b = F.broadcast(b)
+    a, b = _spread_pair_join(base.alias("a"), base.alias("b"), total_obs)
     cond = (F.col("a.e") == F.col("b.e")) & (F.col("a.d") < F.col("b.d"))
     for kcol in extra_keys:
         cond = cond & (F.col(f"a.{kcol}") == F.col(f"b.{kcol}"))
@@ -1308,22 +1318,23 @@ def _ols_slope_micro(base: DataFrame, out_col: str) -> DataFrame:
     return _ols_slopes_micro(base, (("vc", out_col),))
 
 
-def _ols_slopes_micro(
-    base: DataFrame, y_outs: tuple[tuple[str, str], ...]
-) -> DataFrame:
-    """:func:`_ols_slope_micro` generalized to SEVERAL y columns over
-    the same ``(e, d)`` grid in ONE map-side-combined aggregate →
-    ``(e, <out_col>...)``: the x-moments (n, Σx, Σxx) — and therefore
-    the degenerate-variance filter — are y-independent, so k slopes
-    cost one scan and 3 + 2k moments instead of k scans and 5k
-    (theil_sen_eval's contaminated + clean legs share this pass)."""
-    x = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast(
+def _ols_x() -> Column:
+    """Day offset from the fixed epoch (see :func:`_ols_slope_micro`
+    for the shift-invariance argument)."""
+    return F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast(
         "bigint"
     )
+
+
+def _ols_moment_aggs(
+    y_outs: tuple[tuple[str, str], ...]
+) -> list[Column]:
+    """The exact-integer OLS moment aggregate columns over a relation
+    carrying ``x`` and the y columns — split out (r19) so
+    theil_sen_eval can FUSE them into its per-entity counts aggregate
+    (one scan computes counts + all moments) while
+    :func:`_ols_slopes_micro` keeps the standalone shape."""
     dec = "decimal(19,0)"
-    withx = base.select(
-        "e", x.alias("x"), *[F.col(y) for y, _ in y_outs]
-    )
     aggs = [
         F.count(F.lit(1)).cast(dec).alias("n"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
@@ -1334,7 +1345,15 @@ def _ols_slopes_micro(
         aggs.append(
             F.sum(F.col("x").cast(dec) * F.col(y).cast(dec)).alias(f"sxy{i}")
         )
-    m = withx.groupBy("e").agg(*aggs)
+    return aggs
+
+
+def _ols_slopes_from_moments(
+    m: DataFrame, y_outs: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """Slope derivation over an already-aggregated moment relation
+    (the other half of the r19 split; filter + integral division are
+    unchanged from the fused original)."""
     return m.filter(
         F.expr("n >= 2 AND n * sxx - sx * sx > 0")
     ).select(
@@ -1349,6 +1368,21 @@ def _ols_slopes_micro(
             for i, (_, out) in enumerate(y_outs)
         ],
     )
+
+
+def _ols_slopes_micro(
+    base: DataFrame, y_outs: tuple[tuple[str, str], ...]
+) -> DataFrame:
+    """:func:`_ols_slope_micro` generalized to SEVERAL y columns over
+    the same ``(e, d)`` grid in ONE map-side-combined aggregate →
+    ``(e, <out_col>...)``: the x-moments (n, Σx, Σxx) — and therefore
+    the degenerate-variance filter — are y-independent, so k slopes
+    cost one scan and 3 + 2k moments instead of k scans and 5k."""
+    withx = base.select(
+        "e", _ols_x().alias("x"), *[F.col(y) for y, _ in y_outs]
+    )
+    m = withx.groupBy("e").agg(*_ols_moment_aggs(y_outs))
+    return _ols_slopes_from_moments(m, y_outs)
 
 
 def theil_sen_eval(
@@ -1417,16 +1451,36 @@ def theil_sen_eval(
         .alias("vc"),
         spiked.cast("int").alias("__spiked"),
     ).localCheckpoint(eager=False)
-    # The per-entity counts relation doubles as the pair-cap probe:
-    # read max() off it for the guard, reuse it as the n_obs/n_spiked
-    # leg — one aggregate instead of a separate probe job (the r14
-    # advice). No checkpoint needed: it re-derives from the cached
-    # cont in one cheap map-side agg.
-    counts = cont.groupBy("e").agg(
-        F.count(F.lit(1)).alias("n_obs"),
-        F.sum("__spiked").cast("bigint").alias("n_spiked"),
+    # ONE fused per-entity aggregate (r19, VERDICT ask #7): counts +
+    # pair-cap probe + BOTH OLS legs' moments in a single map-side
+    # pass over cont, eagerly checkpointed (a handful of rows). The
+    # r18 shape scanned cont three times outside the pair passes —
+    # once for the probe, once re-deriving counts in the final join,
+    # once for the OLS moment pass; the checkpointed stats relation
+    # replaces all three (its build is also the action that
+    # materializes cont's lazy checkpoint, exactly the job the probe
+    # used to pay). The clean series is recovered from the cached
+    # contaminated one by exact integer division (spiked vc =
+    # clean_vc · spike_factor by construction, so `div` inverts it
+    # losslessly) — no re-scan of the raw base, no second md5 pass.
+    clean_vc = F.when(
+        F.col("__spiked") == 1, F.expr(f"vc div {int(spike_factor)}")
+    ).otherwise(F.col("vc"))
+    y_outs = (("vc", "slope_ols_micro"), ("vc_clean", "slope_clean_micro"))
+    stats = (
+        cont.select(
+            "e", _ols_x().alias("x"), "vc",
+            clean_vc.alias("vc_clean"), "__spiked",
+        )
+        .groupBy("e")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("__spiked").cast("bigint").alias("n_spiked"),
+            *_ols_moment_aggs(y_outs),
+        )
+        .localCheckpoint()
     )
-    probe = counts.agg(
+    probe = stats.agg(
         F.max("n_obs").alias("m"), F.sum("n_obs").alias("t")
     ).collect()
     max_obs = _check_pair_cap(probe, "theil_sen_eval")
@@ -1440,18 +1494,8 @@ def theil_sen_eval(
     ).select(
         "e", F.col("slope_micro").alias("slope_ts_micro")
     )
-    # Both OLS legs in ONE moment pass: the clean series is recovered
-    # from the cached contaminated one by exact integer division
-    # (spiked vc = clean_vc · spike_factor by construction, so `div`
-    # inverts it losslessly) — no re-scan of the raw base, no second
-    # md5 pass, and the x-moments/filter are shared.
-    clean_vc = F.when(
-        F.col("__spiked") == 1, F.expr(f"vc div {int(spike_factor)}")
-    ).otherwise(F.col("vc"))
-    ols_both = _ols_slopes_micro(
-        cont.select("e", "d", "vc", clean_vc.alias("vc_clean")),
-        (("vc", "slope_ols_micro"), ("vc_clean", "slope_clean_micro")),
-    )
+    counts = stats.select("e", "n_obs", "n_spiked")
+    ols_both = _ols_slopes_from_moments(stats, y_outs)
     return (
         counts.join(ts, "e")
         .join(ols_both, "e")

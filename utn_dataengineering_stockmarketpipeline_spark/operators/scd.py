@@ -59,11 +59,22 @@ def scd2_apply(
     - never-seen keys insert as new open rows.
 
     Keys absent from the snapshot stay open (dimension snapshots can be
-    partial). One full-outer-shaped comparison expressed as two
-    hash-equi anti/semi joins — attribute comparison happens on an MD5
-    of the tracked columns, so the join carries (key, hash) only, not
+    partial). One full-outer-shaped comparison expressed as hash-equi
+    joins — attribute comparison happens on an MD5 of the tracked
+    columns, so every classification join carries (key, hash) only, not
     every tracked column twice. Idempotent: re-applying the same
     snapshot changes nothing.
+
+    Join shape (r19 — the per-batch merge cascade halved): ONE narrow
+    LEFT join of the snapshot hashes against the open-row hashes
+    classifies every snapshot key as changed / new ("act"); the close
+    and pass-through branches then fuse into ONE conditional LEFT join
+    over the open rows (was: a semi + anti pair against a relation that
+    itself cost an inner join, plus a second anti join and a union for
+    the insert keys — 5 joins; now 3 plus one tiny distinct). The
+    distinct on the changed-key set exists because incoming MAY carry
+    duplicate keys (the original semi/anti pair was set-semantic; a
+    plain left join against duplicated keys would duplicate open rows).
     """
     from pyspark.sql import functions as F
 
@@ -83,33 +94,45 @@ def scd2_apply(
 
     open_cur = current.filter(F.col(is_current))
     closed_cur = current.filter(~F.col(is_current))
-    inc_h = incoming.withColumn("__h", att)
-    cur_h = open_cur.withColumn("__h", att)
 
-    # open rows invalidated by a differing snapshot row for the same key
-    changed_keys = inc_h.select(key, "__h").join(
-        cur_h.select(key, "__h"), [key], "inner"
-    ).filter(inc_h["__h"] != cur_h["__h"]).select(key)
-    to_close = (
-        open_cur.join(changed_keys, key, "left_semi")
-        .withColumn(valid_to, ld)
-        .withColumn(is_current, F.lit(False))
+    # snapshot keys that need a new open version: hash differs (changed)
+    # or no open row exists (new). __was_open distinguishes the two.
+    act = (
+        incoming.select(F.col(key), att.alias("__hi"))
+        .join(
+            open_cur.select(F.col(key), att.alias("__hc")), [key], "left"
+        )
+        .filter(F.col("__hc").isNull() | (F.col("__hi") != F.col("__hc")))
+        .select(key, F.col("__hc").isNotNull().alias("__was_open"))
     )
-    unchanged_open = open_cur.join(changed_keys, key, "left_anti")
 
-    # snapshot rows that become new open versions: changed keys + brand-new
-    new_keys = inc_h.join(cur_h.select(key), key, "left_anti").select(key)
-    insert_keys = changed_keys.unionByName(new_keys)
+    # open rows: close the changed ones in place, pass the rest through
+    chg = (
+        act.filter(F.col("__was_open"))
+        .select(key)
+        .distinct()
+        .withColumn("__chg", F.lit(True))
+    )
+    open_new = (
+        open_cur.join(chg, [key], "left")
+        .withColumn(
+            valid_to, F.when(F.col("__chg"), ld).otherwise(F.col(valid_to))
+        )
+        .withColumn(
+            is_current,
+            F.when(F.col("__chg"), F.lit(False)).otherwise(F.col(is_current)),
+        )
+        .drop("__chg")
+    )
+
     to_insert = (
-        incoming.join(insert_keys, key, "left_semi")
+        incoming.join(act.select(key), key, "left_semi")
         .withColumn(valid_from, ld)
         .withColumn(valid_to, F.lit(None).cast("date"))
         .withColumn(is_current, F.lit(True))
     )
     return (
-        closed_cur.unionByName(unchanged_open)
-        .unionByName(to_close)
-        .unionByName(to_insert)
+        closed_cur.unionByName(open_new).unionByName(to_insert)
     )
 
 

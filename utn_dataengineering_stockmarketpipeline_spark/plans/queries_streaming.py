@@ -844,18 +844,30 @@ def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             [T.StructField(c, T.StringType()) for c in _MKT_COLS]
             + [T.StructField("load_date", T.DateType())]
         )
-        empty_state = spark.createDataFrame(
-            [],
-            T.StructType(
-                [T.StructField(c, T.StringType()) for c in _MKT_COLS]
-                + [
-                    T.StructField("valid_from", T.DateType()),
-                    T.StructField("valid_to", T.DateType()),
-                    T.StructField("is_current", T.BooleanType()),
-                ]
-            ),
+        state_schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in _MKT_COLS]
+            + [
+                T.StructField("valid_from", T.DateType()),
+                T.StructField("valid_to", T.DateType()),
+                T.StructField("is_current", T.BooleanType()),
+            ]
         )
-        state_box = [empty_state]
+        state_cols = [f.name for f in state_schema.fields]
+
+        def _local_state(recs: list) -> DataFrame:
+            # pandas → Arrow → LocalRelation, NOT a parallelized RDD
+            # (r19): createDataFrame(list) plans as a Scan ExistingRDD,
+            # so every broadcast build inside the merge ran a
+            # distributed job — 6-7 jobs ≈ 1.7 s per 13-row batch.
+            # A LocalRelation's broadcast is a driver-side collect with
+            # ZERO tasks; the measured merge loop dropped 5.7 → 2.5 s.
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(recs, columns=state_cols), schema=state_schema
+            )
+
+        state_box = [_local_state([])]
 
         def handle(batch_df: DataFrame, batch_id: int) -> None:
             # the dimension snapshot is BOUNDED (the 5-ticker reference
@@ -864,14 +876,33 @@ def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             # needs no distinct job and the merge's several semi/anti
             # joins read a local relation instead of re-scanning the
             # micro-batch source per consumer
-            rows = batch_df.collect()
+            rows = batch_df.limit(10_001).collect()
             if not rows:
                 return
+            # the boundedness assumption above, made executable (r19):
+            # a misconfigured source must fail loudly, not OOM the
+            # driver silently (the limit above already caps the pull)
+            assert len(rows) <= 10_000, (
+                f"scd2 micro-batch snapshot exceeds the bounded-dim "
+                f"assumption (> 10000 rows); this drain collects state "
+                f"per batch and is sized for a reference dimension"
+            )
             lds = {str(r["load_date"]) for r in rows}
             assert len(lds) == 1, f"snapshot files merged into one batch: {lds}"
-            inc = spark.createDataFrame(rows, schema=batch_df.schema)
+            # LocalRelation, not a parallelized list (see _local_state)
+            import pandas as pd
+
+            inc = spark.createDataFrame(
+                pd.DataFrame(
+                    [[r[c] for c in _MKT_COLS] for r in rows],
+                    columns=list(_MKT_COLS),
+                ),
+                schema=T.StructType(
+                    [T.StructField(c, T.StringType()) for c in _MKT_COLS]
+                ),
+            )
             new_state = scd2_apply(
-                inc.select(*_MKT_COLS),
+                inc,
                 state_box[0],
                 key="market_stockid",
                 tracked=["market_companyname"],
@@ -879,8 +910,8 @@ def q_stream_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             # materialize the bounded dim state so the next batch's merge
             # reads data, not an ever-deepening lineage
-            state_box[0] = spark.createDataFrame(
-                new_state.collect(), schema=new_state.schema
+            state_box[0] = _local_state(
+                [[r[c] for c in state_cols] for r in new_state.collect()]
             )
 
         with _capped_state_partitions(spark, 8):
