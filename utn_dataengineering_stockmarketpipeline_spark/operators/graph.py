@@ -193,16 +193,23 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     else:
         nodes = nodes_raw.repartition(loop_parts, "node").persist()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # weighted edges: contribution fraction per edge is rank-independent.
-    # Partitioned by src ONCE — every round's rank join is then
-    # co-partitioned against the rank vector with no edge re-shuffle
-    # (and read as cached on the broadcast path).
+    # weighted edges, partitioned ONCE — but by WHICH key depends on
+    # the regime (r19): on the broadcast path the per-round rank join
+    # ships the rank vector, so the probe side's layout is free to
+    # serve the NEXT operator instead — partitioning by dst makes the
+    # per-round contribution groupBy(dst) partition-local (hash(dst)
+    # satisfies its clustering), removing the ONLY per-round exchange
+    # outright (§2.4). On the shuffle path src stays the key: there
+    # the rank join is the exchange to avoid, and the aggregate pays
+    # its own repartition as before.
     # (BIGINT loop encoding was built and interleaved-A/B'd here in r19:
     # pagerank measured 4.84 vs 7.5-8.3 s WITH the encode at sf0.1 —
     # the mapping build + boundary joins + exit decode cost more than
     # the narrower lazy-chained rounds save; hits, whose rounds are
     # eager and job-bound, keeps the encode. See OPTIMIZATION_r19.md.)
-    we = e.join(outdeg, "src").repartition(loop_parts, "src").persist()
+    we = e.join(outdeg, "src").repartition(
+        loop_parts, "dst" if small_vec else "src"
+    ).persist()
     we.count()
 
     teleport = (1.0 - damping) / n
@@ -768,22 +775,16 @@ def label_propagation(edges: DataFrame, rounds: int,
     # order-preserving mapping build + decode joins offset the
     # narrower per-round count exchange. Reverted with bfs/sp/pagerank;
     # hits keeps the encode where it measured a real win.)
-    und = (
-        e_p.unionAll(
-            e_p.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        .repartition(loop_parts, "b")
-        .distinct()
-        .persist()
-    )
-    und.count()
-    e_p.unpersist()
     # the initial label vector is checkpointed eagerly (tiny — one row
     # per node) so its count can gate the per-round broadcast and the
     # first round reads a materialization instead of re-running the
-    # node distinct
+    # node distinct; built from the DIRECTED cache (same node set as
+    # the undirected relation — every a appears as some edge's b in
+    # the reversed branch) so the gate is known BEFORE und's layout
+    # must be chosen
     labels = (
-        und.select(F.col("a").alias("node"))
+        e_p.select(F.col("a").alias("node"))
+        .unionAll(e_p.select(F.col("b").alias("node")))
         .distinct()
         .select("node", F.col("node").alias("label"))
         .localCheckpoint()
@@ -794,16 +795,37 @@ def label_propagation(edges: DataFrame, rounds: int,
     # per-round sort-merge re-sort); over it the co-partitioned
     # shuffle join stands
     small_vec = labels.count() <= GRAPH_BROADCAST_NODES
+    # und's ONE-TIME layout serves the per-round hot path of its
+    # regime (r19, §2.4): on the broadcast path the join ships the
+    # label vector, so partitioning by "a" — the key the per-round
+    # aggregates group on — makes BOTH aggregates partition-local and
+    # the rounds exchange-free; on the shuffle path "b" (the join key)
+    # stays, and each round re-exchanges only the (node, label) rows.
+    # Either key's hash satisfies the distinct's (a, b) clustering, so
+    # the dedup still adds no second exchange.
+    und = (
+        e_p.unionAll(
+            e_p.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        .repartition(loop_parts, "a" if small_vec else "b")
+        .distinct()
+        .persist()
+    )
+    und.count()
+    e_p.unpersist()
     for r in range(rounds):
         lbl = labels.select(F.col("node").alias("b"), "label")
         nbr = (
             und.join(F.broadcast(lbl) if small_vec else lbl, "b")
             .select(F.col("a").alias("node"), "label")
+        )
+        if not small_vec:
             # ONE exchange per round: hash(node) satisfies the
             # clustering of BOTH aggregates below, so neither adds its
-            # own shuffle
-            .repartition(loop_parts, "node")
-        )
+            # own shuffle (on the broadcast path und's hash(a) layout
+            # already satisfies them through the alias — no exchange
+            # at all)
+            nbr = nbr.repartition(loop_parts, "node")
         cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
         # argmax: lexicographic struct min = largest count, ties to the
         # smallest label (binary string order — identical to the window
@@ -915,17 +937,24 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     # mapping build + edge encode at the boundary, one decode at exit.
     mapping = _node_mapping(nodes_raw, loop_parts)
     nodes_raw.unpersist()
-    e = (
-        _encode_edges(e0, mapping, small_vec, "src", "dst")
-        .repartition(_sess_parts, "src")
-        .persist()
-    )
-    e.count()
-    e0.unpersist()
+    enc = _encode_edges(e0, mapping, small_vec, "src", "dst")
     nodes = mapping.select(F.col("nid").alias("node"))
     if small_vec:
-        e_src = e_dst = e
+        # Both direction copies are partitioned by the key the
+        # half-round AGGREGATES on, not the join key (r19, §2.4): the
+        # broadcast-hash join ships the vector and is layout-
+        # indifferent, so hash(out_key) makes each half-round's sum
+        # partition-local — the per-half-round exchange disappears
+        # outright. (The non-broadcast path below keeps join-key
+        # layouts: there the per-round join is the exchange to avoid.)
+        e_agg_dst = enc.repartition(_sess_parts, "dst").persist()
+        e_agg_src = enc.repartition(_sess_parts, "src").persist()
+        e_agg_dst.count()
+        e_agg_src.count()
+        e = e_src = e_dst = None
     else:
+        e = enc.repartition(_sess_parts, "src").persist()
+        e.count()
         nodes = nodes.repartition(loop_parts, "node").persist()
         # both directions get a pre-partitioned edge copy: the hub→auth
         # pass joins on src, the auth→hub pass on dst — partitioned
@@ -935,6 +964,7 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         e_dst = e.repartition(loop_parts, "dst").persist()
         e_src.count()
         e_dst.count()
+    e0.unpersist()
 
     ppm = F.lit(1_000_000).cast("bigint")
 
@@ -1017,13 +1047,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
 
         _i64_safe = (2**63 - 1) // 1_000_000
 
-        def _half_pd(join_key: str, out_key: str, vec_pdf,
-                     in_col: str, out_col: str, capture: bool = False):
+        def _half_pd(edges_dir: DataFrame, join_key: str, out_key: str,
+                     vec_pdf, in_col: str, out_col: str,
+                     capture: bool = False):
             v = spark.createDataFrame(
                 vec_pdf, schema=f"node bigint, {in_col} bigint"
             )
             agg = (
-                e.join(F.broadcast(v), e[join_key] == v["node"])
+                edges_dir.join(F.broadcast(v), edges_dir[join_key] == v["node"])
                 .select(out_key, in_col)
                 .groupBy(out_key)
                 .agg(F.sum(in_col).cast("bigint").alias(out_col))
@@ -1047,9 +1078,9 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         hub_pdf["h"] = 1_000_000
         auth_pdf = None
         for it in range(iters):
-            auth_pdf = _half_pd("src", "dst", hub_pdf, "h", "a",
+            auth_pdf = _half_pd(e_agg_dst, "src", "dst", hub_pdf, "h", "a",
                                 capture=(it == 0))
-            hub_pdf = _half_pd("dst", "src", auth_pdf, "a", "h")
+            hub_pdf = _half_pd(e_agg_src, "dst", "src", auth_pdf, "a", "h")
         h_v = F.broadcast(spark.createDataFrame(
             hub_pdf.rename(columns={"node": "__hn"}),
             schema="__hn bigint, h bigint",
@@ -1081,8 +1112,11 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         .localCheckpoint()
     )
-    e.unpersist()
-    if not small_vec:
+    if small_vec:
+        e_agg_dst.unpersist()
+        e_agg_src.unpersist()
+    else:
+        e.unpersist()
         nodes.unpersist()
         e_src.unpersist()
         e_dst.unpersist()
