@@ -80,7 +80,8 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
-                       num_perms: int = 8) -> DataFrame:
+                       num_perms: int = 8,
+                       hashed: DataFrame | None = None) -> DataFrame:
     """Wide MinHash signatures: (id, mh_0 .. mh_{num_perms-1}).
 
     Shingle-hash ROWS (hashing.shingle_hash_rows: one codegen'd MD5 per
@@ -88,8 +89,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     → one groupBy computing all permutation minima as partial
     aggregates. The groupBy reuses the window's hash partitioning on
     id, so the whole signature pipeline is a single shuffle.
+
+    ``hashed`` (r19): a precomputed ``(id, h)`` relation from
+    ``shingle_hash_rows(df, ...)`` with the SAME (text_col, id_col, k)
+    — a caller composing several shingle consumers over one corpus can
+    materialize the hash set once. Exact either deduped or raw: the
+    permutation minima over the hash SET equal minima over the
+    multiset.
     """
-    hashed = shingle_hash_rows(df, text_col, id_col, k)
+    if hashed is None:
+        hashed = shingle_hash_rows(df, text_col, id_col, k)
     return hashed.groupBy(id_col).agg(
         *[
             F.min(perm_hash(F.col("h"), a, b)).alias(f"mh_{i}")
@@ -119,7 +128,8 @@ def _band_structs(num_perms: int, bands: int) -> Column:
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3,
                        num_perms: int = 8, bands: int = 4,
-                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE) -> DataFrame:
+                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+                       hashed: DataFrame | None = None) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard.
 
     Signature → explode into ``bands`` (band, bucket) keys → group each
@@ -136,8 +146,12 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     cap is ON by default — the 100 TB posture is the default posture;
     pass ``None`` only when the input is known boilerplate-free and
     bit-exact parity with an uncapped oracle is required.
+
+    ``hashed``: optional precomputed shingle-hash relation (see
+    :func:`minhash_signatures`).
     """
-    sigs = minhash_signatures(df, text_col, id_col, k, num_perms)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_perms,
+                              hashed=hashed)
     mh_cols = [f"mh_{i}" for i in range(num_perms)]
     banded = sigs.select(
         F.col(id_col).alias("id"),
@@ -220,7 +234,8 @@ def embedding_bucket_sizes(df: DataFrame, dim: int, n_tables: int = 8,
 
 
 def shingle_pair_counts(df: DataFrame, text_col: str = "text",
-                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
+                        id_col: str = "doc_id", k: int = 3,
+                        hashed: DataFrame | None = None) -> DataFrame:
     """Exact shared-shingle pair counts: ``(id_a, id_b, n_shared, n_a,
     n_b)`` with id_a < id_b for every pair sharing ≥1 shingle — the
     integer core under :func:`ngram_jaccard_pairs` (which divides) and
@@ -230,8 +245,13 @@ def shingle_pair_counts(df: DataFrame, text_col: str = "text",
     (hashing.shingle_hash_rows): the self-join shuffles 8-byte ints
     instead of ~30-byte shingle strings, which at corpus scale is the
     difference between a shuffle that fits and one that spills.
+
+    ``hashed``: optional precomputed shingle-hash relation (see
+    :func:`minhash_signatures`).
     """
-    sh = shingle_hash_rows(df, text_col, id_col, k).select(id_col, "h").distinct()
+    if hashed is None:
+        hashed = shingle_hash_rows(df, text_col, id_col, k)
+    sh = hashed.select(id_col, "h").distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -304,6 +324,11 @@ def lsh_recall_eval(df: DataFrame, text_col: str = "text",
     exactly like the ANN eval's query slice; the candidate side stays
     the banded equi-join, never all-pairs.
     """
+    # (A shared materialized (id, h) set across the truth and candidate
+    # legs was interleaved-A/B'd in r19 and measured FLAT here — unlike
+    # llm_minhash_calibration, where the same sharing wins because sh
+    # feeds three consumers; the r18 concurrent-duplicate-pass plan
+    # stands. See OPTIMIZATION_r19.md.)
     counts = shingle_pair_counts(df, text_col, id_col, k)
     union = F.col("n_a") + F.col("n_b") - F.col("n_shared")
     truth = (

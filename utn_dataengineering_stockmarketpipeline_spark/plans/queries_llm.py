@@ -2970,14 +2970,20 @@ def q_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import shingle_hash_rows
 
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_candidates(
-        docs, num_perms=_NUM_PERMS, bands=_BANDS
-    )
-    sh = (
+    # ONE shingle pass + ONE dedup (r19): the candidate generator and
+    # the exact-Jaccard legs (sh used as BOTH self-join sides + the
+    # totals) all read one materialized (id, h) set — was one window
+    # pass in the candidate leg plus one per sh consumer
+    hashed = (
         shingle_hash_rows(docs, "text", "doc_id", 3)
-        .select(F.col("doc_id").alias("__id"), "h")
+        .select("doc_id", "h")
         .distinct()
+        .localCheckpoint()
     )
+    cand = dedup.minhash_candidates(
+        docs, num_perms=_NUM_PERMS, bands=_BANDS, hashed=hashed
+    )
+    sh = hashed.select(F.col("doc_id").alias("__id"), "h")
     tot = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
     shared = (
         cand.join(sh, cand["id_a"] == sh["__id"])
