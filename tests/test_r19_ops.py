@@ -109,3 +109,48 @@ def test_hits_small_graph_matches_integer_recurrence(spark):
     assert out["S2"] == (0, 500_000)
     assert out["C1"] == (1_000_000, 0)
     assert out["C2"] == (666_666, 0)
+
+
+def test_hits_shuffle_regime_matches_broadcast_regime(spark, monkeypatch):
+    """The non-broadcast path (mapping not broadcast, co-partitioned
+    half-rounds, distributed collect-max rescale) must be bit-identical
+    to the driver-rescale broadcast path — the 100x capture runs it."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("C1", "S1"), ("C2", "S1"), ("C1", "S2"), ("C3", "S2"),
+         ("C3", "S3"), ("C2", "S3"), ("C4", "S1")],
+        "src string, dst string",
+    )
+    small = _rows(graph.hits(edges, iters=3))
+    monkeypatch.setattr(graph, "GRAPH_BROADCAST_NODES", 0)
+    big = _rows(graph.hits(edges, iters=3))
+    assert small == big
+
+
+def test_pagerank_and_lpa_regime_layouts_are_equivalent(spark, monkeypatch):
+    """pagerank keys its weighted-edge cache by dst (broadcast regime)
+    or src (shuffle regime), LPA keys its undirected relation by 'a' or
+    'b' — the layouts must not change any value (pagerank compared
+    after the oracle's ROUND(9))."""
+    from utn_dataengineering_stockmarketpipeline_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [("C1", "S1"), ("C2", "S1"), ("C1", "S2"), ("C3", "S2"),
+         ("C3", "S3"), ("C2", "S3"), ("C4", "S1"), ("C4", "S3")],
+        "src string, dst string",
+    )
+
+    def pr_rows():
+        return sorted(
+            (r["node"], round(r["rank"], 9))
+            for r in graph.pagerank(edges, iters=5).collect()
+        )
+
+    def lpa_rows():
+        return _rows(graph.label_propagation(edges, rounds=3))
+
+    pr_small, lpa_small = pr_rows(), lpa_rows()
+    monkeypatch.setattr(graph, "GRAPH_BROADCAST_NODES", 0)
+    assert pr_rows() == pr_small
+    assert lpa_rows() == lpa_small
